@@ -1,0 +1,214 @@
+"""Experiment configuration for rau_vqa_tpu.
+
+The reference scatters ~35 CLI flags plus in-body constants across four nearly
+identical scripts (Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:17-80, dims at
+:202-228, early-stop tables at Ours_Full/...lua:414-429).  Here every knob is a
+field on a frozen dataclass, and the four experiments of the paper's Table 1
+are presets (reference: experiments/README.md:5, behavioural deltas diffed in
+SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters.
+
+    Defaults mirror the in-body constants of the reference
+    (Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:202-228).
+    """
+
+    vocab_size: int = 12605          # includes ZEROPAD at index 0
+    answer_size: int = 1000          # netout_dim (reference :222)
+    seq_len: int = 26                # max question length (h5 contract)
+
+    embed_dim: int = 200             # word embedding (reference :202)
+    rnn_size: int = 512              # question DeepLSTM hidden (reference :209)
+    rnn_layers: int = 2              # question DeepLSTM depth (reference :210)
+    rnn_dropout: float = 0.5         # inter-layer dropout (reference :211)
+    embed_dropout: float = 0.5       # word-embed dropout (reference :205)
+
+    cnn_dim: int = 512               # cnnout_dim: 512 VGG pool5 / 2048 ResNet (:216)
+    cnn_w: int = 14                  # cnnout_w (run scripts pass 14)
+    cnn_h: int = 14                  # cnnout_h
+    multfeat_dim: int = 512          # multimodal feature dim (reference :220)
+    attfeat_dim: int = 256           # attention hidden dim (reference :221)
+
+    att_rnn_size: int = 512          # answering-unit LSTM hidden (reference :225)
+    att_rnn_layers: int = 1          # answering-unit LSTM depth (reference :226)
+    att_rnn_dropout: float = 0.0     # answering-unit LSTM dropout (reference :227)
+    mult_dropout: float = 0.5        # dropout on q-proj input / merge feat (:233,:239,:277)
+
+    n_hops: int = 1                  # number of recurrent answering units (-nhop)
+
+    # numerics: params live in param_dtype; matmuls may run in compute_dtype.
+    # matmul_precision: 'highest' = full f32 (parity/tests); 'default' lets
+    # the MXU run bf16 passes (fast path; combine with compute_dtype bf16).
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    matmul_precision: str = "highest"
+
+    @property
+    def rnnout_dim(self) -> int:
+        # packed (c, h) pairs for every layer (DeepLSTM.lua:22-25)
+        return 2 * self.rnn_size * self.rnn_layers
+
+    @property
+    def att_state_dim(self) -> int:
+        return self.att_rnn_size * self.att_rnn_layers
+
+    @property
+    def cnn_spat(self) -> int:
+        return self.cnn_w * self.cnn_h
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization hyper-parameters (reference :39-55, :769-775, :1211-1220)."""
+
+    optim: str = "adam"
+    batch_size: int = 100
+    max_epochs: int = 50
+    learning_rate: float = 3e-3       # embed + rnn groups
+    mult_learning_rate: float = 3e-4  # multimodal group
+    lr_decay: float = 0.9             # per-epoch exponential decay, both LRs
+    mult_lr_decay: float = 0.9
+    lr_decay_interval: int = 1        # in epochs
+    grad_clip: float = 0.1            # per-group L2 norm clip (reference :607-629)
+    noisy_eta: float = 0.01           # gradient noise (reference :54, :597-605)
+    noisy_gamma: float = 0.55
+    seed: int = 123
+    # Adam internals (optim_updates.lua:59-62)
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    # SS scales each hop's CE gradient by nHop (Ours_SS/...lua:569); MS/Full drop it
+    hop_grad_scale_nhop: bool = False
+    # Full/ResNet per-hop early-stop curriculum: hop h's CE gradient is zeroed
+    # once epoch >= stop_timing[h] (Ours_Full/...lua:414-429, :586-589).
+    # None => no curriculum (SS, MS).  Length must be >= n_hops when set.
+    hop_stop_timing: Optional[Tuple[int, ...]] = None
+    # real loss-explosion guard (the reference declares -loss_explod_threshold
+    # but never reads it, Ours_SS/...lua:29 — we wire it up for real)
+    loss_explode_threshold: float = 3.0
+    test_interval: int = 1            # epochs between eval sweeps
+    checkpoint_interval: int = 1      # epochs between checkpoints
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data locations and split selection (reference :31-37, :85-95)."""
+
+    split: str = "val2014"            # [val2014|test2015|test-dev2015|train2014]
+    vqa_dir: str = "./data/VQA_prepro/data_train_val"
+    feat_dir: str = "./data/vqa_VGG16Conv_pool5_448/feat_448x448"
+    gt_anno: str = "./data/VQA_prepro/comprehend/comprehend_val2014_annotations.json"
+    batch_order: str = "shuffle"      # [shuffle|inorder|sort|randsort] (reference :41)
+    test_batch_size: int = 0          # 0 => derive from split like reference :85-95
+    prefetch: bool = True
+    valid_ratio: float = 0.0
+
+    def resolved_test_batch_size(self) -> int:
+        if self.test_batch_size > 0:
+            return self.test_batch_size
+        # chosen to divide split sizes exactly (reference :85-95)
+        return {"val2014": 83, "test2015": 57, "test-dev2015": 96,
+                "train2014": 100}[self.split]
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Parallelism layout. DP over 'data' is the primary strategy for this
+    model size (~20M params); TP over 'model' optionally shards the 1000-way
+    classifier and the 4x512 LSTM gate matmuls (SURVEY.md §2d)."""
+
+    data_axis: int = -1               # -1 => all available devices
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+    shard_params_tp: bool = False     # enable TP weight sharding rules
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "ours_ss"
+    alg_name: str = "LstmAttCtrlGradNoiseDontSelectSingleHopBalance448Pool5"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    save_dir: str = "save_result_vqa"
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Early-stop tables, 1-indexed by hop in the reference; stored 0-indexed here.
+# Ours_Full/LstmAttCtrlGradNoiseDontSelect.lua:414-429
+_FULL_STOP_TIMING = (1000, 35, 25, 20, 18, 16, 16, 16, 16, 1000)
+# Ours_ResNet/LstmAttCtrlGradNoiseDontSelect.lua:416-427
+_RESNET_STOP_TIMING = (1000, 30, 24, 20, 18, 16, 16, 15, 1000, 1000)
+
+
+def _preset_ss() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="ours_ss",
+        alg_name="LstmAttCtrlGradNoiseDontSelectSingleHopBalance448Pool5",
+        model=ModelConfig(n_hops=1, cnn_dim=512, cnn_w=14, cnn_h=14),
+        train=TrainConfig(hop_grad_scale_nhop=True),
+        data=DataConfig(split="test-dev2015",
+                        vqa_dir="./data/VQA_prepro/data_train-val_test-dev"),
+    )
+
+
+def _preset_ms() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="ours_ms",
+        alg_name="LstmAttCtrlGradNoiseDontSelect448Pool5",
+        model=ModelConfig(n_hops=8, cnn_dim=512, cnn_w=14, cnn_h=14),
+        train=TrainConfig(),
+        data=DataConfig(split="test-dev2015",
+                        vqa_dir="./data/VQA_prepro/data_train-val_test-dev"),
+    )
+
+
+def _preset_full() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="ours_full",
+        alg_name="LstmAttCtrlGradNoiseDontSelect448Pool5",
+        model=ModelConfig(n_hops=8, cnn_dim=512, cnn_w=14, cnn_h=14),
+        train=TrainConfig(hop_stop_timing=_FULL_STOP_TIMING),
+        data=DataConfig(split="test-dev2015",
+                        vqa_dir="./data/VQA_prepro/data_train-val_test-dev"),
+    )
+
+
+def _preset_resnet() -> ExperimentConfig:
+    return ExperimentConfig(
+        name="ours_resnet",
+        alg_name="NIPSFinalResNet101sz448tmin15lambda0dot5",
+        model=ModelConfig(n_hops=8, cnn_dim=2048, cnn_w=14, cnn_h=14),
+        train=TrainConfig(batch_size=80, hop_stop_timing=_RESNET_STOP_TIMING),
+        data=DataConfig(split="test-dev2015",
+                        vqa_dir="./data/VQA_prepro/data_train-val_test-dev",
+                        feat_dir="./data/vqa_resnet_101_convfeat_448"),
+    )
+
+
+PRESETS = {
+    "ours_ss": _preset_ss,
+    "ours_ms": _preset_ms,
+    "ours_full": _preset_full,
+    "ours_resnet": _preset_resnet,
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -1,0 +1,265 @@
+"""The RAU (Recurrent Answering Units) VQA model as pure functional JAX.
+
+Reconstructs the behaviour of the reference nngraph model
+(Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:198-320) TPU-first:
+
+- question encoding is a single ``lax.scan`` over tokens with a vectorized
+  last-token gather (``states[lengths-1, arange(B)]``), replacing the
+  reference's seq_len weight-shared clones and per-example Python gather
+  (reference :331-347, :455-461);
+- the nHop answering units are a statically unrolled loop over ONE shared
+  parameter set (the reference clones share storage, :343-347);
+- image features are laid out ``[B, S, D]`` (spatial-major, feature in lanes)
+  so every 1x1 "conv" in the reference becomes a lane-aligned matmul on the
+  MXU;
+- at eval, the hop-invariant image embedding is hoisted out of the hop loop
+  (the reference recomputes it per clone).
+
+Parameters are plain nested dicts in three groups — ``embed``, ``rnn``,
+``mult`` — mirroring the reference's three flat param vectors
+(reference :322-324) so Torch snapshots can be converted losslessly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rau_vqa_tpu.config import ModelConfig
+from rau_vqa_tpu.models.cells import (
+    _linear_init,
+    _uniform,
+    att_lstm_cell,
+    att_lstm_init,
+    deep_lstm_cell,
+    deep_lstm_init,
+    dropout,
+)
+
+Params = Dict
+
+
+class RAUOutput(NamedTuple):
+    """Per-hop predictions of one forward pass.
+
+    scores:   [H, B, A]  raw answer logits per hop (reference `pred[1]`)
+    do_pred:  [H, B]     answer-confidence sigmoid outputs (reference `pred[2]`)
+    attprob:  [H, B, S]  spatial attention distributions (reference `pred[3]`)
+    final_c:  [B, att_state_dim]
+    final_h:  [B, att_state_dim]
+    """
+
+    scores: jax.Array
+    do_pred: jax.Array
+    attprob: jax.Array
+    final_c: jax.Array
+    final_h: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Initialization — uniform(-0.08, 0.08) over every weight and bias
+# (reference :349-355 applies :uniform to the flat param vectors)
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    dtype = jnp.dtype(cfg.param_dtype)
+    scale = 0.08
+    k_embed, k_rnn, *k_mult = jax.random.split(key, 14)
+
+    embed = {"lookup": _uniform(k_embed, (cfg.vocab_size, cfg.embed_dim), scale, dtype)}
+    rnn = deep_lstm_init(k_rnn, cfg.embed_dim, cfg.rnn_size, cfg.rnn_layers,
+                         scale, dtype)
+
+    S = cfg.cnn_spat
+    M = cfg.multfeat_dim
+    mult = {
+        # [q_embed] (reference :231-236)
+        "q_proj": _linear_init(k_mult[0], cfg.rnnout_dim, M, scale, dtype),
+        "h_proj": _linear_init(k_mult[1], cfg.att_state_dim, M, scale, dtype),
+        # [i_embed] 1x1 conv == per-cell linear (reference :238-242)
+        "i_embed": _linear_init(k_mult[2], cfg.cnn_dim, M, scale, dtype),
+        # [attbycontent] (reference :244-252)
+        "att_q": _linear_init(k_mult[3], M, cfg.attfeat_dim, scale, dtype),
+        "att_i": _linear_init(k_mult[4], M, cfg.attfeat_dim, scale, dtype),
+        "att_score": _linear_init(k_mult[5], cfg.attfeat_dim, 1, scale, dtype),
+        # [attbymemory] (reference :285-290)
+        "att_mem": _linear_init(k_mult[6], cfg.att_state_dim, S, scale, dtype),
+        # [classifier] (reference :265-283)
+        "attprob_proj": _linear_init(k_mult[7], S, M, scale, dtype),
+        "attlstm": att_lstm_init(k_mult[8], M, cfg.att_rnn_size,
+                                 cfg.att_rnn_layers, scale, dtype),
+        "merge": _linear_init(k_mult[9], cfg.att_state_dim, M, scale, dtype),
+        "cls": _linear_init(k_mult[10], M, cfg.answer_size, scale, dtype),
+        "do_pred": _linear_init(k_mult[11], M, 1, scale, dtype),
+    }
+    return {"embed": embed, "rnn": rnn, "mult": mult}
+
+
+# ---------------------------------------------------------------------------
+# Question encoder — word embed + 2-layer LSTM scan + last-token gather
+# ---------------------------------------------------------------------------
+
+def encode_question(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                    lengths: jax.Array, *, train: bool = False,
+                    rng: Optional[jax.Array] = None) -> jax.Array:
+    """tokens [B, T] int32 (0 = ZEROPAD), lengths [B] int32 in [1, T].
+
+    Returns rnn_out [B, rnnout_dim]: the packed (c, h) LSTM state at each
+    question's last real token (reference :448-461 gathers `lst[k]` where
+    `x_len[k] == t`; here it is one vectorized gather over the scanned states).
+    """
+    B, T = tokens.shape
+    emb = jnp.take(params["embed"]["lookup"], tokens, axis=0)  # [B, T, E]
+    if train and cfg.embed_dropout > 0.0:
+        emb = dropout(emb, cfg.embed_dropout, jax.random.fold_in(rng, 0), train)
+    emb = jnp.tanh(emb)  # word_embed = LookupTable→Dropout→Tanh (reference :203-206)
+
+    init_state = jnp.zeros((B, cfg.rnnout_dim), emb.dtype)
+    step_rng = jax.random.fold_in(rng, 1) if rng is not None else None
+
+    def step(state, xs):
+        x_t, t = xs
+        rng_t = jax.random.fold_in(step_rng, t) if step_rng is not None else None
+        new_state = deep_lstm_cell(params["rnn"], x_t, state,
+                                   rnn_size=cfg.rnn_size,
+                                   dropout_rate=cfg.rnn_dropout,
+                                   train=train, rng=rng_t)
+        return new_state, new_state
+
+    xs = (jnp.swapaxes(emb, 0, 1), jnp.arange(T))
+    _, states = jax.lax.scan(step, init_state, xs)          # [T, B, D]
+    rnn_out = states[lengths - 1, jnp.arange(B)]            # [B, D]
+    return rnn_out
+
+
+# ---------------------------------------------------------------------------
+# Answering unit — one hop of attention + ATTLSTM + classifier
+# ---------------------------------------------------------------------------
+
+def embed_image(mp: Params, cfg: ModelConfig, feats: jax.Array, *,
+                train: bool = False,
+                rng: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+    """[i_embed] + the image half of [attbycontent] (reference :238-242, :247-249).
+
+    feats [B, S, Dc] -> (ifeat [B, S, M], iatt [B, S, attfeat_dim]).
+    Both are hop-invariant when dropout is off, so eval computes them once.
+    """
+    x = feats
+    if train and cfg.mult_dropout > 0.0:
+        x = dropout(x, cfg.mult_dropout, rng, train)
+    ifeat = jnp.tanh(x @ mp["i_embed"]["w"] + mp["i_embed"]["b"])
+    iatt = ifeat @ mp["att_i"]["w"] + mp["att_i"]["b"]
+    return ifeat, iatt
+
+
+def answering_unit(mp: Params, cfg: ModelConfig, q: jax.Array,
+                   ifeat: jax.Array, iatt: jax.Array, c: jax.Array,
+                   h: jax.Array, *, train: bool = False,
+                   rng: Optional[jax.Array] = None):
+    """One recurrent answering unit (the `multimodal` gModule, reference :291-307).
+
+    q [B, rnnout_dim], ifeat [B, S, M], iatt [B, S, F], c/h [B, att_state_dim].
+    Returns (score [B, A], do_pred [B], attprob [B, S], next_c, next_h).
+    """
+    k_q = jax.random.fold_in(rng, 0) if rng is not None else None
+    k_lstm = jax.random.fold_in(rng, 1) if rng is not None else None
+    k_merge = jax.random.fold_in(rng, 2) if rng is not None else None
+
+    # [q_embed]: tanh(Wq·dropout(q) + Wh·prev_h) (reference :231-236)
+    q_in = dropout(q, cfg.mult_dropout, k_q, train) if train else q
+    qfeat = jnp.tanh(q_in @ mp["q_proj"]["w"] + mp["q_proj"]["b"]
+                     + h @ mp["h_proj"]["w"] + mp["h_proj"]["b"])
+
+    # [attbycontent]: per-cell score from tanh(iatt + qatt) (reference :244-252)
+    qatt = qfeat @ mp["att_q"]["w"] + mp["att_q"]["b"]          # [B, F]
+    addfeat = jnp.tanh(iatt + qatt[:, None, :])                 # [B, S, F]
+    attscore = (addfeat @ mp["att_score"]["w"])[..., 0] + mp["att_score"]["b"]
+
+    # [attbymemory]: add the h-state score bias, then softmax (reference :285-290)
+    attscore = attscore + h @ mp["att_mem"]["w"] + mp["att_mem"]["b"]
+    attprob = jax.nn.softmax(attscore, axis=-1)                 # [B, S]
+
+    # [attselect]: attention-weighted spatial pooling (reference :254-263)
+    attfeat = jnp.einsum("bsm,bs->bm", ifeat, attprob)
+
+    # [classifier] (reference :265-283)
+    join = (qfeat + attfeat
+            + attprob @ mp["attprob_proj"]["w"] + mp["attprob_proj"]["b"])
+    next_c, next_h = att_lstm_cell(mp["attlstm"], join, c, h,
+                                   rnn_size=cfg.att_rnn_size,
+                                   dropout_rate=cfg.att_rnn_dropout,
+                                   train=train, rng=k_lstm)
+    lstmfeat = next_h
+    if train and cfg.att_rnn_dropout > 0.0:
+        lstmfeat = dropout(lstmfeat, cfg.att_rnn_dropout,
+                           jax.random.fold_in(rng, 3), train)
+    merge = join + lstmfeat @ mp["merge"]["w"] + mp["merge"]["b"]
+    if train and cfg.mult_dropout > 0.0:
+        merge = dropout(merge, cfg.mult_dropout, k_merge, train)
+    score = merge @ mp["cls"]["w"] + mp["cls"]["b"]
+    do_pred = jax.nn.sigmoid(merge @ mp["do_pred"]["w"] + mp["do_pred"]["b"])[:, 0]
+    return score, do_pred, attprob, next_c, next_h
+
+
+# ---------------------------------------------------------------------------
+# Full forward — encoder + nHop answering units
+# ---------------------------------------------------------------------------
+
+def rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                lengths: jax.Array, feats: jax.Array, *, train: bool = False,
+                rng: Optional[jax.Array] = None) -> RAUOutput:
+    """End-to-end forward pass for one batch.
+
+    tokens [B, T] int32, lengths [B] int32, feats [B, S, Dc] float.
+    The hop loop is unrolled (n_hops <= ~10): each hop shares the one `mult`
+    parameter set, matching the reference's weight-shared clones (:343-347).
+    """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _rau_forward(params, cfg, tokens, lengths, feats,
+                            train=train, rng=rng)
+
+
+def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                 lengths: jax.Array, feats: jax.Array, *, train: bool,
+                 rng: Optional[jax.Array]) -> RAUOutput:
+    B = tokens.shape[0]
+    mp = params["mult"]
+    if cfg.compute_dtype != cfg.param_dtype:
+        cdt = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree.map(lambda x: x.astype(cdt), params)
+        mp = params["mult"]
+        feats = feats.astype(cdt)
+    k_enc = jax.random.fold_in(rng, 0) if rng is not None else None
+    k_hops = jax.random.fold_in(rng, 1) if rng is not None else None
+
+    q = encode_question(params, cfg, tokens, lengths, train=train, rng=k_enc)
+
+    c = jnp.zeros((B, cfg.att_state_dim), q.dtype)
+    h = jnp.zeros((B, cfg.att_state_dim), q.dtype)
+
+    if not train:
+        # hop-invariant at eval: hoist out of the loop
+        ifeat, iatt = embed_image(mp, cfg, feats, train=False)
+
+    scores, do_preds, attprobs = [], [], []
+    for hop in range(cfg.n_hops):
+        k_hop = jax.random.fold_in(k_hops, hop) if k_hops is not None else None
+        if train:
+            k_img = jax.random.fold_in(k_hop, 97)
+            # the reference's per-hop clones draw independent dropout masks
+            ifeat, iatt = embed_image(mp, cfg, feats, train=True, rng=k_img)
+        score, do_p, attp, c, h = answering_unit(
+            mp, cfg, q, ifeat, iatt, c, h, train=train, rng=k_hop)
+        scores.append(score)
+        do_preds.append(do_p)
+        attprobs.append(attp)
+
+    return RAUOutput(
+        scores=jnp.stack(scores),
+        do_pred=jnp.stack(do_preds),
+        attprob=jnp.stack(attprobs),
+        final_c=c,
+        final_h=h,
+    )
