@@ -1,0 +1,139 @@
+"""Image-feature storage for precomputed CNN features.
+
+The reference loads one Torch ``.t7`` file per image per batch inside a
+prefetch thread (utils/vqa_prepro_loader.lua:874-958) — thousands of small
+file opens + deserializations per epoch, SURVEY.md hot-loop #3.  The TPU-first
+replacement is a *packed* store: all features of a split in one contiguous
+mmap-able array plus a name index, so a batch fetch is a single vectorized
+gather from the OS page cache.
+
+Feature layout is ``[S, D]`` per image (spatial-major, feature dim in lanes)
+— the transpose of the reference's ``[D, w, h]`` — so every 1x1-conv in the
+model is a lane-aligned MXU matmul.
+
+Two sources, one interface:
+- ``T7DirFeatureSource``  — parity path, reads the reference's per-image .t7
+  files (dir layout from data/get_vgg16_pool5_448.sh).
+- ``PackedFeatureStore``  — production path over packed shards written by
+  ``pack_feature_dir``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from rau_vqa_tpu.data import t7
+
+
+def coco_feat_name(img_path: str) -> str:
+    """'val2014/COCO_val2014_000000533942.jpg' -> 'COCO_val2014_000000533942.t7'
+
+    (name derivation at vqa_prepro_loader.lua:866-871; COCO_%s_%012d format
+    documented at utils/qa_utils.lua:8-16)."""
+    base = os.path.basename(img_path)
+    stem, _ = os.path.splitext(base)
+    return stem + ".t7"
+
+
+class FeatureSource:
+    """Interface: fetch a batch of per-image features as [B, S, D]."""
+
+    dim: int
+    spat: int
+
+    def get_batch(self, names: Sequence[str], datatypes: Sequence[int]) -> np.ndarray:
+        raise NotImplementedError
+
+
+class T7DirFeatureSource(FeatureSource):
+    """Reads per-image .t7 feature files (reference parity path).
+
+    ``dirs`` maps the 1-based ``datatype`` index from the h5 to a feature
+    directory (the reference indexes tab_featpaths by datatype,
+    vqa_prepro_loader.lua:876)."""
+
+    def __init__(self, dirs: Sequence[str], dim: int, w: int, h: int):
+        self.dirs = list(dirs)
+        self.dim = dim
+        self.w = w
+        self.h = h
+        self.spat = w * h
+
+    def _load_one(self, path: str) -> np.ndarray:
+        feat = t7.load_t7(path)
+        if not isinstance(feat, np.ndarray):
+            raise ValueError(f"{path}: expected a tensor, got {type(feat)}")
+        if self.spat > 1:
+            if feat.shape != (self.dim, self.w, self.h):
+                raise ValueError(
+                    f"{path}: feature shape {feat.shape} != "
+                    f"({self.dim}, {self.w}, {self.h})")
+            # [D, w, h] -> [S, D] with s = w_idx * h + h_idx (row-major,
+            # matching the reference's Reshape(D, S))
+            return feat.reshape(self.dim, self.spat).T.astype(np.float32)
+        if feat.size != self.dim:
+            raise ValueError(f"{path}: flat feature size {feat.size} != {self.dim}")
+        return feat.reshape(1, self.dim).astype(np.float32)
+
+    def get_batch(self, names: Sequence[str], datatypes: Sequence[int]) -> np.ndarray:
+        out = np.empty((len(names), self.spat, self.dim), np.float32)
+        for i, (name, dt) in enumerate(zip(names, datatypes)):
+            out[i] = self._load_one(os.path.join(self.dirs[dt - 1], name))
+        return out
+
+
+class PackedFeatureStore(FeatureSource):
+    """mmap-backed packed feature shard: `features.npy` [N, S, D] +
+    `index.json` mapping feature-file name -> row."""
+
+    def __init__(self, shard_dir: str):
+        with open(os.path.join(shard_dir, "index.json")) as f:
+            meta = json.load(f)
+        self.index: Dict[str, int] = meta["index"]
+        self.dim = int(meta["dim"])
+        self.spat = int(meta["spat"])
+        self._store_dtype = np.dtype(meta.get("dtype", "float32"))
+        self.mmap = np.lib.format.open_memmap(
+            os.path.join(shard_dir, "features.npy"), mode="r")
+        n = len(self.index)
+        if self.mmap.shape != (n, self.spat, self.dim):
+            raise ValueError(
+                f"packed shard shape {self.mmap.shape} != ({n}, {self.spat}, {self.dim})")
+
+    def get_batch(self, names: Sequence[str], datatypes: Sequence[int]) -> np.ndarray:
+        rows = np.fromiter((self.index[n] for n in names), np.int64, len(names))
+        return np.asarray(self.mmap[rows], np.float32)
+
+
+def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],
+                     datatypes_by_img: Sequence[int], out_dir: str,
+                     dim: int, w: int, h: int,
+                     dtype: str = "float32") -> PackedFeatureStore:
+    """Convert per-image .t7 features into one packed mmap shard.
+
+    ``img_paths``/``datatypes_by_img`` enumerate the unique images of a split
+    (json ``unique_img_*`` lists) with their source-directory index."""
+    os.makedirs(out_dir, exist_ok=True)
+    src = T7DirFeatureSource(src_dirs, dim, w, h)
+    names, dts, seen = [], [], set()
+    for p, dt in zip(img_paths, datatypes_by_img):
+        name = coco_feat_name(p)
+        if name not in seen:
+            seen.add(name)
+            names.append(name)
+            dts.append(dt)
+    arr = np.lib.format.open_memmap(
+        os.path.join(out_dir, "features.npy"), mode="w+",
+        dtype=np.dtype(dtype), shape=(len(names), w * h, dim))
+    chunk = 256
+    for i in range(0, len(names), chunk):
+        arr[i:i + chunk] = src.get_batch(names[i:i + chunk], dts[i:i + chunk])
+    arr.flush()
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        json.dump({"index": {n: i for i, n in enumerate(names)},
+                   "dim": dim, "spat": w * h, "dtype": dtype}, f)
+    return PackedFeatureStore(out_dir)

@@ -1,0 +1,125 @@
+"""Deterministic tiny-dataset fixture generator.
+
+The reference has no test assets; SURVEY.md §4 calls for "a deterministic
+fake-data fixture replacing the h5 (tiny vocab, N questions)".  This writes a
+complete miniature of the real bundle — data_prepro.json, data_prepro.h5,
+per-image .t7 feature files (Torch7 format, same layout the reference
+downloads), and a comprehend-style ground-truth map — so every layer from the
+h5 parser to the .t7 reader to the submission writer is exercised end-to-end.
+
+The generated data is *learnable by construction*: the answer of each
+question is a deterministic function of its first token and its image's mean
+feature, so a few epochs of training must push accuracy well above chance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from rau_vqa_tpu.data import t7
+
+
+@dataclass(frozen=True)
+class FixtureSpec:
+    n_train: int = 96
+    n_test: int = 32
+    n_images: int = 12
+    n_words: int = 30          # excludes ZEROPAD; includes 'UNK'
+    n_answers: int = 5
+    seq_len: int = 9
+    feat_dim: int = 16
+    feat_w: int = 3
+    feat_h: int = 3
+    n_mc: int = 4              # multiple-choice candidates per question
+    seed: int = 7
+
+
+def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec()) -> str:
+    """Write the fixture bundle under ``root``; returns the vqa_dir."""
+    rng = np.random.default_rng(spec.seed)
+    vqa_dir = os.path.join(root, "vqa_prepro")
+    feat_dir = os.path.join(root, "feat")
+    os.makedirs(vqa_dir, exist_ok=True)
+    os.makedirs(feat_dir, exist_ok=True)
+
+    words = [f"w{i:02d}" for i in range(1, spec.n_words)] + ["UNK"]
+    answer_words = [f"ans{i}" for i in range(spec.n_answers)]
+    train_imgs = [f"train2014/COCO_train2014_{i:012d}.jpg"
+                  for i in range(spec.n_images)]
+    test_imgs = [f"val2014/COCO_val2014_{i:012d}.jpg"
+                 for i in range(spec.n_images)]
+
+    # per-image features; image class = i % n_answers baked into the mean
+    def make_feat(i: int) -> np.ndarray:
+        base = rng.normal(0, 0.3, (spec.feat_dim, spec.feat_w, spec.feat_h))
+        base[i % spec.n_answers] += 2.0
+        return base.astype(np.float32)
+
+    img_class = {}
+    for imgs in (train_imgs, test_imgs):
+        for i, p in enumerate(imgs):
+            name = os.path.basename(p).replace(".jpg", ".t7")
+            t7.save_t7(os.path.join(feat_dir, name), make_feat(i))
+            img_class[p] = i % spec.n_answers
+
+    def make_split(n: int, imgs: List[str], qid_base: int):
+        tokens = np.zeros((n, spec.seq_len), np.int32)
+        lengths = np.zeros((n,), np.int32)
+        img_pos = np.zeros((n,), np.int64)
+        qids = np.arange(qid_base, qid_base + n, dtype=np.int64)
+        labels = np.zeros((n,), np.int32)
+        for k in range(n):
+            L = int(rng.integers(2, spec.seq_len + 1))
+            lengths[k] = L
+            tokens[k, :L] = rng.integers(1, spec.n_words + 1, L)
+            img = int(rng.integers(0, len(imgs)))
+            img_pos[k] = img + 1  # 1-based (h5 contract)
+            # learnable rule: answer = (first token + image class) mod n_answers
+            labels[k] = (tokens[k, 0] + img_class[imgs[img]]) % spec.n_answers
+        return tokens, lengths, img_pos, qids, labels
+
+    tr = make_split(spec.n_train, train_imgs, 1000)
+    te = make_split(spec.n_test, test_imgs, 9000)
+
+    mc = np.zeros((spec.n_test, spec.n_mc), np.int32)
+    for k in range(spec.n_test):
+        cands = rng.permutation(spec.n_answers)[:spec.n_mc - 1]
+        gt = te[4][k]
+        if gt not in cands:
+            cands[0] = gt
+        mc[k, :spec.n_mc - 1] = cands + 1        # 1-based; 0 = absent
+        # leave one slot absent to exercise the 0-padding path
+
+    import h5py
+    with h5py.File(os.path.join(vqa_dir, "data_prepro.h5"), "w") as h5:
+        h5["ques_train"] = tr[0]
+        h5["ques_length_train"] = tr[1]
+        h5["img_pos_train"] = tr[2]
+        h5["question_id_train"] = tr[3]
+        h5["answers"] = tr[4] + 1                # 1-based labels (h5 contract)
+        h5["ques_test"] = te[0]
+        h5["ques_length_test"] = te[1]
+        h5["img_pos_test"] = te[2]
+        h5["question_id_test"] = te[3]
+        h5["MC_ans_test"] = mc
+
+    info = {
+        "ix_to_word": {str(i + 1): w for i, w in enumerate(words)},
+        "ix_to_ans": {str(i + 1): a for i, a in enumerate(answer_words)},
+        "unique_img_train": train_imgs,
+        "unique_img_test": test_imgs,
+    }
+    with open(os.path.join(vqa_dir, "data_prepro.json"), "w") as f:
+        json.dump(info, f)
+
+    # comprehend-style fast-val ground truth for the test split
+    gt = {str(int(q)): answer_words[int(a)] for q, a in zip(te[3], te[4])}
+    with open(os.path.join(vqa_dir, "gt_annotations.json"), "w") as f:
+        json.dump(gt, f)
+
+    return vqa_dir

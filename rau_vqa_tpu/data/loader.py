@@ -1,0 +1,299 @@
+"""VQA preprocessed-data loader.
+
+Implements the data contract of the reference's ``data_prepro.json`` /
+``data_prepro.h5`` bundle (schema documented at
+utils/vqa_prepro_loader.lua:1306-1330) with one deliberate divergence:
+
+**Token/answer indices are 0-based.**  The reference shifts every question
+token by +1 so Lua's 1-based LookupTable sees padding as index 1
+(vqa_prepro_loader.lua:1335,1373) and builds ``vocab_dict[1]='ZEROPAD'``
+(:1393-1398).  Here the h5 token values are used unchanged: 0 = ZEROPAD,
+word ids 1..N as stored; answer labels become h5-1 (0..answer_size-1).
+Embedding row k therefore corresponds to Torch embedding row k+1 — which is
+the *same physical row* of the weight matrix, so checkpoint conversion is a
+pure reinterpretation.
+
+Batch-order policies (shuffle / inorder / sort / randsort) reproduce
+vqa_prepro_loader.lua:1219-1288 semantics, including the epoch boundary rule:
+a batch is always full-size, the epoch has ``floor(N / B)`` batches, and the
+order is regenerated when the *next* batch would overflow (:911-914).
+
+Prefetch: the reference dedicates one torch-thread to load the next batch's
+.t7 features while the trainer computes (:931-958).  Here a one-worker
+executor double-buffers the feature gather; with a ``PackedFeatureStore`` the
+gather itself is a single mmap fancy-index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from rau_vqa_tpu.data.features import FeatureSource, coco_feat_name
+
+
+@dataclass
+class Batch:
+    """One host-side batch, numpy, ready for device_put."""
+
+    feats: np.ndarray        # [B, S, D] float32
+    tokens: np.ndarray       # [B, T] int32, 0 = ZEROPAD
+    lengths: np.ndarray      # [B] int32, >= 1
+    labels: Optional[np.ndarray]   # [B] int32 0-based (train splits)
+    mc_answers: Optional[np.ndarray]  # [B, NMC] int32 0-based, -1 = absent (test)
+    qids: np.ndarray         # [B] int64
+
+
+class SplitData:
+    """One data split with batch-order state and prefetched batch iteration."""
+
+    def __init__(self, name: str, questions: np.ndarray, lengths: np.ndarray,
+                 img_names: List[str], datatypes: np.ndarray, qids: np.ndarray,
+                 batch_size: int, *, answers: Optional[np.ndarray] = None,
+                 mc_answers: Optional[np.ndarray] = None, seed: int = 123):
+        assert questions.ndim == 2
+        assert lengths.min() >= 1, "every question must have >= 1 token"
+        self.name = name
+        self.questions = questions.astype(np.int32)
+        self.lengths = lengths.astype(np.int32)
+        self.img_names = img_names          # per-question feature-file name
+        self.datatypes = datatypes.astype(np.int32)
+        self.qids = qids.astype(np.int64)
+        self.answers = None if answers is None else answers.astype(np.int32)
+        self.mc_answers = None if mc_answers is None else mc_answers.astype(np.int32)
+        self.num_examples = questions.shape[0]
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.order_policy = "shuffle"
+        self.batch_order = np.arange(self.num_examples)
+        self.batch_index = 0
+
+    @property
+    def iter_per_epoch(self) -> int:
+        return self.num_examples // self.batch_size
+
+    # ---- batch-order policies (vqa_prepro_loader.lua:1219-1288) ----
+
+    def set_batch_order_option(self, policy: str) -> None:
+        if policy not in ("shuffle", "inorder", "sort", "randsort"):
+            raise ValueError(f"unknown batch order policy {policy!r}")
+        self.order_policy = policy
+
+    def reorder(self) -> None:
+        self.batch_index = 0
+        if self.order_policy == "shuffle":
+            self.batch_order = self.rng.permutation(self.num_examples)
+        elif self.order_policy == "inorder":
+            self.batch_order = np.arange(self.num_examples)
+        elif self.order_policy == "sort":
+            self.batch_order = np.argsort(self.lengths, kind="stable")
+        elif self.order_policy == "randsort":
+            # sort by length, random order within equal-length runs
+            tiebreak = self.rng.permutation(self.num_examples)
+            self.batch_order = np.lexsort((tiebreak, self.lengths))
+
+    def inorder(self) -> None:
+        self.set_batch_order_option("inorder")
+        self.reorder()
+
+    # ---- batch fetch ----
+
+    def _batch_indices(self) -> np.ndarray:
+        idx = self.batch_order[self.batch_index:self.batch_index + self.batch_size]
+        self.batch_index += self.batch_size
+        # reorder when the NEXT batch would overflow (reference :911-914)
+        if self.batch_index + self.batch_size > self.num_examples:
+            self.reorder()
+        return idx
+
+    def _assemble(self, idx: np.ndarray, feats: np.ndarray) -> Batch:
+        return Batch(
+            feats=feats,
+            tokens=self.questions[idx],
+            lengths=self.lengths[idx],
+            labels=None if self.answers is None else self.answers[idx],
+            mc_answers=None if self.mc_answers is None else self.mc_answers[idx],
+            qids=self.qids[idx],
+        )
+
+    def next_batch(self, source: FeatureSource) -> Batch:
+        idx = self._batch_indices()
+        names = [self.img_names[i] for i in idx]
+        feats = source.get_batch(names, self.datatypes[idx])
+        return self._assemble(idx, feats)
+
+    def batches(self, source: FeatureSource, num_batches: Optional[int] = None,
+                prefetch: bool = True) -> Iterator[Batch]:
+        """Iterate batches; with prefetch the (i+1)-th feature gather overlaps
+        consumption of the i-th batch (the reference's 1-worker thread pool,
+        vqa_prepro_loader.lua:66-80,931-958)."""
+        n = self.iter_per_epoch if num_batches is None else num_batches
+        if not prefetch:
+            for _ in range(n):
+                yield self.next_batch(source)
+            return
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            def submit():
+                idx = self._batch_indices()
+                names = [self.img_names[i] for i in idx]
+                dts = self.datatypes[idx]
+                return idx, pool.submit(source.get_batch, names, dts)
+
+            pending = submit()
+            for i in range(n):
+                idx, fut = pending
+                feats = fut.result()
+                if i + 1 < n:
+                    pending = submit()
+                yield self._assemble(idx, feats)
+
+
+@dataclass
+class VQAData:
+    """The full dataset bundle: vocab/answer dictionaries + splits."""
+
+    vocab: List[str]                  # index -> word; vocab[0] == 'ZEROPAD'
+    vocab_map: Dict[str, int]
+    answers: List[str]                # index -> answer string (0-based)
+    answer_map: Dict[str, int]
+    seq_len: int
+    train_data: Optional[SplitData] = None
+    val_data: Optional[SplitData] = None
+    test_data: Optional[SplitData] = None
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def answer_size(self) -> int:
+        return len(self.answers)
+
+    # ---- token/string helpers (vqa_prepro_loader.lua:154-218) ----
+
+    def question_to_tokens(self, question: str):
+        """Whitespace tokenization against the vocab, unknowns -> 'UNK'
+        (vqa_prepro_loader.lua:167-180)."""
+        toks = np.zeros((self.seq_len,), np.int32)
+        words = question.split()
+        unk = self.vocab_map.get("UNK", 0)
+        n = min(len(words), self.seq_len)
+        for i, w in enumerate(words[:n]):
+            toks[i] = self.vocab_map.get(w, unk)
+        return toks, max(n, 1)
+
+    def tokens_to_question(self, tokens: np.ndarray, length: Optional[int] = None) -> str:
+        n = len(tokens) if length is None else length
+        return " ".join(self.vocab[int(t)] for t in tokens[:n])
+
+    def answer_to_index(self, answer: str) -> Optional[int]:
+        return self.answer_map.get(answer)
+
+    def index_to_answer(self, idx: int) -> str:
+        return self.answers[int(idx)]
+
+
+def _img_names_for(img_pos: np.ndarray, unique_imgs: Sequence[str]) -> List[str]:
+    # img_pos is 1-based into the json unique image list (schema :1322)
+    return [coco_feat_name(unique_imgs[int(p) - 1]) for p in img_pos]
+
+
+def load_vqa_data(vqa_dir: str, batch_size: int, *, split: str = "val2014",
+                  test_batch_size: Optional[int] = None,
+                  valid_ratio: float = 0.0, seed: int = 123) -> VQAData:
+    """Load the data_prepro.{json,h5} bundle (schema at
+    vqa_prepro_loader.lua:1306-1330) and build train/test splits.
+
+    The split option selects which image lists back which side, mirroring
+    vqa_prepro_loader.lua:1420-1470 (train2014/val2014 train on train2014;
+    test2015/test-dev2015 train on train+val)."""
+    import h5py
+
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+
+    with h5py.File(os.path.join(vqa_dir, "data_prepro.h5"), "r") as h5:
+        ques_train = np.asarray(h5["ques_train"], np.int32)
+        len_train = np.asarray(h5["ques_length_train"], np.int32)
+        pos_train = np.asarray(h5["img_pos_train"], np.int64)
+        qid_train = np.asarray(h5["question_id_train"], np.int64)
+        answers = np.asarray(h5["answers"], np.int32) - 1  # 0-based labels
+        if "datatype_train" in h5:
+            dt_train = np.asarray(h5["datatype_train"], np.int32)
+        else:
+            dt_train = np.ones_like(answers, np.int32)
+        ques_test = np.asarray(h5["ques_test"], np.int32)
+        len_test = np.asarray(h5["ques_length_test"], np.int32)
+        pos_test = np.asarray(h5["img_pos_test"], np.int64)
+        qid_test = np.asarray(h5["question_id_test"], np.int64)
+        mc_ans = np.asarray(h5["MC_ans_test"], np.int32) - 1  # -1 = absent
+
+    # vocab: index 0 is ZEROPAD, h5 token values used unchanged (0-based contract)
+    ix_to_word = info["ix_to_word"]
+    ix_to_ans = info["ix_to_ans"]
+    n_words = len(ix_to_word)
+    vocab = ["ZEROPAD"] + [ix_to_word[str(i)] for i in range(1, n_words + 1)]
+    vocab_map = {w: i for i, w in enumerate(vocab)}
+    n_ans = len(ix_to_ans)
+    answer_list = [ix_to_ans[str(i)] for i in range(1, n_ans + 1)]
+    answer_map = {a: i for i, a in enumerate(answer_list)}
+
+    seq_len = ques_train.shape[1]
+    data = VQAData(vocab=vocab, vocab_map=vocab_map, answers=answer_list,
+                   answer_map=answer_map, seq_len=seq_len)
+
+    train_imgs = info["unique_img_train"]
+    test_imgs = info["unique_img_test"]
+
+    train_fields = dict(
+        questions=ques_train, lengths=len_train,
+        img_names=_img_names_for(pos_train, train_imgs),
+        datatypes=dt_train, qids=qid_train, answers=answers,
+    )
+
+    if valid_ratio > 0.0:
+        # re-split train into train/val (vqa_prepro_loader.lua:1346-1370)
+        assert valid_ratio <= 1.0
+        rng = np.random.default_rng(seed)
+        n = answers.shape[0]
+        perm = rng.permutation(n)
+        val_sz = int(n * valid_ratio)
+        val_idx, train_idx = perm[:val_sz], perm[val_sz:]
+
+        def take(fields, idx):
+            out = dict(fields)
+            for k in ("questions", "lengths", "datatypes", "qids", "answers"):
+                out[k] = fields[k][idx]
+            out["img_names"] = [fields["img_names"][i] for i in idx]
+            return out
+
+        val_fields = take(train_fields, val_idx)
+        train_fields = take(train_fields, train_idx)
+        data.val_data = SplitData(f"{split}-val", batch_size=batch_size,
+                                  seed=seed + 1, **val_fields)
+
+    data.train_data = SplitData(f"{split}-train", batch_size=batch_size,
+                                seed=seed, **train_fields)
+
+    tb = test_batch_size or batch_size
+    data.test_data = SplitData(
+        split, batch_size=tb, seed=seed + 2,
+        questions=ques_test, lengths=len_test,
+        img_names=_img_names_for(pos_test, test_imgs),
+        datatypes=np.ones_like(qid_test, np.int32), qids=qid_test,
+        mc_answers=mc_ans,
+    )
+    return data
+
+
+def load_gt_annotations(path: str) -> Dict[int, str]:
+    """Fast-validation ground-truth map qid -> answer string
+    (the 'comprehend' bundle, reference :192-196, :914-925)."""
+    with open(path) as f:
+        raw = json.load(f)
+    return {int(k): v for k, v in raw.items()}

@@ -1,0 +1,186 @@
+"""Data layer: t7 round-trip, fixture bundle, loader contract, batch-order
+policies, packed feature store, prefetch equivalence."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rau_vqa_tpu.data import (
+    PackedFeatureStore,
+    T7DirFeatureSource,
+    load_vqa_data,
+    pack_feature_dir,
+)
+from rau_vqa_tpu.data import t7
+from rau_vqa_tpu.data.features import coco_feat_name
+from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+from rau_vqa_tpu.data.loader import load_gt_annotations
+
+SPEC = FixtureSpec()
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vqa_fixture")
+    generate_fixture(str(root), SPEC)
+    return str(root)
+
+
+def test_t7_roundtrip_tensor(tmp_path):
+    x = np.random.RandomState(0).randn(4, 3, 2).astype(np.float32)
+    p = str(tmp_path / "x.t7")
+    t7.save_t7(p, x)
+    y = t7.load_t7(p)
+    np.testing.assert_array_equal(x, y)
+
+
+def test_t7_roundtrip_table(tmp_path):
+    obj = {"it": 10.0, "epoch": 2.5, "name": "snapshot", "flag": True,
+           "params": [np.arange(6, dtype=np.float32).reshape(2, 3),
+                      np.ones((4,), np.float64)]}
+    p = str(tmp_path / "snap.t7")
+    t7.save_t7(p, obj)
+    got = t7.load_t7(p)
+    assert got["it"] == 10.0
+    assert got["name"] == "snapshot"
+    assert got["flag"] is True
+    np.testing.assert_array_equal(got["params"][0], obj["params"][0])
+    np.testing.assert_array_equal(got["params"][1], obj["params"][1])
+
+
+def test_t7_noncontiguous_tensor(tmp_path):
+    x = np.random.RandomState(1).randn(6, 8).astype(np.float32)
+    p = str(tmp_path / "t.t7")
+    t7.save_t7(p, np.ascontiguousarray(x.T))
+    np.testing.assert_array_equal(t7.load_t7(p), x.T)
+
+
+def test_coco_feat_name():
+    assert (coco_feat_name("val2014/COCO_val2014_000000533942.jpg")
+            == "COCO_val2014_000000533942.t7")
+
+
+def test_loader_contract(fixture_root):
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    # vocab: ZEROPAD at 0, then the fixture words
+    assert data.vocab[0] == "ZEROPAD"
+    assert data.vocab_size == SPEC.n_words + 1
+    assert data.answer_size == SPEC.n_answers
+    assert data.seq_len == SPEC.seq_len
+    # 0-based answer labels in range
+    assert data.train_data.answers.min() >= 0
+    assert data.train_data.answers.max() < SPEC.n_answers
+    # tokens: pad is 0, words within vocab
+    q = data.train_data.questions
+    assert q.min() == 0 and q.max() <= SPEC.n_words
+    # mc answers are 0-based with -1 absent
+    assert data.test_data.mc_answers.min() == -1
+    # tokenize round trip through the vocab map
+    toks, n = data.question_to_tokens("w01 w02 nonexistent-word")
+    assert n == 3
+    assert toks[0] == data.vocab_map["w01"]
+    assert toks[2] == data.vocab_map["UNK"]
+    assert data.tokens_to_question(toks, 2) == "w01 w02"
+
+
+def test_batch_iteration_and_feats(fixture_root):
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
+    data.train_data.set_batch_order_option("shuffle")
+    data.train_data.reorder()
+    seen_qids = []
+    for batch in data.train_data.batches(src):
+        assert batch.feats.shape == (16, SPEC.feat_w * SPEC.feat_h, SPEC.feat_dim)
+        assert batch.tokens.shape == (16, SPEC.seq_len)
+        assert batch.labels.shape == (16,)
+        seen_qids.extend(batch.qids.tolist())
+    assert len(seen_qids) == data.train_data.iter_per_epoch * 16
+    assert len(set(seen_qids)) == len(seen_qids)  # no dup within an epoch
+
+
+def test_batch_order_policies(fixture_root):
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    data = load_vqa_data(vqa_dir, batch_size=8, split="val2014")
+    sd = data.train_data
+    sd.set_batch_order_option("inorder")
+    sd.reorder()
+    np.testing.assert_array_equal(sd.batch_order, np.arange(sd.num_examples))
+    sd.set_batch_order_option("sort")
+    sd.reorder()
+    lens = sd.lengths[sd.batch_order]
+    assert np.all(np.diff(lens) >= 0)
+    sd.set_batch_order_option("randsort")
+    sd.reorder()
+    lens2 = sd.lengths[sd.batch_order]
+    assert np.all(np.diff(lens2) >= 0)
+    # randsort shuffles within equal-length runs: orders differ (w.h.p.)
+    sd2_order = sd.batch_order.copy()
+    sd.reorder()
+    assert not np.array_equal(sd2_order, sd.batch_order)
+    sd.set_batch_order_option("shuffle")
+    sd.reorder()
+    assert not np.array_equal(sd.batch_order, np.arange(sd.num_examples))
+
+
+def test_packed_store_matches_t7(fixture_root, tmp_path):
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    imgs = info["unique_img_train"] + info["unique_img_test"]
+    store = pack_feature_dir([feat_dir], imgs, [1] * len(imgs),
+                             str(tmp_path / "packed"),
+                             SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
+    names = [coco_feat_name(p) for p in imgs[:5]]
+    np.testing.assert_allclose(store.get_batch(names, [1] * 5),
+                               src.get_batch(names, [1] * 5), rtol=1e-6)
+    # reopen from disk
+    store2 = PackedFeatureStore(str(tmp_path / "packed"))
+    np.testing.assert_array_equal(store2.get_batch(names, [1] * 5),
+                                  store.get_batch(names, [1] * 5))
+
+
+def test_prefetch_equals_sync(fixture_root):
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
+
+    def run(prefetch):
+        data = load_vqa_data(vqa_dir, batch_size=16, split="val2014", seed=5)
+        data.train_data.set_batch_order_option("inorder")
+        data.train_data.reorder()
+        return list(data.train_data.batches(src, prefetch=prefetch))
+
+    a, b = run(True), run(False)
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba.qids, bb.qids)
+        np.testing.assert_array_equal(ba.feats, bb.feats)
+
+
+def test_valid_ratio_split(fixture_root):
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    data = load_vqa_data(vqa_dir, batch_size=8, split="val2014",
+                         valid_ratio=0.25)
+    n_val = data.val_data.num_examples
+    n_train = data.train_data.num_examples
+    assert n_val == int(SPEC.n_train * 0.25)
+    assert n_val + n_train == SPEC.n_train
+    # disjoint qids
+    assert not (set(data.val_data.qids.tolist())
+                & set(data.train_data.qids.tolist()))
+
+
+def test_gt_annotations(fixture_root):
+    gt = load_gt_annotations(os.path.join(fixture_root, "vqa_prepro",
+                                          "gt_annotations.json"))
+    assert len(gt) == SPEC.n_test
+    assert all(isinstance(k, int) for k in gt)
