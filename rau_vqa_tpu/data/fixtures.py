@@ -26,9 +26,9 @@ from rau_vqa_tpu.data import t7
 
 @dataclass(frozen=True)
 class FixtureSpec:
-    n_train: int = 96
+    n_train: int = 160
     n_test: int = 32
-    n_images: int = 12
+    n_images: int = 40
     n_words: int = 30          # excludes ZEROPAD; includes 'UNK'
     n_answers: int = 5
     seq_len: int = 9
@@ -56,7 +56,7 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec()) -> str:
 
     # per-image features; image class = i % n_answers baked into the mean
     def make_feat(i: int) -> np.ndarray:
-        base = rng.normal(0, 0.3, (spec.feat_dim, spec.feat_w, spec.feat_h))
+        base = rng.normal(0, 0.15, (spec.feat_dim, spec.feat_w, spec.feat_h))
         base[i % spec.n_answers] += 2.0
         return base.astype(np.float32)
 
@@ -76,11 +76,20 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec()) -> str:
         for k in range(n):
             L = int(rng.integers(2, spec.seq_len + 1))
             lengths[k] = L
-            tokens[k, :L] = rng.integers(1, spec.n_words + 1, L)
+            # question = one of n_answers templates: first token in
+            # [1, n_answers], tail a deterministic function of it.  Random
+            # tails would hand the model unique per-example memorization
+            # keys and kill generalization; template questions make question
+            # memorization equivalent to learning the rule.
+            first = int(rng.integers(1, spec.n_answers + 1))
+            tokens[k, 0] = first
+            for i in range(1, L):
+                tokens[k, i] = (first * 7 + i * 3) % (spec.n_words - 1) + 1
             img = int(rng.integers(0, len(imgs)))
             img_pos[k] = img + 1  # 1-based (h5 contract)
             # learnable rule: answer = (first token + image class) mod n_answers
-            labels[k] = (tokens[k, 0] + img_class[imgs[img]]) % spec.n_answers
+            # — the question alone is uninformative, forcing image attention
+            labels[k] = (first + img_class[imgs[img]]) % spec.n_answers
         return tokens, lengths, img_pos, qids, labels
 
     tr = make_split(spec.n_train, train_imgs, 1000)

@@ -1,0 +1,67 @@
+"""Test-time prediction: the nHop+2 answer sets of the reference.
+
+``predict_result`` in the reference (Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:633-705)
+returns, per batch, nHop per-hop score tensors plus two aggregates:
+hop nHop+1 = "uni" (scores averaged over hops, :699) and hop nHop+2 =
+"select" (first-confident-hop gating with the final hop forced to fire,
+:683-697) — and the matching attention maps.  Here that is one jitted
+function over the stacked ``[H, B, ...]`` outputs.
+
+Multiple-choice answering replicates the reference's mask-by-multiplication
+(:884-895): candidate logits keep their value, non-candidates become exactly
+0 — note 0 can exceed negative candidate logits; this quirk is preserved
+deliberately for output parity.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rau_vqa_tpu.config import ModelConfig
+from rau_vqa_tpu.models.rau import rau_forward
+from rau_vqa_tpu.train.losses import select_aggregate
+
+
+def predict(params, cfg: ModelConfig, tokens, lengths, feats
+            ) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tab_pred [H+2, B, A], tab_att [H+2, B, S])."""
+    out = rau_forward(params, cfg, tokens, lengths, feats, train=False)
+    select_pred, gates = select_aggregate(out.scores, out.do_pred,
+                                          force_final=True)
+    select_att = jnp.einsum("hbs,hb->bs", out.attprob, gates)
+    uni_pred = jnp.mean(out.scores, axis=0)
+    uni_att = jnp.mean(out.attprob, axis=0)
+    tab_pred = jnp.concatenate(
+        [out.scores, uni_pred[None], select_pred[None]], axis=0)
+    tab_att = jnp.concatenate(
+        [out.attprob, uni_att[None], select_att[None]], axis=0)
+    return tab_pred, tab_att
+
+
+def make_predict_step(cfg: ModelConfig):
+    """Jitted (params, tokens, lengths, feats) -> (tab_pred, tab_att)."""
+    return jax.jit(lambda p, t, l, f: predict(p, cfg, t, l, f))
+
+
+def mc_mask(mc_answers: jax.Array, answer_size: int) -> jax.Array:
+    """mc_answers [B, NMC] 0-based, -1 = absent -> 0/1 mask [B, A]
+    (the reference builds this per batch element, :885-892)."""
+    valid = (mc_answers >= 0)
+    onehot = jax.nn.one_hot(jnp.where(valid, mc_answers, 0), answer_size,
+                            dtype=jnp.float32)
+    return jnp.clip(jnp.sum(onehot * valid[..., None], axis=1), 0.0, 1.0)
+
+
+def compute_answers(tab_pred: jax.Array, mc_answers=None
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """OE = argmax over all answers; MC = argmax over mask-multiplied scores
+    (reference :893-899).  Returns ([H+2, B] oe, [H+2, B] mc or None)."""
+    oe = jnp.argmax(tab_pred, axis=-1)
+    if mc_answers is None:
+        return oe, None
+    mask = mc_mask(mc_answers, tab_pred.shape[-1])
+    mc = jnp.argmax(tab_pred * mask[None], axis=-1)
+    return oe, mc

@@ -1,0 +1,310 @@
+"""Training engine: one compiled XLA step + a thin host loop.
+
+The reference's train loop is a 1,234-line script mixing model build, feval,
+Adam calls, plotting and checkpointing (Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:762-1223).
+Here the entire optimization iteration — forward, joint loss, backward,
+gradient noise, per-group clip, per-group Adam with dual learning rates —
+is ONE jitted function with donated state, so a training step is a single
+device program; the host loop only feeds batches and handles epoch-boundary
+bookkeeping (LR decay :1211-1220, eval sweep :851-1207, checkpoints,
+loss-explosion guard).
+
+The loss-explosion guard implements the ``-loss_explod_threshold`` flag the
+reference declares but never reads (:29): if the joint loss exceeds
+``threshold``× its EMA (or goes non-finite), the step's update is discarded
+by restoring the last checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rau_vqa_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
+from rau_vqa_tpu.data.loader import SplitData, VQAData
+from rau_vqa_tpu.data.features import FeatureSource
+from rau_vqa_tpu.eval.metrics import fast_val_accuracy
+from rau_vqa_tpu.eval.predict import compute_answers, make_predict_step
+from rau_vqa_tpu.eval.submission import write_results
+from rau_vqa_tpu.models.rau import init_params, rau_forward
+from rau_vqa_tpu.train.losses import hop_grad_scale, joint_loss_and_metrics
+from rau_vqa_tpu.train.optim import (
+    adam_init,
+    adam_update,
+    add_gradient_noise,
+    clip_by_global_norm,
+)
+from rau_vqa_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from rau_vqa_tpu.utils.logging import MetricsLogger, per_hop_record
+
+PARAM_GROUPS = ("embed", "rnn", "mult")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: Dict[str, Any]        # one Adam state per group (reference :769-775)
+    step: jax.Array            # completed iterations
+    rng: jax.Array
+
+
+def init_train_state(key: jax.Array, mcfg: ModelConfig) -> TrainState:
+    k_init, k_rng = jax.random.split(key)
+    params = init_params(k_init, mcfg)
+    opt = {g: adam_init(params[g]) for g in PARAM_GROUPS}
+    return TrainState(params=params, opt=opt,
+                      step=jnp.zeros((), jnp.int32), rng=k_rng)
+
+
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
+    """Build the pure train-step function (jit it at the call site so the
+    parallel layer can add shardings)."""
+
+    def step_fn(state: TrainState, tokens, lengths, feats, labels,
+                hop_scale, lr, mult_lr):
+        rng_next, k_fwd, k_noise = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            out = rau_forward(params, mcfg, tokens, lengths, feats,
+                              train=True, rng=k_fwd)
+            return joint_loss_and_metrics(out.scores, out.do_pred, labels,
+                                          hop_scale)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        lrs = {"embed": lr, "rnn": lr, "mult": mult_lr}
+        new_params, new_opt = {}, {}
+        for i, g in enumerate(PARAM_GROUPS):
+            gg = add_gradient_noise(grads[g], jax.random.fold_in(k_noise, i),
+                                    state.step, tcfg.noisy_eta,
+                                    tcfg.noisy_gamma)
+            gg, norm = clip_by_global_norm(gg, tcfg.grad_clip)
+            new_params[g], new_opt[g] = adam_update(
+                state.params[g], gg, lrs[g], state.opt[g],
+                beta1=tcfg.adam_beta1, beta2=tcfg.adam_beta2,
+                epsilon=tcfg.adam_epsilon)
+            metrics[f"grad_norm_{g}"] = norm
+        new_state = TrainState(params=new_params, opt=new_opt,
+                               step=state.step + 1, rng=rng_next)
+        return new_state, metrics
+
+    return step_fn
+
+
+class Trainer:
+    """End-to-end training + periodic evaluation for one experiment."""
+
+    def __init__(self, exp: ExperimentConfig, data: VQAData,
+                 source: FeatureSource, workdir: str, *,
+                 gt_anno: Optional[Dict[int, str]] = None,
+                 jit_step=None):
+        # model dims come from the dataset (reference reads vocab/answer size
+        # from the loader, :204,:222)
+        self.mcfg = dataclasses.replace(
+            exp.model, vocab_size=data.vocab_size,
+            answer_size=data.answer_size, seq_len=data.seq_len)
+        self.tcfg = exp.train
+        self.exp = exp
+        self.data = data
+        self.source = source
+        self.workdir = workdir
+        self.gt_anno = gt_anno
+        self.ckpt_dir = os.path.join(workdir, "snapshot")
+        self.logger = MetricsLogger(os.path.join(workdir, "training_log"))
+
+        self.state = init_train_state(jax.random.PRNGKey(self.tcfg.seed),
+                                      self.mcfg)
+        self.train_step = jit_step or jax.jit(
+            make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
+        self.predict_step = make_predict_step(self.mcfg)
+
+        self.lr = self.tcfg.learning_rate
+        self.mult_lr = self.tcfg.mult_learning_rate
+        self.epoch = 0                  # completed epochs
+        self.loss_ema: Optional[float] = None
+        data.train_data.set_batch_order_option(exp.data.batch_order)
+        data.train_data.reorder()
+
+    # ------------------------------------------------------------------
+    def _hop_scale(self, epoch_1based: int) -> jnp.ndarray:
+        return hop_grad_scale(
+            self.mcfg.n_hops,
+            scale_by_nhop=self.tcfg.hop_grad_scale_nhop,
+            stop_timing=self.tcfg.hop_stop_timing,
+            epoch=epoch_1based)
+
+    def _put_batch(self, batch):
+        dev = {
+            "tokens": jnp.asarray(batch.tokens, jnp.int32),
+            "lengths": jnp.asarray(batch.lengths, jnp.int32),
+            "feats": jnp.asarray(batch.feats, jnp.float32),
+        }
+        if batch.labels is not None:
+            dev["labels"] = jnp.asarray(batch.labels, jnp.int32)
+        return dev
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        """One epoch over the train split; returns averaged metrics."""
+        epoch_1based = self.epoch + 1
+        hop_scale = self._hop_scale(epoch_1based)
+        sums: Dict[str, np.ndarray] = {}
+        n_steps = 0
+        exploded = 0
+        t0 = time.time()
+        for batch in self.data.train_data.batches(self.source):
+            dev = self._put_batch(batch)
+            self.state, metrics = self.train_step(
+                self.state, dev["tokens"], dev["lengths"], dev["feats"],
+                dev["labels"], hop_scale,
+                jnp.float32(self.lr), jnp.float32(self.mult_lr))
+            loss = float(metrics["loss"])
+            if not self._guard(loss):
+                exploded += 1
+                continue
+            n_steps += 1
+            for k in ("loss", "uni_loss", "select_loss", "uni_acc",
+                      "select_acc"):
+                sums[k] = sums.get(k, 0.0) + float(metrics[k])
+            for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss"):
+                v = np.asarray(metrics[k])
+                sums[k] = sums.get(k, np.zeros_like(v)) + v
+        dt = time.time() - t0
+        self.epoch += 1
+        out = {k: v / max(n_steps, 1) for k, v in sums.items()}
+        record = {"epoch": self.epoch, "lr": self.lr, "mult_lr": self.mult_lr,
+                  "steps": n_steps, "exploded": exploded, "sec": dt,
+                  "examples_per_sec": n_steps * self.tcfg.batch_size / max(dt, 1e-9)}
+        record.update(per_hop_record({
+            "trainloss": out.get("ce_per_hop", []),
+            "trainacc": out.get("acc_per_hop", []),
+            "do_pred_loss": out.get("do_pred_loss", []),
+        }))
+        for k in ("loss", "uni_loss", "select_loss", "uni_acc", "select_acc"):
+            if k in out:
+                record[k] = out[k]
+        self.logger.log(record, kind="train")
+
+        # exponential LR decay per epoch (reference :1211-1220)
+        if (self.tcfg.lr_decay < 1.0
+                and self.epoch % self.tcfg.lr_decay_interval == 0):
+            self.lr *= self.tcfg.lr_decay
+            self.mult_lr *= self.tcfg.mult_lr_decay
+        return record
+
+    # ------------------------------------------------------------------
+    def _guard(self, loss: float) -> bool:
+        """Loss-explosion guard: reject the step (restore last checkpoint)
+        when loss is non-finite or > threshold x EMA."""
+        thresh = self.tcfg.loss_explode_threshold
+        bad = not math.isfinite(loss) or (
+            self.loss_ema is not None and thresh > 0
+            and loss > thresh * max(self.loss_ema, 1e-6))
+        if bad:
+            path = latest_checkpoint(self.ckpt_dir)
+            if path is not None:
+                self.restore(path)
+            return False
+        self.loss_ema = loss if self.loss_ema is None else (
+            0.9 * self.loss_ema + 0.1 * loss)
+        return True
+
+    # ------------------------------------------------------------------
+    def evaluate(self, *, write_submissions: bool = True) -> Dict[str, Any]:
+        """Full test sweep producing the nHop+2 answer sets; writes OE/MC
+        submission files and computes fast-val accuracy when GT is available
+        (reference :851-1207)."""
+        test = self.data.test_data
+        test.inorder()
+        H2 = self.mcfg.n_hops + 2
+        rows_oe = [[] for _ in range(H2)]
+        rows_mc = [[] for _ in range(H2)]
+        for batch in test.batches(self.source):
+            tab_pred, _ = self.predict_step(
+                self.state.params, jnp.asarray(batch.tokens, jnp.int32),
+                jnp.asarray(batch.lengths, jnp.int32),
+                jnp.asarray(batch.feats, jnp.float32))
+            mc = (None if batch.mc_answers is None
+                  else jnp.asarray(batch.mc_answers, jnp.int32))
+            oe_ans, mc_ans = compute_answers(tab_pred, mc)
+            oe_np = np.asarray(oe_ans)
+            mc_np = None if mc_ans is None else np.asarray(mc_ans)
+            for h in range(H2):
+                for b, qid in enumerate(batch.qids.tolist()):
+                    rows_oe[h].append(
+                        {"answer": self.data.answers[int(oe_np[h, b])],
+                         "question_id": int(qid)})
+                    if mc_np is not None:
+                        rows_mc[h].append(
+                            {"answer": self.data.answers[int(mc_np[h, b])],
+                             "question_id": int(qid)})
+
+        epoch_f = float(self.epoch)
+        result: Dict[str, Any] = {"epoch": epoch_f}
+        if write_submissions:
+            write_results(self.workdir, "OpenEnded", self.exp.data.split,
+                          self.exp.alg_name, epoch_f, rows_oe)
+            if rows_mc[0]:
+                write_results(self.workdir, "MultipleChoice",
+                              self.exp.data.split, self.exp.alg_name,
+                              epoch_f, rows_mc)
+        if self.gt_anno is not None:
+            result["testOEacc"] = [fast_val_accuracy(rows_oe[h], self.gt_anno)
+                                   for h in range(H2)]
+            if rows_mc[0]:
+                result["testMCacc"] = [
+                    fast_val_accuracy(rows_mc[h], self.gt_anno)
+                    for h in range(H2)]
+            self.logger.log(
+                {"epoch": epoch_f,
+                 **per_hop_record({k: v for k, v in result.items()
+                                   if k != "epoch"})},
+                kind="test")
+        return result
+
+    # ------------------------------------------------------------------
+    def save(self) -> str:
+        step = int(self.state.step)
+        return save_checkpoint(
+            self.ckpt_dir, step, float(self.epoch), self.state._asdict(),
+            extra={"lr": self.lr, "mult_lr": self.mult_lr,
+                   "loss_ema": self.loss_ema,
+                   "preset": self.exp.name, "alg_name": self.exp.alg_name,
+                   "n_hops": self.mcfg.n_hops})
+
+    def restore(self, path: str) -> None:
+        tree, meta = load_checkpoint(path, self.state._asdict())
+        self.state = TrainState(**tree)
+        if "lr" in meta:
+            self.lr = meta["lr"]
+            self.mult_lr = meta["mult_lr"]
+        if meta.get("loss_ema") is not None:
+            self.loss_ema = meta["loss_ema"]
+        if "epoch" in meta:
+            self.epoch = int(meta["epoch"])
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None, *,
+            eval_each: Optional[bool] = None) -> Dict[str, Any]:
+        epochs = epochs or self.tcfg.max_epochs
+        eval_each = (self.tcfg.test_interval > 0
+                     if eval_each is None else eval_each)
+        last_eval: Dict[str, Any] = {}
+        for _ in range(epochs):
+            self.train_epoch()
+            if eval_each and self.epoch % self.tcfg.test_interval == 0:
+                last_eval = self.evaluate()
+            if self.epoch % self.tcfg.checkpoint_interval == 0:
+                self.save()
+        return last_eval

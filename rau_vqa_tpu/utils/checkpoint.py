@@ -1,0 +1,70 @@
+"""Checkpoint save/restore with optimizer state.
+
+The reference snapshots only the three flat parameter vectors —
+``{it, opt, epoch, params={embed, rnn, mult}}`` via torch.save
+(Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:1188-1197) — and its training
+scripts never actually restore (``-init_from`` merely skips random init,
+:349-355; only Eval.lua loads).  Here checkpoints carry params, Adam moments,
+step counter, RNG key and learning rates, so training is truly resumable
+(SURVEY.md §5 Checkpoint/resume).
+
+Format: one msgpack blob (flax.serialization) + a small JSON sidecar with
+bookkeeping, named ``snapshot_iter{it:06d}_epoch{epoch:.2f}`` like the
+reference's files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def checkpoint_name(step: int, epoch: float) -> str:
+    return f"snapshot_iter{step:06d}_epoch{epoch:.2f}"
+
+
+def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
+                    extra: Optional[Dict] = None) -> str:
+    """Serialize an arbitrary pytree of arrays/scalars. Returns the path."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    name = checkpoint_name(step, epoch)
+    path = os.path.join(ckpt_dir, name + ".msgpack")
+    host_tree = jax.tree.map(np.asarray, tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host_tree))
+    os.replace(tmp, path)
+    meta = {"step": step, "epoch": epoch, **(extra or {})}
+    with open(os.path.join(ckpt_dir, name + ".json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+        f.write(name)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    marker = os.path.join(ckpt_dir, "LATEST")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        name = f.read().strip()
+    path = os.path.join(ckpt_dir, name + ".msgpack")
+    return path if os.path.exists(path) else None
+
+
+def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
+    """Restore a pytree saved by save_checkpoint; ``template`` provides the
+    structure (e.g. a freshly initialized state)."""
+    with open(path, "rb") as f:
+        tree = serialization.from_bytes(template, f.read())
+    meta_path = path.replace(".msgpack", ".json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
