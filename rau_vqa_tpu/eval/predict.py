@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from rau_vqa_tpu.config import ModelConfig
 from rau_vqa_tpu.models.rau import rau_forward
-from rau_vqa_tpu.train.losses import select_aggregate
+from rau_vqa_tpu.models.aggregate import select_aggregate
 
 
 def predict(params, cfg: ModelConfig, tokens, lengths, feats

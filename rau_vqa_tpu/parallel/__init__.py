@@ -1,0 +1,8 @@
+from rau_vqa_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_pspecs,
+    state_shardings,
+    batch_pspec,
+    make_sharded_train_step,
+    shard_batch,
+)

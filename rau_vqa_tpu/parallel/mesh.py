@@ -1,0 +1,140 @@
+"""Device mesh + sharding rules (the layer the reference doesn't have).
+
+The reference runs on exactly one GPU with zero collectives (SURVEY.md §2d:
+`cutorch.setDevice` at Ours_SS/...lua:135 is its entire "distribution"
+story).  Scaling here is expressed the TPU way: a `jax.sharding.Mesh` with a
+``data`` axis (DP, primary — the model is ~11M params) and a ``model`` axis
+(optional TP for the wide output projections), sharding annotations on the
+train-step's inputs/outputs, and XLA/GSPMD inserting the all-reduces over
+ICI.  No hand-written collectives are needed for training: gradient
+all-reduce falls out of jit-ing the batch-sharded loss.
+
+TP rules (enabled via MeshConfig.shard_params_tp): the 1000-way classifier
+and the 4R-wide LSTM gate projections are sharded on their output dim; bias
+vectors follow; everything else is replicated.  Sequence/context parallelism
+is deliberately absent — questions are <= 26 tokens and attention spans
+49-196 spatial cells (SURVEY.md §2d: "keep the seq axis replicated").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rau_vqa_tpu.config import ModelConfig, TrainConfig
+from rau_vqa_tpu.train.trainer import TrainState, make_train_step
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1,
+              devices=None) -> Mesh:
+    """('data', 'model') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data < 0:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"need {n_data * n_model} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules
+# ---------------------------------------------------------------------------
+
+def _tp_rule(path: Tuple, leaf) -> P:
+    """Tensor-parallel PartitionSpec for one parameter leaf, keyed by its
+    tree path.  Output-dim sharding on 'model' for the wide projections."""
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    name = keys[-1]          # 'w'/'b' or 'wi'/'bi'/'wh'/'bh' or 'lookup'
+    parent = next((k for k in reversed(keys[:-1]) if isinstance(k, str)), None)
+
+    # LSTM gate projections: [in, 4R] / [4R]
+    if name in ("wi", "wh"):
+        return P(None, "model")
+    if name in ("bi", "bh"):
+        return P("model")
+    # classifier [M, A] — the widest matmul in the model
+    if parent == "cls":
+        return P(None, "model") if name == "w" else P("model")
+    # everything else (embeddings, small projections) replicated
+    return P()
+
+
+def param_pspecs(params: Any, *, tp: bool) -> Any:
+    """PartitionSpec pytree matching ``params``."""
+    if not tp:
+        return jax.tree.map(lambda _: P(), params)
+    return jax.tree_util.tree_map_with_path(_tp_rule, params)
+
+
+def state_shardings(mesh: Mesh, state: TrainState, *, tp: bool) -> TrainState:
+    """NamedSharding pytree for the full TrainState: Adam moments mirror
+    their parameters; scalars/rng replicated."""
+    pspecs = param_pspecs(state.params, tp=tp)
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+    params_sh = jax.tree.map(ns, pspecs)
+    opt_sh = {}
+    for g, gstate in state.opt.items():
+        opt_sh[g] = {
+            "m": jax.tree.map(ns, pspecs[g]),
+            "v": jax.tree.map(ns, pspecs[g]),
+            "t": ns(P()),
+        }
+    return TrainState(params=params_sh, opt=opt_sh,
+                      step=ns(P()), rng=ns(P()))
+
+
+def batch_pspec() -> P:
+    return P("data")
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """device_put each array with its leading dim split over 'data'."""
+    out = []
+    for a in arrays:
+        spec = P("data", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Sharded train step
+# ---------------------------------------------------------------------------
+
+def make_sharded_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
+                            state: TrainState, *, tp: bool = False):
+    """jit the train step with explicit input/output shardings over ``mesh``.
+
+    Batch tensors are sharded on 'data'; the TrainState follows
+    ``state_shardings``.  Scalar step inputs (hop scale, learning rates) are
+    replicated.  Gradients of replicated params over the sharded batch are
+    all-reduced by GSPMD automatically — the collective set the reference
+    never had (SURVEY.md §2d)."""
+    step_fn = make_train_step(mcfg, tcfg)
+    st_sh = state_shardings(mesh, state, tp=tp)
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    in_sh = (
+        st_sh,
+        NamedSharding(mesh, P("data", None)),   # tokens [B, T]
+        data_sh,                                 # lengths [B]
+        NamedSharding(mesh, P("data", None, None)),  # feats [B, S, D]
+        data_sh,                                 # labels [B]
+        rep,                                     # hop_scale [H]
+        rep, rep,                                # lr, mult_lr
+    )
+    metric_sh = None  # let the compiler place reduced metrics
+    return jax.jit(step_fn, in_shardings=in_sh,
+                   out_shardings=(st_sh, metric_sh),
+                   donate_argnums=(0,))
+
+
+def place_state(mesh: Mesh, state: TrainState, *, tp: bool = False) -> TrainState:
+    """device_put a host-initialized TrainState onto the mesh."""
+    sh = state_shardings(mesh, state, tp=tp)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)

@@ -24,6 +24,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from rau_vqa_tpu.models.aggregate import select_aggregate  # noqa: F401  (re-export)
+
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean softmax cross-entropy (torch CrossEntropyCriterion semantics:
@@ -37,26 +39,6 @@ def bce(probs: jax.Array, targets: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Mean binary cross-entropy on probabilities (torch BCECriterion)."""
     p = jnp.clip(probs, eps, 1.0 - eps)
     return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
-
-
-def select_aggregate(scores: jax.Array, do_pred: jax.Array, *,
-                     force_final: bool) -> Tuple[jax.Array, jax.Array]:
-    """First-hop-that-fired selective aggregation (reference :504-515 train,
-    :683-697 test).
-
-    scores [H, B, A]; do_pred [H, B] sigmoid probabilities.
-    Returns (select_pred [B, A], gates [H, B]) where ``gates[h]`` is the 0/1
-    indicator that hop h is the first confident hop.  With ``force_final``
-    the last hop always fires (test-time rule, :685)."""
-    H = scores.shape[0]
-    fired = (do_pred > 0.5).astype(scores.dtype)           # [H, B]
-    if force_final:
-        fired = fired.at[H - 1].set(1.0)
-    did_pred = jnp.clip(jnp.cumsum(fired, axis=0), 0.0, 1.0)
-    prev_did = jnp.concatenate([jnp.zeros_like(did_pred[:1]), did_pred[:-1]])
-    gates = jnp.clip(fired - prev_did, 0.0, 1.0)           # [H, B]
-    select_pred = jnp.einsum("hba,hb->ba", scores, gates)
-    return select_pred, gates
 
 
 def hop_grad_scale(n_hops: int, *, scale_by_nhop: bool,
