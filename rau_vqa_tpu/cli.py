@@ -1,0 +1,293 @@
+"""Command-line interface.
+
+Replaces the reference's per-experiment torch.CmdLine scripts + shell
+wrappers (Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:17-80,
+experiments/*/run_*.sh) with one CLI over the four presets:
+
+    rau-vqa train --preset ours_ss --vqa-dir ... --feat-dir ...
+    rau-vqa train --preset ours_ms --fixture            # tiny e2e smoke
+    rau-vqa eval  --checkpoint snapshot.msgpack ...     # Eval.lua equivalent
+    rau-vqa pack-features --feat-dir ... --vqa-dir ... --out packed/
+    rau-vqa fixture --out /tmp/fixture
+
+Every hyper-parameter flag maps onto a config dataclass field; presets pin
+the per-experiment values the reference hard-codes in its run scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--vqa-dir", default=None,
+                   help="directory with data_prepro.{json,h5}")
+    p.add_argument("--feat-dir", default=None, action="append",
+                   help="feature dir (.t7 files) or packed shard dir; "
+                        "repeat for multi-datatype splits")
+    p.add_argument("--split", default=None,
+                   choices=["train2014", "val2014", "test2015",
+                            "test-dev2015"])
+    p.add_argument("--gt-anno", default=None,
+                   help="comprehend GT json for fast validation")
+    p.add_argument("--batch-order", default=None,
+                   choices=["shuffle", "inorder", "sort", "randsort"])
+    p.add_argument("--test-batch-size", type=int, default=None,
+                   help="override the split-derived test batch size")
+
+
+def _add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="ours_ss",
+                   choices=["ours_ss", "ours_ms", "ours_full", "ours_resnet"])
+    p.add_argument("--fixture", action="store_true",
+                   help="generate + train on the deterministic tiny fixture")
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--mult-learning-rate", type=float, default=None)
+    p.add_argument("--lr-decay", type=float, default=None)
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--noisy-eta", type=float, default=None)
+    p.add_argument("--noisy-gamma", type=float, default=None)
+    p.add_argument("--nhop", type=int, default=None)
+    p.add_argument("--cnnout-dim", type=int, default=None)
+    p.add_argument("--cnnout-w", type=int, default=None)
+    p.add_argument("--cnnout-h", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--test-interval", type=int, default=None)
+    p.add_argument("--init-from", default=None,
+                   help="checkpoint to resume from (a real resume, unlike "
+                        "the reference's vestigial -init_from)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute + MXU-default matmul precision")
+
+
+def _apply_overrides(exp, args):
+    m, t, d = {}, {}, {}
+    if args.nhop is not None:
+        m["n_hops"] = args.nhop
+    if args.cnnout_dim is not None:
+        m["cnn_dim"] = args.cnnout_dim
+    if args.cnnout_w is not None:
+        m["cnn_w"] = args.cnnout_w
+    if args.cnnout_h is not None:
+        m["cnn_h"] = args.cnnout_h
+    if args.bf16:
+        m["compute_dtype"] = "bfloat16"
+        m["matmul_precision"] = "default"
+    for flag, field in [("epochs", "max_epochs"), ("batch_size", "batch_size"),
+                        ("learning_rate", "learning_rate"),
+                        ("mult_learning_rate", "mult_learning_rate"),
+                        ("lr_decay", "lr_decay"), ("grad_clip", "grad_clip"),
+                        ("noisy_eta", "noisy_eta"),
+                        ("noisy_gamma", "noisy_gamma"), ("seed", "seed"),
+                        ("test_interval", "test_interval")]:
+        v = getattr(args, flag)
+        if v is not None:
+            t[field] = v
+    for flag, field in [("vqa_dir", "vqa_dir"), ("split", "split"),
+                        ("gt_anno", "gt_anno"),
+                        ("batch_order", "batch_order"),
+                        ("test_batch_size", "test_batch_size")]:
+        v = getattr(args, flag)
+        if v is not None:
+            d[field] = v
+    if args.feat_dir:
+        d["feat_dir"] = args.feat_dir[0]
+    exp = exp.replace(
+        model=dataclasses.replace(exp.model, **m),
+        train=dataclasses.replace(exp.train, **t),
+        data=dataclasses.replace(exp.data, **d))
+    if args.save_dir:
+        exp = exp.replace(save_dir=args.save_dir)
+    return exp
+
+
+def _make_feature_source(feat_dirs, mcfg):
+    from rau_vqa_tpu.data.features import PackedFeatureStore, T7DirFeatureSource
+    first = feat_dirs[0]
+    if os.path.exists(os.path.join(first, "index.json")):
+        return PackedFeatureStore(first)
+    return T7DirFeatureSource(feat_dirs, mcfg.cnn_dim, mcfg.cnn_w, mcfg.cnn_h)
+
+
+def _fixture_setup(exp, workdir):
+    """Generate the tiny fixture and shrink the experiment onto it."""
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    spec = FixtureSpec()
+    fix_root = os.path.join(workdir, "fixture")
+    vqa_dir = generate_fixture(fix_root, spec)
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, cnn_dim=spec.feat_dim, cnn_w=spec.feat_w,
+            cnn_h=spec.feat_h, embed_dim=16, rnn_size=16, multfeat_dim=16,
+            attfeat_dim=8, att_rnn_size=16, embed_dropout=0.0,
+            rnn_dropout=0.0, mult_dropout=0.1),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, learning_rate=1e-2,
+            mult_learning_rate=1e-2, lr_decay=1.0, mult_lr_decay=1.0,
+            noisy_eta=0.0, grad_clip=10.0, max_epochs=40),
+        data=dataclasses.replace(
+            exp.data, split="val2014", vqa_dir=vqa_dir,
+            feat_dir=os.path.join(fix_root, "feat"), test_batch_size=8,
+            gt_anno=os.path.join(vqa_dir, "gt_annotations.json")))
+    return exp
+
+
+def cmd_train(args) -> int:
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    workdir = args.save_dir or f"{exp.save_dir}_{exp.data.split}"
+    os.makedirs(workdir, exist_ok=True)
+    if args.fixture:
+        exp = _fixture_setup(exp, workdir)
+
+    data = load_vqa_data(
+        exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
+        test_batch_size=exp.data.resolved_test_batch_size()
+        if not args.fixture else 8,
+        valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
+    source = _make_feature_source([exp.data.feat_dir], exp.model)
+    gt = None
+    if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
+        gt = load_gt_annotations(exp.data.gt_anno)
+
+    trainer = Trainer(exp, data, source, workdir, gt_anno=gt)
+    if args.init_from:
+        trainer.restore(args.init_from)
+        print(f"resumed from {args.init_from} at epoch {trainer.epoch}")
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(exp), f, indent=2, default=str)
+
+    epochs = args.epochs or exp.train.max_epochs
+    print(f"training {exp.name} ({trainer.mcfg.n_hops} hops) for "
+          f"{epochs} epochs, {data.train_data.iter_per_epoch} iters/epoch")
+    result = trainer.fit(epochs=epochs)
+    if "testOEacc" in result:
+        accs = ", ".join(f"{a * 100:.2f}" for a in result["testOEacc"])
+        print(f"final testOE accuracy per hop: {accs}")
+    print(f"done; artifacts in {workdir}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Standalone evaluation (the reference's Eval.lua:113-680): load a
+    snapshot, adopt its configuration, run a test-only sweep, write result
+    files."""
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    from rau_vqa_tpu.config import ModelConfig
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    meta_path = args.checkpoint.replace(".msgpack", ".json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        # adopt the snapshot's full model config (the reference's Eval.lua
+        # adopts the snapshot's opt table, Eval.lua:116-118)
+        if "model_config" in meta:
+            exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+        elif "n_hops" in meta:
+            exp = exp.replace(
+                model=dataclasses.replace(exp.model, n_hops=meta["n_hops"]))
+        if "alg_name" in meta:
+            exp = exp.replace(alg_name=meta["alg_name"])
+
+    workdir = args.save_dir or f"save_result_eval_{exp.data.split}"
+    os.makedirs(workdir, exist_ok=True)
+    data = load_vqa_data(
+        exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
+        test_batch_size=exp.data.resolved_test_batch_size(),
+        seed=exp.train.seed)
+    source = _make_feature_source([exp.data.feat_dir], exp.model)
+    gt = None
+    if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
+        gt = load_gt_annotations(exp.data.gt_anno)
+
+    trainer = Trainer(exp, data, source, workdir, gt_anno=gt)
+    trainer.restore(args.checkpoint)
+    print(f"evaluating snapshot at epoch {trainer.epoch} "
+          f"({trainer.mcfg.n_hops} hops) on {exp.data.split}")
+    result = trainer.evaluate()
+    if "testOEacc" in result:
+        for h, a in enumerate(result["testOEacc"]):
+            print(f"hop {h + 1:02d}: OE {a * 100:.2f}"
+                  + (f", MC {result['testMCacc'][h] * 100:.2f}"
+                     if "testMCacc" in result else ""))
+    print(f"result files in {workdir}/results/")
+    return 0
+
+
+def cmd_pack_features(args) -> int:
+    from rau_vqa_tpu.data.features import pack_feature_dir
+
+    with open(os.path.join(args.vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    imgs = list(info.get("unique_img_train", []))
+    dts = [1] * len(imgs)
+    for p in info.get("unique_img_test", []):
+        imgs.append(p)
+        dts.append(1)
+    store = pack_feature_dir(args.feat_dir, imgs, dts, args.out,
+                             args.cnnout_dim, args.cnnout_w, args.cnnout_h,
+                             dtype=args.dtype)
+    print(f"packed {len(store.index)} images -> {args.out}")
+    return 0
+
+
+def cmd_fixture(args) -> int:
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+
+    vqa_dir = generate_fixture(args.out)
+    print(f"fixture written under {args.out} (vqa_dir: {vqa_dir})")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="rau-vqa",
+        description="TPU-native Recurrent Answering Units VQA framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a preset experiment")
+    _add_train_flags(p_train)
+    _add_common_data_flags(p_train)
+
+    p_eval = sub.add_parser("eval", help="standalone snapshot evaluation")
+    p_eval.add_argument("--checkpoint", required=True)
+    _add_train_flags(p_eval)
+    _add_common_data_flags(p_eval)
+
+    p_pack = sub.add_parser("pack-features",
+                            help="pack per-image .t7 features into an "
+                                 "mmap shard")
+    p_pack.add_argument("--feat-dir", action="append", required=True)
+    p_pack.add_argument("--vqa-dir", required=True)
+    p_pack.add_argument("--out", required=True)
+    p_pack.add_argument("--cnnout-dim", type=int, default=512)
+    p_pack.add_argument("--cnnout-w", type=int, default=14)
+    p_pack.add_argument("--cnnout-h", type=int, default=14)
+    p_pack.add_argument("--dtype", default="float32",
+                        choices=["float32", "float16"])
+
+    p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
+    p_fix.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+    return {"train": cmd_train, "eval": cmd_eval,
+            "pack-features": cmd_pack_features,
+            "fixture": cmd_fixture}[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

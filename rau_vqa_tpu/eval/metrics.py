@@ -10,7 +10,7 @@ def fast_val_accuracy(rows: List[Dict], gt: Dict[int, str]) -> float:
     """rows = submission rows; gt = qid -> answer string.  Every qid must be
     present (the reference asserts this, :917)."""
     if not rows:
-        return 0.0
+        raise ValueError("fast validation: empty result set")
     correct = 0
     for r in rows:
         qid = int(r["question_id"])

@@ -226,6 +226,12 @@ class Trainer:
         submission files and computes fast-val accuracy when GT is available
         (reference :851-1207)."""
         test = self.data.test_data
+        if test.iter_per_epoch == 0:
+            raise ValueError(
+                f"test split has {test.num_examples} examples but batch size "
+                f"{test.batch_size}: zero eval batches — lower "
+                f"test_batch_size (reference picks it to divide the split, "
+                f"Ours_SS/...lua:85-95)")
         test.inorder()
         H2 = self.mcfg.n_hops + 2
         rows_oe = [[] for _ in range(H2)]
@@ -281,7 +287,11 @@ class Trainer:
             extra={"lr": self.lr, "mult_lr": self.mult_lr,
                    "loss_ema": self.loss_ema,
                    "preset": self.exp.name, "alg_name": self.exp.alg_name,
-                   "n_hops": self.mcfg.n_hops})
+                   "n_hops": self.mcfg.n_hops,
+                   # self-describing snapshot: standalone eval adopts this
+                   # (the reference's Eval.lua adopts the snapshot's opt
+                   # table, Eval.lua:116-118)
+                   "model_config": dataclasses.asdict(self.mcfg)})
 
     def restore(self, path: str) -> None:
         tree, meta = load_checkpoint(path, self.state._asdict())

@@ -62,6 +62,18 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     structure (e.g. a freshly initialized state)."""
     with open(path, "rb") as f:
         tree = serialization.from_bytes(template, f.read())
+    # flax.from_bytes substitutes stored arrays without shape validation;
+    # a config/snapshot mismatch must fail loudly, not evaluate garbage
+    t_leaves = jax.tree_util.tree_leaves_with_path(template)
+    r_leaves = jax.tree.leaves(tree)
+    for (kp, t_leaf), r_leaf in zip(t_leaves, r_leaves):
+        t_shape = getattr(t_leaf, "shape", None)
+        r_shape = getattr(r_leaf, "shape", None)
+        if t_shape is not None and r_shape is not None and t_shape != r_shape:
+            raise ValueError(
+                f"checkpoint shape mismatch at {jax.tree_util.keystr(kp)}: "
+                f"expected {t_shape} from config, snapshot has {r_shape} — "
+                f"rebuild the model with the snapshot's config")
     meta_path = path.replace(".msgpack", ".json")
     meta = {}
     if os.path.exists(meta_path):

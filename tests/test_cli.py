@@ -1,0 +1,84 @@
+"""CLI: fixture training, standalone eval adopting the snapshot's config,
+checkpoint shape validation, feature packing."""
+
+import glob
+import os
+
+import pytest
+
+from rau_vqa_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("cli_run"))
+    rc = main(["train", "--preset", "ours_ms", "--fixture", "--nhop", "2",
+               "--epochs", "6", "--save-dir", wd])
+    assert rc == 0
+    return wd
+
+
+def test_train_artifacts(trained_run):
+    assert os.path.exists(os.path.join(trained_run, "config.json"))
+    assert glob.glob(os.path.join(trained_run, "snapshot", "*.msgpack"))
+    assert os.path.exists(os.path.join(trained_run, "training_log",
+                                       "metrics.jsonl"))
+    assert glob.glob(os.path.join(trained_run, "results", "hop_01",
+                                  "vqa_OpenEnded_*"))
+
+
+def test_standalone_eval_adopts_snapshot_config(trained_run, tmp_path):
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    fix = os.path.join(trained_run, "fixture")
+    rc = main(["eval", "--checkpoint", ck, "--preset", "ours_ms",
+               "--vqa-dir", os.path.join(fix, "vqa_prepro"),
+               "--feat-dir", os.path.join(fix, "feat"),
+               "--split", "val2014", "--test-batch-size", "8",
+               "--gt-anno", os.path.join(fix, "vqa_prepro",
+                                         "gt_annotations.json"),
+               "--save-dir", str(tmp_path / "eval_out")])
+    assert rc == 0
+    assert glob.glob(os.path.join(str(tmp_path / "eval_out"), "results",
+                                  "hop_01", "vqa_OpenEnded_*"))
+
+
+def test_eval_wrong_config_fails_loudly(trained_run, tmp_path):
+    """Restoring a snapshot into a mismatched model must raise, not return
+    garbage (flax from_bytes alone silently accepts any shapes)."""
+    import dataclasses
+    import jax
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.train.trainer import init_train_state
+    from rau_vqa_tpu.utils.checkpoint import load_checkpoint
+
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    big = get_preset("ours_ms").model  # full-size dims != fixture dims
+    state = init_train_state(jax.random.PRNGKey(0), big)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_checkpoint(ck, state._asdict())
+
+
+def test_zero_eval_batches_fails_loudly(trained_run):
+    fix = os.path.join(trained_run, "fixture")
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    with pytest.raises(ValueError, match="zero eval batches"):
+        main(["eval", "--checkpoint", ck, "--preset", "ours_ms",
+              "--vqa-dir", os.path.join(fix, "vqa_prepro"),
+              "--feat-dir", os.path.join(fix, "feat"),
+              "--split", "val2014",   # split-derived batch 83 > 32 examples
+              "--save-dir", trained_run + "_bad"])
+
+
+def test_pack_features_cli(trained_run, tmp_path):
+    fix = os.path.join(trained_run, "fixture")
+    out = str(tmp_path / "packed")
+    rc = main(["pack-features", "--feat-dir", os.path.join(fix, "feat"),
+               "--vqa-dir", os.path.join(fix, "vqa_prepro"),
+               "--out", out, "--cnnout-dim", "16", "--cnnout-w", "3",
+               "--cnnout-h", "3"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "features.npy"))
+    assert os.path.exists(os.path.join(out, "index.json"))
