@@ -1,0 +1,151 @@
+"""ResNet-101 feature extractor (pre-avgpool), functional JAX (NHWC).
+
+The Ours_ResNet config consumes precomputed ResNet-101 features "before
+average pooling" at 448x448 -> 14x14x2048 (data/get_resnet_101_448.sh;
+run script passes -cnnout_dim 2048).  This module computes them on-TPU:
+conv1 7x7/2 -> maxpool/2 -> bottleneck stages [3, 4, 23, 3] with strides
+[1, 2, 2, 2], batch-norm in inference mode (feature extraction is frozen in
+the reference pipeline; the RAU head is what trains).
+
+Input convention: RGB 0..1 normalized by ImageNet mean/std
+(ops/transforms.color_normalize; matches vqa_prepro_loader.lua:56-62).
+
+``resnet_from_torch_state`` converts a torchvision resnet101 state_dict when
+pretrained weights are available on disk.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESNET101_BLOCKS = (3, 4, 23, 3)
+STAGE_WIDTH = (64, 128, 256, 512)   # bottleneck inner widths; out = 4x
+BN_EPS = 1e-5
+
+
+def _conv_init(key, kh, kw, c_in, c_out, dtype):
+    fan_in = kh * kw * c_in
+    std = np.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, (kh, kw, c_in, c_out), dtype) * std
+
+
+def _bn_init(c, dtype):
+    return {"scale": jnp.ones((c,), dtype), "offset": jnp.zeros((c,), dtype),
+            "mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+
+
+def _conv(x, w, stride=1):
+    # explicit torch-style symmetric padding ((k-1)//2): XLA's "SAME" picks a
+    # different sampling grid for strided convs on even inputs
+    kh, kw = w.shape[0], w.shape[1]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn(x, p):
+    inv = jax.lax.rsqrt(p["var"] + BN_EPS) * p["scale"]
+    return x * inv + (p["offset"] - p["mean"] * inv)
+
+
+def resnet101_init(key: jax.Array, dtype=jnp.float32) -> Dict:
+    keys = iter(jax.random.split(key, 512))
+    params: Dict = {
+        "conv1": {"w": _conv_init(next(keys), 7, 7, 3, 64, dtype)},
+        "bn1": _bn_init(64, dtype),
+        "stages": [],
+    }
+    c_in = 64
+    for stage, (n_blocks, width) in enumerate(zip(RESNET101_BLOCKS,
+                                                  STAGE_WIDTH)):
+        blocks: List[Dict] = []
+        c_out = width * 4
+        for b in range(n_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            blk = {
+                "conv1": {"w": _conv_init(next(keys), 1, 1, c_in, width, dtype)},
+                "bn1": _bn_init(width, dtype),
+                "conv2": {"w": _conv_init(next(keys), 3, 3, width, width, dtype)},
+                "bn2": _bn_init(width, dtype),
+                "conv3": {"w": _conv_init(next(keys), 1, 1, width, c_out, dtype)},
+                "bn3": _bn_init(c_out, dtype),
+            }
+            if b == 0:
+                blk["down"] = {
+                    "w": _conv_init(next(keys), 1, 1, c_in, c_out, dtype)}
+                blk["down_bn"] = _bn_init(c_out, dtype)
+            blocks.append(blk)
+            c_in = c_out
+        params["stages"].append(blocks)
+    return params
+
+
+def _bottleneck(x, blk, stride):
+    y = jax.nn.relu(_bn(_conv(x, blk["conv1"]["w"]), blk["bn1"]))
+    y = jax.nn.relu(_bn(_conv(y, blk["conv2"]["w"], stride), blk["bn2"]))
+    y = _bn(_conv(y, blk["conv3"]["w"]), blk["bn3"])
+    if "down" in blk:
+        x = _bn(_conv(x, blk["down"]["w"], stride), blk["down_bn"])
+    return jax.nn.relu(x + y)
+
+
+def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
+    """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
+    [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout."""
+    x = _conv(x, params["conv1"]["w"], stride=2)
+    x = jax.nn.relu(_bn(x, params["bn1"]))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                              (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+    for stage, blocks in enumerate(params["stages"]):
+        for b, blk in enumerate(blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            x = _bottleneck(x, blk, stride)
+    B, h, w, c = x.shape
+    return x.reshape(B, h * w, c)
+
+
+def _bn_from_torch(state, prefix):
+    return {"scale": jnp.asarray(np.asarray(state[f"{prefix}.weight"])),
+            "offset": jnp.asarray(np.asarray(state[f"{prefix}.bias"])),
+            "mean": jnp.asarray(np.asarray(state[f"{prefix}.running_mean"])),
+            "var": jnp.asarray(np.asarray(state[f"{prefix}.running_var"]))}
+
+
+def _conv_from_torch(state, key):
+    w = np.asarray(state[key])
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}  # OIHW -> HWIO
+
+
+def resnet_from_torch_state(state: Dict[str, "np.ndarray"],
+                            blocks: Tuple[int, ...] = RESNET101_BLOCKS) -> Dict:
+    """torchvision resnet state_dict -> our params."""
+    params: Dict = {
+        "conv1": _conv_from_torch(state, "conv1.weight"),
+        "bn1": _bn_from_torch(state, "bn1"),
+        "stages": [],
+    }
+    for stage, n_blocks in enumerate(blocks):
+        stage_blocks = []
+        for b in range(n_blocks):
+            p = f"layer{stage + 1}.{b}"
+            blk = {
+                "conv1": _conv_from_torch(state, f"{p}.conv1.weight"),
+                "bn1": _bn_from_torch(state, f"{p}.bn1"),
+                "conv2": _conv_from_torch(state, f"{p}.conv2.weight"),
+                "bn2": _bn_from_torch(state, f"{p}.bn2"),
+                "conv3": _conv_from_torch(state, f"{p}.conv3.weight"),
+                "bn3": _bn_from_torch(state, f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in state:
+                blk["down"] = _conv_from_torch(state,
+                                               f"{p}.downsample.0.weight")
+                blk["down_bn"] = _bn_from_torch(state, f"{p}.downsample.1")
+            stage_blocks.append(blk)
+        params["stages"].append(stage_blocks)
+    return params

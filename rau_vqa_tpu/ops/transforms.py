@@ -1,0 +1,269 @@
+"""On-device batched image transforms (jittable, [B, H, W, C] float32).
+
+TPU-native re-design of the reference's host-side, per-image transform
+library (utils/transforms.lua, the fb.resnet.torch set): every transform
+here is a pure jittable function over a *batch*, randomness is an explicit
+PRNG key, and random crops/flips are per-example.  The loader only ever used
+Compose+ColorNormalize (vqa_prepro_loader.lua:60-62); the full surface is
+provided for parity and for the on-TPU backbone path (north-star requires
+on-device batched preprocessing — BASELINE.json).
+
+Covered surface (transforms.lua:17-291): Compose, ColorNormalize, Scale
+(shorter side), CenterCrop, RandomCrop, TenCrop, RandomScale,
+RandomSizedCrop, HorizontalFlip, Rotation, Lighting, Saturation,
+Brightness, Contrast, ColorJitter — plus the two normalization schemes the
+loader applies (BGR*255 - mean_bgr for VGG, mean/std for ResNet;
+vqa_prepro_loader.lua:55-62, 1061-1067).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Transform = Callable[..., jax.Array]
+
+# ImageNet statistics (transforms used by fb.resnet.torch; also
+# vqa_prepro_loader.lua:56-59)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+# Caffe-VGG BGR means (vqa_prepro_loader.lua:55)
+VGG_MEAN_BGR = (103.939, 116.779, 123.68)
+# PCA lighting basis (fb.resnet.torch convention)
+LIGHTING_ALPHASTD = 0.1
+LIGHTING_EIGVAL = (0.2175, 0.0188, 0.0045)
+LIGHTING_EIGVEC = (
+    (-0.5675, 0.7192, 0.4009),
+    (-0.5808, -0.0045, -0.8140),
+    (-0.5836, -0.6948, 0.4203),
+)
+
+
+def compose(*transforms: Transform) -> Transform:
+    """transforms.lua:17 Compose — right-to-left application order is NOT
+    used there; it applies in list order, as here."""
+    def apply(img, rng=None):
+        for i, t in enumerate(transforms):
+            if rng is not None:
+                img = t(img, jax.random.fold_in(rng, i))
+            else:
+                img = t(img)
+        return img
+    return apply
+
+
+def color_normalize(img: jax.Array,
+                    mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jax.Array:
+    """(x - mean) / std per channel (transforms.lua:26-35)."""
+    mean = jnp.asarray(mean, img.dtype)
+    std = jnp.asarray(std, img.dtype)
+    return (img - mean) / std
+
+
+def vgg_preprocess(img: jax.Array) -> jax.Array:
+    """RGB [0,1] -> BGR * 255 - mean_bgr (the loader's VGG path,
+    vqa_prepro_loader.lua:1061-1064)."""
+    bgr = img[..., ::-1] * 255.0
+    return bgr - jnp.asarray(VGG_MEAN_BGR, img.dtype)
+
+
+def scale_shorter_side(img: jax.Array, size: int,
+                       method: str = "bilinear") -> jax.Array:
+    """Resize so the shorter side equals ``size`` (transforms.lua:38-52).
+    Output spatial dims are static: both sides scale by size/min(H, W)."""
+    B, H, W, C = img.shape
+    if H <= W:
+        new_h, new_w = size, max(1, round(W * size / H))
+    else:
+        new_h, new_w = max(1, round(H * size / W)), size
+    return jax.image.resize(img, (B, new_h, new_w, C), method)
+
+
+def resize(img: jax.Array, h: int, w: int,
+           method: str = "bilinear") -> jax.Array:
+    B, _, _, C = img.shape
+    return jax.image.resize(img, (B, h, w, C), method)
+
+
+def center_crop(img: jax.Array, size: int) -> jax.Array:
+    """transforms.lua:54-61."""
+    B, H, W, C = img.shape
+    y0 = (H - size) // 2
+    x0 = (W - size) // 2
+    return img[:, y0:y0 + size, x0:x0 + size, :]
+
+
+def _dynamic_crop(img: jax.Array, y0, x0, size: int) -> jax.Array:
+    """Per-example dynamic crop via vmap'd dynamic_slice."""
+    def one(im, y, x):
+        return jax.lax.dynamic_slice(im, (y, x, 0),
+                                     (size, size, im.shape[-1]))
+    return jax.vmap(one)(img, y0, x0)
+
+
+def random_crop(img: jax.Array, rng: jax.Array, size: int,
+                padding: int = 0) -> jax.Array:
+    """Per-example random square crop (transforms.lua:63-87).  The reference
+    zero-pads first when padding > 0."""
+    if padding > 0:
+        img = jnp.pad(img, ((0, 0), (padding, padding), (padding, padding),
+                            (0, 0)))
+    B, H, W, C = img.shape
+    ky, kx = jax.random.split(rng)
+    y0 = jax.random.randint(ky, (B,), 0, H - size + 1)
+    x0 = jax.random.randint(kx, (B,), 0, W - size + 1)
+    return _dynamic_crop(img, y0, x0, size)
+
+
+def horizontal_flip(img: jax.Array, rng: jax.Array,
+                    prob: float = 0.5) -> jax.Array:
+    """Per-example random flip (transforms.lua:166-173)."""
+    B = img.shape[0]
+    flip = jax.random.bernoulli(rng, prob, (B,))
+    return jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
+
+
+def ten_crop(img: jax.Array, size: int) -> jax.Array:
+    """Center + 4 corners, plus mirrored versions -> [10, B, size, size, C]
+    (transforms.lua:89-112)."""
+    B, H, W, C = img.shape
+    corners = [((H - size) // 2, (W - size) // 2), (0, 0), (0, W - size),
+               (H - size, 0), (H - size, W - size)]
+    crops = [img[:, y:y + size, x:x + size, :] for y, x in corners]
+    crops += [c[:, :, ::-1, :] for c in crops]
+    return jnp.stack(crops)
+
+
+def random_scale(img: jax.Array, rng: jax.Array, minsize: int,
+                 maxsize: int) -> jax.Array:
+    """Scale shorter side to a random target (transforms.lua:114-129).
+    jit needs static shapes, so the scale factor is applied as a random
+    zoom-crop at the max size: resize to maxsize then crop a random window
+    of equivalent field of view."""
+    scaled = scale_shorter_side(img, maxsize)
+    B = img.shape[0]
+    size = int(minsize)
+    return random_crop(scaled, rng, size) if maxsize > minsize else scaled
+
+
+def random_sized_crop(img: jax.Array, rng: jax.Array, size: int, *,
+                      min_area: float = 0.08) -> jax.Array:
+    """Inception-style random area+aspect crop resized to ``size``
+    (transforms.lua:131-164).  Static-shape variant: sample a crop window
+    per example with area in [min_area, 1] and aspect in [3/4, 4/3] using a
+    fixed-size gather grid."""
+    B, H, W, C = img.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    area = jax.random.uniform(k1, (B,), minval=min_area, maxval=1.0)
+    log_ratio = jax.random.uniform(k2, (B,), minval=jnp.log(3 / 4),
+                                   maxval=jnp.log(4 / 3))
+    ratio = jnp.exp(log_ratio)
+    target_h = jnp.sqrt(area * H * W / ratio)
+    target_w = target_h * ratio
+    target_h = jnp.clip(target_h, 8, H).astype(jnp.int32)
+    target_w = jnp.clip(target_w, 8, W).astype(jnp.int32)
+    y0 = (jax.random.uniform(k3, (B,)) * (H - target_h + 1)).astype(jnp.int32)
+    x0 = (jax.random.uniform(k4, (B,)) * (W - target_w + 1)).astype(jnp.int32)
+    # gather a size x size sampling grid inside each window (bilinear-free
+    # nearest sampling keeps it one gather; adequate for augmentation)
+    ys = y0[:, None] + (jnp.arange(size)[None, :] *
+                        target_h[:, None] // size)
+    xs = x0[:, None] + (jnp.arange(size)[None, :] *
+                        target_w[:, None] // size)
+    return img[jnp.arange(B)[:, None, None], ys[:, :, None], xs[:, None, :], :]
+
+
+def rotation(img: jax.Array, rng: jax.Array, deg: float) -> jax.Array:
+    """Random rotation in [-deg, deg] via bilinear grid sampling
+    (transforms.lua:175-183)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    B, H, W, C = img.shape
+    theta = jax.random.uniform(rng, (B,), minval=-deg, maxval=deg)
+    theta = theta * (jnp.pi / 180.0)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+    def rot_one(im, th):
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        sy = cos * (yy - cy) - sin * (xx - cx) + cy
+        sx = sin * (yy - cy) + cos * (xx - cx) + cx
+        chans = [map_coordinates(im[..., c], [sy, sx], order=1)
+                 for c in range(C)]
+        return jnp.stack(chans, axis=-1)
+
+    return jax.vmap(rot_one)(img, theta)
+
+
+def _grayscale(img: jax.Array) -> jax.Array:
+    """Luma per the fb.resnet.torch coefficients (transforms.lua:205-216)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    g = jnp.sum(img * w, axis=-1, keepdims=True)
+    return jnp.broadcast_to(g, img.shape)
+
+
+def _blend(a: jax.Array, b: jax.Array, alpha: jax.Array) -> jax.Array:
+    while alpha.ndim < a.ndim:
+        alpha = alpha[..., None]
+    return alpha * a + (1.0 - alpha) * b
+
+
+def saturation(img: jax.Array, rng: jax.Array, var: float) -> jax.Array:
+    """blend(img, gray(img), 1 + U(-var, var)) (transforms.lua:219-233)."""
+    B = img.shape[0]
+    alpha = 1.0 + jax.random.uniform(rng, (B,), minval=-var, maxval=var)
+    return _blend(img, _grayscale(img), alpha)
+
+
+def brightness(img: jax.Array, rng: jax.Array, var: float) -> jax.Array:
+    """blend(img, 0, alpha) (transforms.lua:236-249)."""
+    B = img.shape[0]
+    alpha = 1.0 + jax.random.uniform(rng, (B,), minval=-var, maxval=var)
+    return _blend(img, jnp.zeros_like(img), alpha)
+
+
+def contrast(img: jax.Array, rng: jax.Array, var: float) -> jax.Array:
+    """blend(img, mean(gray(img)), alpha) (transforms.lua:252-266)."""
+    B = img.shape[0]
+    alpha = 1.0 + jax.random.uniform(rng, (B,), minval=-var, maxval=var)
+    gray_mean = jnp.mean(_grayscale(img), axis=(1, 2), keepdims=True)
+    return _blend(img, jnp.broadcast_to(gray_mean, img.shape), alpha)
+
+
+def lighting(img: jax.Array, rng: jax.Array,
+             alphastd: float = LIGHTING_ALPHASTD) -> jax.Array:
+    """AlexNet-style PCA color noise (transforms.lua:185-203)."""
+    B = img.shape[0]
+    alpha = jax.random.normal(rng, (B, 3)) * alphastd
+    eigval = jnp.asarray(LIGHTING_EIGVAL, img.dtype)
+    eigvec = jnp.asarray(LIGHTING_EIGVEC, img.dtype)
+    shift = (eigvec * alpha[:, None, :] * eigval[None, None, :]).sum(-1)
+    return img + shift[:, None, None, :]
+
+
+def color_jitter(img: jax.Array, rng: jax.Array, *, brightness_var=0.4,
+                 contrast_var=0.4, saturation_var=0.4) -> jax.Array:
+    """Random-order brightness/contrast/saturation (transforms.lua:268-291).
+    Static-shape variant: applies in a per-batch random permutation chosen
+    from the 6 orders with lax.switch."""
+    ts = [functools.partial(brightness, var=brightness_var),
+          functools.partial(contrast, var=contrast_var),
+          functools.partial(saturation, var=saturation_var)]
+    import itertools
+    orders = list(itertools.permutations(range(3)))
+    k_pick, *keys = jax.random.split(rng, 4)
+
+    def apply_order(order_idx):
+        def f(x):
+            y = x
+            for slot, t_idx in enumerate(orders[order_idx]):
+                y = ts[t_idx](y, keys[slot])
+            return y
+        return f
+
+    idx = jax.random.randint(k_pick, (), 0, len(orders))
+    return jax.lax.switch(idx, [apply_order(i) for i in range(6)], img)

@@ -1,0 +1,73 @@
+"""Fused RAU-hops Pallas kernel vs the XLA reference path (interpret mode on
+CPU; the real-TPU run is exercised by bench.py and the driver)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rau_vqa_tpu.config import ModelConfig
+from rau_vqa_tpu.models.rau import embed_image, init_params, rau_forward
+from rau_vqa_tpu.ops.rau_hops import rau_hops_pallas, rau_hops_reference
+
+CFG = ModelConfig(
+    vocab_size=50, answer_size=16, seq_len=9, embed_dim=8, rnn_size=16,
+    rnn_layers=2, cnn_dim=12, cnn_w=4, cnn_h=2, multfeat_dim=16,
+    attfeat_dim=8, att_rnn_size=16, n_hops=3)
+
+
+def setup(B=32):
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    mp = params["mult"]
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(B, CFG.rnnout_dim).astype(np.float32))
+    feats = jnp.asarray(rs.randn(B, CFG.cnn_spat, CFG.cnn_dim)
+                        .astype(np.float32))
+    ifeat, iatt = embed_image(mp, CFG, feats, train=False)
+    return params, mp, q, feats, ifeat, iatt
+
+
+def test_reference_matches_rau_forward():
+    """The hop-loop reference on precomputed embeddings must equal the full
+    eval forward given the same encoder output."""
+    params, mp, q, feats, ifeat, iatt = setup()
+    s_ref, d_ref, a_ref = rau_hops_reference(mp, CFG, q, ifeat, iatt)
+
+    # drive rau_forward with an identity-ish encoder by calling the pieces:
+    from rau_vqa_tpu.models.rau import answering_unit
+    B = q.shape[0]
+    c = jnp.zeros((B, CFG.att_state_dim))
+    h = jnp.zeros((B, CFG.att_state_dim))
+    scores = []
+    for _ in range(CFG.n_hops):
+        s, d, a, c, h = answering_unit(mp, CFG, q, ifeat, iatt, c, h,
+                                       train=False)
+        scores.append(s)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(jnp.stack(scores)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_interpret_matches_reference():
+    params, mp, q, feats, ifeat, iatt = setup()
+    s_ref, d_ref, a_ref = rau_hops_reference(mp, CFG, q, ifeat, iatt)
+    s_pl, d_pl, a_pl = rau_hops_pallas(mp, CFG, q, ifeat, iatt,
+                                       block_b=16, interpret=True)
+    assert s_pl.shape == (CFG.n_hops, 32, CFG.answer_size)
+    # bf16 dots inside the kernel vs f32 reference: loose numeric tolerance,
+    # but decisions must agree
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref),
+                               rtol=0.05, atol=0.01)
+    assert float((s_pl.argmax(-1) == s_ref.argmax(-1)).mean()) > 0.97
+    np.testing.assert_allclose(np.asarray(a_pl), np.asarray(a_ref),
+                               rtol=0.05, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
+                               rtol=0.05, atol=5e-3)
+
+
+def test_pallas_kernel_batch_divisibility():
+    params, mp, q, feats, ifeat, iatt = setup(B=24)
+    try:
+        rau_hops_pallas(mp, CFG, q, ifeat, iatt, block_b=16, interpret=True)
+        raised = False
+    except ValueError as e:
+        raised = "divisible" in str(e)
+    assert raised
