@@ -142,6 +142,10 @@ class ExperimentConfig:
     data: DataConfig = field(default_factory=DataConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     save_dir: str = "save_result_vqa"
+    # observability (reference VISUALIZATION group, :57-62)
+    visatt: bool = False          # dump attention-map PNGs during eval
+    graph_interval: int = 10      # epochs between curve renders (:59)
+    profile_dir: str = ""         # non-empty => jax.profiler trace of epoch 1
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

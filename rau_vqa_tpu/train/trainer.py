@@ -236,11 +236,21 @@ class Trainer:
         H2 = self.mcfg.n_hops + 2
         rows_oe = [[] for _ in range(H2)]
         rows_mc = [[] for _ in range(H2)]
+        first_batch = True
         for batch in test.batches(self.source):
-            tab_pred, _ = self.predict_step(
+            tab_pred, tab_att = self.predict_step(
                 self.state.params, jnp.asarray(batch.tokens, jnp.int32),
                 jnp.asarray(batch.lengths, jnp.int32),
                 jnp.asarray(batch.feats, jnp.float32))
+            if self.exp.visatt and first_batch:
+                # attention PNG dumps (reference :926-932); first batch only
+                # by default to bound file count
+                from rau_vqa_tpu.utils.visatt import dump_attention_maps
+                dump_attention_maps(
+                    os.path.join(self.workdir, "figures"), float(self.epoch),
+                    np.asarray(tab_att), batch.qids.tolist(),
+                    self.mcfg.cnn_w, self.mcfg.cnn_h)
+                first_batch = False
             mc = (None if batch.mc_answers is None
                   else jnp.asarray(batch.mc_answers, jnp.int32))
             oe_ans, mc_ans = compute_answers(tab_pred, mc)
@@ -311,10 +321,20 @@ class Trainer:
         eval_each = (self.tcfg.test_interval > 0
                      if eval_each is None else eval_each)
         last_eval: Dict[str, Any] = {}
-        for _ in range(epochs):
-            self.train_epoch()
+        for i in range(epochs):
+            if i == 0 and self.exp.profile_dir:
+                with jax.profiler.trace(self.exp.profile_dir):
+                    self.train_epoch()
+            else:
+                self.train_epoch()
             if eval_each and self.epoch % self.tcfg.test_interval == 0:
                 last_eval = self.evaluate()
             if self.epoch % self.tcfg.checkpoint_interval == 0:
                 self.save()
+            if (self.exp.graph_interval > 0
+                    and self.epoch % self.exp.graph_interval == 0):
+                from rau_vqa_tpu.utils.plots import render_curves
+                render_curves(os.path.join(self.workdir, "training_log"),
+                              os.path.join(self.workdir, "graphs"),
+                              self.mcfg.n_hops)
         return last_eval

@@ -1,0 +1,58 @@
+"""Observability: curve PNG rendering, attention dumps, profiler hook."""
+
+import glob
+import os
+
+import numpy as np
+
+from rau_vqa_tpu.utils.logging import MetricsLogger, per_hop_record
+from rau_vqa_tpu.utils.plots import render_curves
+from rau_vqa_tpu.utils.visatt import dump_attention_maps, save_attention_png
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    log = MetricsLogger(str(tmp_path))
+    log.log({"epoch": 1, "loss": 1.5,
+             **per_hop_record({"trainacc": [0.1, 0.2]})}, kind="train")
+    log.log({"epoch": 1, **per_hop_record({"testOEacc": [0.3, 0.4]})},
+            kind="test")
+    rows = log.read(kind="train")
+    assert rows[0]["trainacc_01"] == 0.1
+    assert rows[0]["trainacc_02"] == 0.2
+    assert log.read(kind="test")[0]["testOEacc_02"] == 0.4
+
+
+def test_render_curves(tmp_path):
+    log = MetricsLogger(str(tmp_path / "logs"))
+    for e in range(1, 4):
+        log.log({"epoch": e, "lr": 0.1 * 0.9 ** e, "mult_lr": 0.01,
+                 **per_hop_record({"trainacc": [0.1 * e, 0.2 * e],
+                                   "trainloss": [2.0 / e, 1.5 / e],
+                                   "do_pred_loss": [0.5 / e, 0.4 / e]})},
+                kind="train")
+        log.log({"epoch": e,
+                 **per_hop_record({"testOEacc": [0.15 * e, 0.25 * e]})},
+                kind="test")
+    written = render_curves(str(tmp_path / "logs"), str(tmp_path / "graphs"),
+                            n_hops=2)
+    names = {os.path.basename(p) for p in written}
+    assert "accuracy_curve_hop01.png" in names
+    assert "loss_curve_hop02.png" in names
+    assert "do_pred_loss_curve_hop01.png" in names
+    assert "learning_rate.png" in names
+    assert all(os.path.getsize(p) > 0 for p in written)
+
+
+def test_attention_dumps(tmp_path):
+    rs = np.random.RandomState(0)
+    att = rs.rand(4, 3, 6).astype(np.float32)  # [H+2, B, S] with 3x2 grid
+    n = dump_attention_maps(str(tmp_path / "figures"), 2.0, att,
+                            [101, 102, 103], 3, 2)
+    assert n == 12
+    files = glob.glob(str(tmp_path / "figures" / "epoch_002" / "hop_001" /
+                          "*.png"))
+    assert len(files) == 3
+    # uniform map edge case
+    save_attention_png(str(tmp_path / "flat.png"),
+                       np.full((3, 2), 0.5, np.float32))
+    assert os.path.getsize(str(tmp_path / "flat.png")) > 0
