@@ -1,0 +1,148 @@
+"""ctypes binding for the native (C++) feature-loader core.
+
+``NativePackedFeatureStore`` is a drop-in ``FeatureSource`` over the same
+packed shard layout as the Python ``PackedFeatureStore``, but the batch
+gather runs in the C++ worker pool (native/feature_loader.cpp) — the role
+torch-threads + torch .t7 deserialization play in the reference
+(vqa_prepro_loader.lua:66-80, 931-958).
+
+The shared library auto-builds on first use (``make -C native``); when the
+toolchain is unavailable the caller should fall back to the Python store.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+from rau_vqa_tpu.data.features import FeatureSource
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfeature_loader.so")
+_lib = None
+
+
+def load_library(build: bool = True) -> ctypes.CDLL:
+    """Load (building if needed) the native loader library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_NATIVE_DIR, "feature_loader.cpp")
+    needs_build = (not os.path.exists(_LIB_PATH)
+                   or (os.path.exists(src)
+                       and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if needs_build and build:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fl_open.restype = ctypes.c_void_p
+    lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                            ctypes.c_uint64, ctypes.c_uint64]
+    lib.fl_close.argtypes = [ctypes.c_void_p]
+    lib.fl_gather.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.c_uint64, ctypes.c_char_p]
+    lib.fl_ring_create.restype = ctypes.c_void_p
+    lib.fl_ring_create.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_uint64, ctypes.c_int]
+    lib.fl_ring_submit.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.c_uint64]
+    lib.fl_ring_wait.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.fl_ring_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fl_ring_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _npy_data_layout(path: str):
+    """(data_offset, shape, dtype) of a .npy file."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        np.lib.format._check_version(version)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if fortran:
+            raise ValueError(f"{path}: fortran-order npy not supported")
+        return f.tell(), shape, dtype
+
+
+class NativePackedFeatureStore(FeatureSource):
+    """Packed shard reader with native multi-threaded gather + prefetch ring."""
+
+    def __init__(self, shard_dir: str, *, n_threads: int = 4,
+                 ring_slots: int = 3, batch_rows: Optional[int] = None):
+        self.lib = load_library()
+        with open(os.path.join(shard_dir, "index.json")) as f:
+            meta = json.load(f)
+        self.index = meta["index"]
+        self.dim = int(meta["dim"])
+        self.spat = int(meta["spat"])
+        self.dtype = np.dtype(meta.get("dtype", "float32"))
+        path = os.path.join(shard_dir, "features.npy")
+        offset, shape, dtype = _npy_data_layout(path)
+        if dtype != self.dtype or shape[1:] != (self.spat, self.dim):
+            raise ValueError(f"{path}: layout {shape}/{dtype} disagrees with "
+                             f"index.json")
+        self.row_bytes = self.spat * self.dim * self.dtype.itemsize
+        self.handle = self.lib.fl_open(path.encode(), offset,
+                                       self.row_bytes, shape[0])
+        if not self.handle:
+            raise OSError(f"fl_open failed for {path}")
+        self.n_threads = n_threads
+        self._ring = None
+        self._ring_rows = 0
+        self._ring_slots = ring_slots
+        self._seq = 0
+        if batch_rows:
+            self._ensure_ring(batch_rows)
+
+    def _ensure_ring(self, batch_rows: int) -> None:
+        if self._ring is not None and self._ring_rows == batch_rows:
+            return
+        if self._ring is not None:
+            self.lib.fl_ring_destroy(self._ring)
+        self._ring = self.lib.fl_ring_create(self.handle, batch_rows,
+                                             self._ring_slots, self.n_threads)
+        self._ring_rows = batch_rows
+        self._seq = 0
+
+    def _rows_for(self, names: Sequence[str]) -> np.ndarray:
+        return np.fromiter((self.index[n] for n in names), np.int64,
+                           len(names))
+
+    def get_batch(self, names: Sequence[str], datatypes: Sequence[int]
+                  ) -> np.ndarray:
+        rows = self._rows_for(names)
+        self._ensure_ring(len(rows))
+        rows_p = rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        seq = self._seq
+        self._seq += 1
+        self.lib.fl_ring_submit(self._ring, seq, rows_p, len(rows))
+        ptr = self.lib.fl_ring_wait(self._ring, seq)
+        buf = ctypes.cast(ptr, ctypes.POINTER(
+            ctypes.c_uint8 * (len(rows) * self.row_bytes))).contents
+        arr = np.frombuffer(buf, dtype=self.dtype).reshape(
+            len(rows), self.spat, self.dim)
+        # MUST copy: the ring slot is reused after n_slots more batches
+        # (np.asarray would alias the slot when dtypes already match)
+        return arr.astype(np.float32, copy=True)
+
+    def close(self) -> None:
+        if self._ring is not None:
+            self.lib.fl_ring_destroy(self._ring)
+            self._ring = None
+        if self.handle:
+            self.lib.fl_close(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
