@@ -1,0 +1,47 @@
+"""Host-side image decode for the from-pixels pipeline.
+
+The reference's on-the-fly image path decodes JPEGs, resizes and normalizes
+per-image on the host inside the prefetch thread
+(vqa_prepro_loader.lua:1045-1068).  TPU-native split of responsibilities:
+the host only decodes and resizes to a fixed uint8 canvas (PIL, cheap,
+parallelizable); ALL float preprocessing — BGR/mean or mean/std normalize,
+crops, flips — runs batched on device (ops/transforms), fused by XLA into
+the backbone's first convolution.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class ImageDirSource:
+    """Decodes images from a root directory into a uint8 [B, size, size, 3]
+    batch (bicubic shorter-side resize + center crop, matching the
+    reference's Scale+CenterCrop eval transform)."""
+
+    def __init__(self, root: str, size: int = 448, *, n_threads: int = 8):
+        self.root = root
+        self.size = size
+        self.pool = ThreadPoolExecutor(max_workers=n_threads)
+
+    def _load_one(self, rel_path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.root, rel_path)).convert("RGB")
+        w, h = img.size
+        scale = self.size / min(w, h)
+        img = img.resize((max(self.size, round(w * scale)),
+                          max(self.size, round(h * scale))),
+                         Image.BICUBIC)
+        w, h = img.size
+        x0, y0 = (w - self.size) // 2, (h - self.size) // 2
+        img = img.crop((x0, y0, x0 + self.size, y0 + self.size))
+        return np.asarray(img, np.uint8)
+
+    def get_batch(self, rel_paths: Sequence[str]) -> np.ndarray:
+        out = list(self.pool.map(self._load_one, rel_paths))
+        return np.stack(out)

@@ -1,0 +1,63 @@
+"""From-pixels VQA pipeline: backbone + RAU in one jitted program.
+
+Covers BASELINE.json configs[3] ("Ours_ResNet run on-TPU end-to-end,
+features not precomputed") and the VGG variants: uint8 images enter the
+device, normalization + feature extraction + the answering units compile to
+a single XLA program, so preprocessing fuses into the first convolution
+(north-star: on-device batched preprocessing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Literal, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rau_vqa_tpu.config import ModelConfig
+from rau_vqa_tpu.models.backbones.resnet import resnet101_apply
+from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_apply
+from rau_vqa_tpu.models.rau import rau_forward
+from rau_vqa_tpu.ops import transforms as T
+
+Backbone = Literal["vgg16", "resnet101"]
+
+
+def extract_features(backbone: Backbone, bb_params: Dict,
+                     images_u8: jax.Array) -> jax.Array:
+    """uint8 [B, H, W, 3] RGB -> [B, S, D] features, normalization included
+    (the two schemes of vqa_prepro_loader.lua:1061-1067)."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    if backbone == "vgg16":
+        return vgg16_pool5_apply(bb_params, T.vgg_preprocess(x))
+    if backbone == "resnet101":
+        return resnet101_apply(bb_params, T.color_normalize(x))
+    raise ValueError(f"unknown backbone {backbone!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backbone"))
+def pixels_forward(params: Dict, bb_params: Dict, cfg: ModelConfig,
+                   backbone: Backbone, images_u8: jax.Array,
+                   tokens: jax.Array, lengths: jax.Array):
+    """Full pixels->answers forward (eval): returns RAUOutput."""
+    feats = extract_features(backbone, bb_params, images_u8)
+    return rau_forward(params, cfg, tokens, lengths, feats, train=False)
+
+
+def answer_pixels(params: Dict, bb_params: Dict, cfg: ModelConfig,
+                  backbone: Backbone, images_u8, tokens, lengths
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Convenience: (oe_answer_ids [H+2, B], attention [H+2, B, S])."""
+    from rau_vqa_tpu.models.aggregate import select_aggregate
+
+    out = pixels_forward(params, bb_params, cfg, backbone, images_u8,
+                         tokens, lengths)
+    select_pred, gates = select_aggregate(out.scores, out.do_pred,
+                                          force_final=True)
+    uni = jnp.mean(out.scores, axis=0)
+    tab_pred = jnp.concatenate([out.scores, uni[None], select_pred[None]])
+    select_att = jnp.einsum("hbs,hb->bs", out.attprob, gates)
+    uni_att = jnp.mean(out.attprob, axis=0)
+    tab_att = jnp.concatenate([out.attprob, uni_att[None], select_att[None]])
+    return jnp.argmax(tab_pred, axis=-1), tab_att

@@ -1,0 +1,51 @@
+"""From-pixels pipeline: decode -> on-device preprocess -> backbone -> RAU."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rau_vqa_tpu.config import ModelConfig
+from rau_vqa_tpu.data.images import ImageDirSource
+from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+from rau_vqa_tpu.models.pipeline import answer_pixels, extract_features
+from rau_vqa_tpu.models.rau import init_params
+
+
+def test_image_dir_source(tmp_path):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    for i, (w, h) in enumerate([(80, 60), (50, 90), (64, 64)]):
+        arr = rs.randint(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"img{i}.jpg"))
+    src = ImageDirSource(str(tmp_path), size=32)
+    batch = src.get_batch(["img0.jpg", "img1.jpg", "img2.jpg"])
+    assert batch.shape == (3, 32, 32, 3)
+    assert batch.dtype == np.uint8
+
+
+def test_pixels_to_answers(tmp_path):
+    cfg = ModelConfig(
+        vocab_size=40, answer_size=9, seq_len=7, embed_dim=8, rnn_size=16,
+        rnn_layers=2, cnn_dim=512, cnn_w=2, cnn_h=2, multfeat_dim=16,
+        attfeat_dim=8, att_rnn_size=16, n_hops=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(1))
+    rs = np.random.RandomState(0)
+    B = 2
+    images = jnp.asarray(rs.randint(0, 255, (B, 64, 64, 3), np.uint8))
+    tokens = jnp.asarray(rs.randint(1, cfg.vocab_size, (B, cfg.seq_len)),
+                         jnp.int32)
+    lengths = jnp.asarray([3, 7], jnp.int32)
+
+    feats = extract_features("vgg16", bb, images)
+    assert feats.shape == (B, 4, 512)   # 64/32 = 2x2 grid
+
+    ans, att = answer_pixels(params, bb, cfg, "vgg16", images, tokens, lengths)
+    assert ans.shape == (cfg.n_hops + 2, B)
+    assert att.shape == (cfg.n_hops + 2, B, 4)
+    assert np.all(np.asarray(ans) >= 0) and np.all(np.asarray(ans) < 9)
+    np.testing.assert_allclose(np.asarray(att[0]).sum(-1), np.ones(B),
+                               rtol=1e-5)
