@@ -41,7 +41,7 @@ from rau_vqa_tpu.data.features import FeatureSource, coco_feat_name
 class Batch:
     """One host-side batch, numpy, ready for device_put."""
 
-    feats: np.ndarray        # [B, S, D] float32
+    feats: object            # [B, S, D] float32, tuple of arrays, or None
     tokens: np.ndarray       # [B, T] int32, 0 = ZEROPAD
     lengths: np.ndarray      # [B] int32, >= 1
     labels: Optional[np.ndarray]   # [B] int32 0-based (train splits)
@@ -55,13 +55,15 @@ class SplitData:
     def __init__(self, name: str, questions: np.ndarray, lengths: np.ndarray,
                  img_names: List[str], datatypes: np.ndarray, qids: np.ndarray,
                  batch_size: int, *, answers: Optional[np.ndarray] = None,
-                 mc_answers: Optional[np.ndarray] = None, seed: int = 123):
+                 mc_answers: Optional[np.ndarray] = None, seed: int = 123,
+                 img_paths: Optional[List[str]] = None):
         assert questions.ndim == 2
         assert lengths.min() >= 1, "every question must have >= 1 token"
         self.name = name
         self.questions = questions.astype(np.int32)
         self.lengths = lengths.astype(np.int32)
         self.img_names = img_names          # per-question feature-file name
+        self.img_paths = img_paths          # per-question image rel path
         self.datatypes = datatypes.astype(np.int32)
         self.qids = qids.astype(np.int64)
         self.answers = None if answers is None else answers.astype(np.int32)
@@ -121,10 +123,32 @@ class SplitData:
             qids=self.qids[idx],
         )
 
+    def _fetch_source(self, source, idx: np.ndarray) -> np.ndarray:
+        """One source fetch: FeatureSource by feature-file name, or an image
+        source (duck-typed: no ``dim`` attribute) by image path — the two
+        operand kinds of the reference's next_batch_feat / next_batch_image /
+        next_batch_feat_image family (vqa_prepro_loader.lua:220-1192)."""
+        if hasattr(source, "dim"):
+            names = [self.img_names[i] for i in idx]
+            return source.get_batch(names, self.datatypes[idx])
+        if self.img_paths is None:
+            raise ValueError("split has no image paths for an image source")
+        return source.get_batch([self.img_paths[i] for i in idx])
+
     def next_batch(self, source: FeatureSource) -> Batch:
         idx = self._batch_indices()
-        names = [self.img_names[i] for i in idx]
-        feats = source.get_batch(names, self.datatypes[idx])
+        return self._assemble(idx, self._fetch_source(source, idx))
+
+    def next_batch_text(self) -> Batch:
+        """Text-only batch (the reference's next_batch, :1194-1217)."""
+        idx = self._batch_indices()
+        return self._assemble(idx, None)
+
+    def next_batch_multi(self, sources) -> Batch:
+        """Multi-operand batch: feats is a tuple, one entry per source (the
+        reference's next_batch_twofeats / next_batch_feat_image, :220, :565)."""
+        idx = self._batch_indices()
+        feats = tuple(self._fetch_source(s, idx) for s in sources)
         return self._assemble(idx, feats)
 
     def batches(self, source: FeatureSource, num_batches: Optional[int] = None,
@@ -253,6 +277,7 @@ def load_vqa_data(vqa_dir: str, batch_size: int, *, split: str = "val2014",
     train_fields = dict(
         questions=ques_train, lengths=len_train,
         img_names=_img_names_for(pos_train, train_imgs),
+        img_paths=[train_imgs[int(p) - 1] for p in pos_train],
         datatypes=dt_train, qids=qid_train, answers=answers,
     )
 
@@ -269,7 +294,8 @@ def load_vqa_data(vqa_dir: str, batch_size: int, *, split: str = "val2014",
             out = dict(fields)
             for k in ("questions", "lengths", "datatypes", "qids", "answers"):
                 out[k] = fields[k][idx]
-            out["img_names"] = [fields["img_names"][i] for i in idx]
+            for k in ("img_names", "img_paths"):
+                out[k] = [fields[k][i] for i in idx]
             return out
 
         val_fields = take(train_fields, val_idx)
@@ -285,6 +311,7 @@ def load_vqa_data(vqa_dir: str, batch_size: int, *, split: str = "val2014",
         split, batch_size=tb, seed=seed + 2,
         questions=ques_test, lengths=len_test,
         img_names=_img_names_for(pos_test, test_imgs),
+        img_paths=[test_imgs[int(p) - 1] for p in pos_test],
         datatypes=np.ones_like(qid_test, np.int32), qids=qid_test,
         mc_answers=mc_ans,
     )

@@ -27,6 +27,21 @@ def save_attention_png(path: str, att: np.ndarray, *, upscale: int = 16) -> None
     Image.fromarray(img, mode="L").save(path)
 
 
+def tile_batch_images(imgs: np.ndarray, n_cols: int = 0) -> np.ndarray:
+    """[B, H, W] or [B, H, W, C] -> one grid collage (the reference's
+    utils/tools.lua tileBatchImg:11-47)."""
+    B = imgs.shape[0]
+    if n_cols <= 0:
+        n_cols = int(np.ceil(np.sqrt(B)))
+    n_rows = int(np.ceil(B / n_cols))
+    pad = n_rows * n_cols - B
+    if pad:
+        imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+    rows = [np.concatenate(list(imgs[r * n_cols:(r + 1) * n_cols]), axis=1)
+            for r in range(n_rows)]
+    return np.concatenate(rows, axis=0)
+
+
 def dump_attention_maps(figure_dir: str, epoch: float, att: np.ndarray,
                         qids: Sequence[int], cnn_w: int, cnn_h: int) -> int:
     """att [H+2, B, S] for one batch -> one PNG per (hop, question).

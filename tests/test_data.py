@@ -184,3 +184,30 @@ def test_gt_annotations(fixture_root):
                                           "gt_annotations.json"))
     assert len(gt) == SPEC.n_test
     assert all(isinstance(k, int) for k in gt)
+
+
+def test_batch_fetch_variants(fixture_root):
+    """Text-only and multi-source batches (next_batch / next_batch_twofeats
+    equivalents)."""
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014")
+    sd = data.train_data
+    sd.inorder()
+    b_text = sd.next_batch_text()
+    assert b_text.feats is None
+    assert b_text.tokens.shape == (16, SPEC.seq_len)
+
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w,
+                             SPEC.feat_h)
+    sd.inorder()
+    b_two = sd.next_batch_multi([src, src])
+    assert isinstance(b_two.feats, tuple) and len(b_two.feats) == 2
+    np.testing.assert_array_equal(b_two.feats[0], b_two.feats[1])
+
+
+def test_qa_utils_names():
+    from rau_vqa_tpu.data.qa_utils import cocofeat_name, cocoimg_name
+
+    assert cocoimg_name("train2014", 357413) == "COCO_train2014_000000357413.jpg"
+    assert cocofeat_name("val2014", 7) == "COCO_val2014_000000000007.t7"
