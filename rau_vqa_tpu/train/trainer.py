@@ -108,7 +108,7 @@ class Trainer:
     def __init__(self, exp: ExperimentConfig, data: VQAData,
                  source: FeatureSource, workdir: str, *,
                  gt_anno: Optional[Dict[int, str]] = None,
-                 jit_step=None):
+                 jit_step=None, mesh=None):
         # model dims come from the dataset (reference reads vocab/answer size
         # from the loader, :204,:222)
         self.mcfg = dataclasses.replace(
@@ -125,8 +125,23 @@ class Trainer:
 
         self.state = init_train_state(jax.random.PRNGKey(self.tcfg.seed),
                                       self.mcfg)
-        self.train_step = jit_step or jax.jit(
-            make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
+        self.mesh = mesh
+        if jit_step is not None:
+            self.train_step = jit_step
+        elif mesh is not None:
+            # DP (+ optional TP) over the mesh; the batch is sharded on
+            # 'data' in _put_batch, gradients all-reduce via GSPMD
+            from rau_vqa_tpu.parallel.mesh import (
+                make_sharded_train_step,
+                place_state,
+            )
+            tp = exp.mesh.shard_params_tp
+            self.state = place_state(mesh, self.state, tp=tp)
+            self.train_step = make_sharded_train_step(
+                self.mcfg, self.tcfg, mesh, self.state, tp=tp)
+        else:
+            self.train_step = jax.jit(
+                make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
         self.predict_step = make_predict_step(self.mcfg)
 
         self.lr = self.tcfg.learning_rate
@@ -145,14 +160,18 @@ class Trainer:
             epoch=epoch_1based)
 
     def _put_batch(self, batch):
-        dev = {
-            "tokens": jnp.asarray(batch.tokens, jnp.int32),
-            "lengths": jnp.asarray(batch.lengths, jnp.int32),
-            "feats": jnp.asarray(batch.feats, jnp.float32),
+        arrays = {
+            "tokens": np.asarray(batch.tokens, np.int32),
+            "lengths": np.asarray(batch.lengths, np.int32),
+            "feats": np.asarray(batch.feats, np.float32),
         }
         if batch.labels is not None:
-            dev["labels"] = jnp.asarray(batch.labels, jnp.int32)
-        return dev
+            arrays["labels"] = np.asarray(batch.labels, np.int32)
+        if self.mesh is not None:
+            from rau_vqa_tpu.parallel.mesh import shard_batch
+            vals = shard_batch(self.mesh, *arrays.values())
+            return dict(zip(arrays.keys(), vals))
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:

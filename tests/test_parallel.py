@@ -93,3 +93,49 @@ def test_sharded_step_matches_single_device(n_data, n_model, tp):
     # DP: batch was actually split over 'data'
     tok_shards = sbatch[0].addressable_shards
     assert len(tok_shards) == 8
+
+
+def test_trainer_on_mesh(tmp_path):
+    """Trainer drives the full epoch loop through the sharded step on the
+    8-device mesh and learns the fixture above chance."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+    from test_train import make_trainer
+
+    root = str(tmp_path / "fix")
+    generate_fixture(root)
+
+    import dataclasses
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data import T7DirFeatureSource, load_vqa_data
+    from rau_vqa_tpu.data.fixtures import FixtureSpec
+    from rau_vqa_tpu.data.loader import load_gt_annotations
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, n_hops=2, cnn_dim=spec.feat_dim, cnn_w=spec.feat_w,
+            cnn_h=spec.feat_h, embed_dim=16, rnn_size=16, multfeat_dim=16,
+            attfeat_dim=8, att_rnn_size=16, embed_dropout=0.0,
+            rnn_dropout=0.0, mult_dropout=0.1),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, learning_rate=1e-2,
+            mult_learning_rate=1e-2, lr_decay=1.0, mult_lr_decay=1.0,
+            noisy_eta=0.0, grad_clip=10.0),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    vqa_dir = os.path.join(root, "vqa_prepro")
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = T7DirFeatureSource([os.path.join(root, "feat")], spec.feat_dim,
+                             spec.feat_w, spec.feat_h)
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    mesh = make_mesh(n_data=8, n_model=1)
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"), gt_anno=gt,
+                      mesh=mesh)
+    trainer.fit(epochs=15, eval_each=False)
+    res = trainer.evaluate(write_submissions=False)
+    assert max(res["testOEacc"]) > 0.3   # well above 20% chance by epoch 15
