@@ -56,3 +56,30 @@ def test_attention_dumps(tmp_path):
     save_attention_png(str(tmp_path / "flat.png"),
                        np.full((3, 2), 0.5, np.float32))
     assert os.path.getsize(str(tmp_path / "flat.png")) > 0
+
+
+def test_dashboard_serves(tmp_path):
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    from rau_vqa_tpu.utils.dashboard import make_handler
+
+    wd = str(tmp_path / "run")
+    log = MetricsLogger(os.path.join(wd, "training_log"))
+    log.log({"epoch": 1, "loss": 2.0, "lr": 0.003,
+             **per_hop_record({"trainacc": [0.5], "trainloss": [1.9]})},
+            kind="train")
+    server = HTTPServer(("127.0.0.1", 0), make_handler(wd, 1))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+        assert "latest train record" in page and "trainacc_01" in page
+        raw = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics.jsonl", timeout=10).read()
+        assert b"trainacc_01" in raw
+    finally:
+        server.shutdown()
