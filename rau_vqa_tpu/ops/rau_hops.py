@@ -147,16 +147,24 @@ def _kernel(n_hops: int, q_ref, ifeat_ref, iatt_ref, *refs):
     iatt = iatt_ref[:]
     B = q.shape[0]
     R = mp["attlstm"]["layers"][0]["wh"].shape[0]
-    c = jnp.zeros((B, R), jnp.float32)
-    h = jnp.zeros((B, R), jnp.float32)
-    for hop in range(n_hops):
+
+    # fori_loop (not a Python unroll): n_hops-times smaller program for the
+    # Mosaic layout solver — the unrolled variant compiled pathologically
+    def body(hop, carry):
+        c, h = carry
         s, d, a, c, h = _hop_body(mp, q, ifeat, iatt, c, h,
                                   dot_dtype=jnp.bfloat16)
-        scores_ref[hop, :, :] = s
+        scores_ref[pl.ds(hop, 1), :, :] = s[None]
         # do_pred is [B]; TPU blocks need a 128-wide lane dim — broadcast
         # into a padded [B, 128] row, sliced back to [H, B] by the caller
-        dopred_ref[hop, :, :] = jnp.broadcast_to(d[:, None], (B, 128))
-        attprob_ref[hop, :, :] = a
+        dopred_ref[pl.ds(hop, 1), :, :] = jnp.broadcast_to(
+            d[:, None], (B, 128))[None]
+        attprob_ref[pl.ds(hop, 1), :, :] = a[None]
+        return (c, h)
+
+    c0 = jnp.zeros((B, R), jnp.float32)
+    h0 = jnp.zeros((B, R), jnp.float32)
+    jax.lax.fori_loop(0, n_hops, body, (c0, h0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_b", "interpret"))
