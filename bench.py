@@ -38,8 +38,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from rau_vqa_tpu.config import get_preset
-    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.eval.predict import predict, predict_fused
     from rau_vqa_tpu.models.rau import init_params
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
 
     # bf16 MXU passes for serving; parity mode is exercised by the test suite
     cfg = dataclasses.replace(get_preset("ours_ms").model,
@@ -64,12 +66,14 @@ def main() -> None:
         ))
     jax.block_until_ready(batches)
 
+    fwd = predict_fused if on_tpu else predict  # fused Pallas hop loop on TPU
+
     @jax.jit
     def serve(params, tokens, lengths, feats, salt):
         # salt makes every dispatch unique work (defeats any result caching
         # between identical calls in the remote-execution path)
         tokens = jnp.where(tokens > 0, (tokens + salt) % cfg.vocab_size, 0)
-        tab_pred, _ = predict(params, cfg, tokens, lengths, feats)
+        tab_pred, _ = fwd(params, cfg, tokens, lengths, feats)
         return jnp.argmax(tab_pred, axis=-1)  # [H+2, B] answer ids
 
     log("bench: compiling")

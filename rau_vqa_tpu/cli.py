@@ -245,6 +245,100 @@ def cmd_pack_features(args) -> int:
     return 0
 
 
+def cmd_convert_snapshot(args) -> int:
+    """Convert a reference Torch7 snapshot into a native checkpoint (or the
+    reverse with --to-torch)."""
+    import jax
+    import numpy as np
+
+    from rau_vqa_tpu.config import get_preset, ModelConfig
+    from rau_vqa_tpu.train.trainer import init_train_state
+    from rau_vqa_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from rau_vqa_tpu.utils import torch_convert as tc
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    mcfg = dataclasses.replace(exp.model, vocab_size=args.vocab_size,
+                               answer_size=args.answer_size,
+                               seq_len=args.seq_len)
+    if args.config_json:
+        with open(args.config_json) as f:
+            cfg_dict = json.load(f)
+        mcfg = ModelConfig(**cfg_dict.get("model", cfg_dict))
+    if args.to_torch:
+        # adopt the native checkpoint's own (self-describing) model config
+        meta_path = args.input.replace(".msgpack", ".json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved = json.load(f)
+            if "model_config" in saved:
+                mcfg = ModelConfig(**saved["model_config"])
+        state = init_train_state(jax.random.PRNGKey(0), mcfg)
+        tree, meta = load_checkpoint(args.input, state._asdict())
+        params = jax.tree.map(np.asarray, tree["params"])
+        tc.export_snapshot(args.output, params, mcfg,
+                           it=meta.get("step", 0),
+                           epoch=meta.get("epoch", 0.0))
+        print(f"wrote Torch snapshot {args.output}")
+        return 0
+    params = tc.convert_snapshot(args.input, mcfg)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg)
+    state = state._replace(params=jax.tree.map(
+        lambda t, s: s.astype(t.dtype), state.params, params))
+    save_checkpoint(os.path.dirname(args.output) or ".", 0, 0.0,
+                    state._asdict(),
+                    extra={"model_config": dataclasses.asdict(mcfg),
+                           "converted_from": args.input})
+    print(f"converted {args.input} (native checkpoint written alongside)")
+    return 0
+
+
+def cmd_ask(args) -> int:
+    """Answer one question about one image's features from a checkpoint —
+    the smallest serving path (question string -> tokens via the dataset
+    vocab, features via .t7/packed store, top-k answers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rau_vqa_tpu.config import get_preset, ModelConfig
+    from rau_vqa_tpu.data.loader import load_vqa_data
+    from rau_vqa_tpu.eval.predict import make_predict_step
+    from rau_vqa_tpu.train.trainer import Trainer, init_train_state
+    from rau_vqa_tpu.utils.checkpoint import load_checkpoint
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    meta_path = args.checkpoint.replace(".msgpack", ".json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if "model_config" in meta:
+            exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+    data = load_vqa_data(exp.data.vqa_dir, 1, split=exp.data.split,
+                         test_batch_size=1)
+    mcfg = dataclasses.replace(exp.model, vocab_size=data.vocab_size,
+                               answer_size=data.answer_size,
+                               seq_len=data.seq_len)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg)
+    tree, _ = load_checkpoint(args.checkpoint, state._asdict())
+    params = tree["params"]
+
+    tokens, length = data.question_to_tokens(args.question)
+    source = _make_feature_source([exp.data.feat_dir], mcfg)
+    feats = source.get_batch([args.feat_name], [1])
+
+    predict = make_predict_step(mcfg)
+    tab_pred, tab_att = predict(params, jnp.asarray(tokens[None]),
+                                jnp.asarray([length], jnp.int32),
+                                jnp.asarray(feats))
+    final = np.asarray(tab_pred[-1, 0])      # "select" aggregate
+    top = np.argsort(final)[::-1][:args.topk]
+    print(f"Q: {args.question}")
+    for rank, idx in enumerate(top):
+        print(f"  {rank + 1}. {data.answers[int(idx)]}  "
+              f"(score {final[idx]:.3f})")
+    return 0
+
+
 def cmd_fixture(args) -> int:
     from rau_vqa_tpu.data.fixtures import generate_fixture
 
@@ -283,10 +377,35 @@ def main(argv=None) -> int:
     p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
     p_fix.add_argument("--out", required=True)
 
+    p_conv = sub.add_parser("convert-snapshot",
+                            help="Torch7 snapshot <-> native checkpoint")
+    p_conv.add_argument("--input", required=True)
+    p_conv.add_argument("--output", required=True)
+    p_conv.add_argument("--to-torch", action="store_true")
+    p_conv.add_argument("--vocab-size", type=int, required=True)
+    p_conv.add_argument("--answer-size", type=int, default=1000)
+    p_conv.add_argument("--seq-len", type=int, default=26)
+    p_conv.add_argument("--config-json", default=None,
+                        help="model config json (e.g. a run's config.json) "
+                             "overriding preset dims")
+    _add_train_flags(p_conv)
+    _add_common_data_flags(p_conv)
+
+    p_ask = sub.add_parser("ask", help="answer one question from a checkpoint")
+    p_ask.add_argument("--checkpoint", required=True)
+    p_ask.add_argument("--question", required=True)
+    p_ask.add_argument("--feat-name", required=True,
+                       help="feature file name, e.g. COCO_val2014_0000....t7")
+    p_ask.add_argument("--topk", type=int, default=5)
+    _add_train_flags(p_ask)
+    _add_common_data_flags(p_ask)
+
     args = parser.parse_args(argv)
     return {"train": cmd_train, "eval": cmd_eval,
             "pack-features": cmd_pack_features,
-            "fixture": cmd_fixture}[args.command](args)
+            "fixture": cmd_fixture,
+            "convert-snapshot": cmd_convert_snapshot,
+            "ask": cmd_ask}[args.command](args)
 
 
 if __name__ == "__main__":

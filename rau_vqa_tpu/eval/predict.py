@@ -25,24 +25,51 @@ from rau_vqa_tpu.models.rau import rau_forward
 from rau_vqa_tpu.models.aggregate import select_aggregate
 
 
+def _aggregate(scores, do_pred, attprob) -> Tuple[jax.Array, jax.Array]:
+    """Stack the nHop+2 prediction/attention sets from per-hop outputs."""
+    select_pred, gates = select_aggregate(scores, do_pred, force_final=True)
+    select_att = jnp.einsum("hbs,hb->bs", attprob, gates)
+    uni_pred = jnp.mean(scores, axis=0)
+    uni_att = jnp.mean(attprob, axis=0)
+    tab_pred = jnp.concatenate([scores, uni_pred[None], select_pred[None]],
+                               axis=0)
+    tab_att = jnp.concatenate([attprob, uni_att[None], select_att[None]],
+                              axis=0)
+    return tab_pred, tab_att
+
+
 def predict(params, cfg: ModelConfig, tokens, lengths, feats
             ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tab_pred [H+2, B, A], tab_att [H+2, B, S])."""
     out = rau_forward(params, cfg, tokens, lengths, feats, train=False)
-    select_pred, gates = select_aggregate(out.scores, out.do_pred,
-                                          force_final=True)
-    select_att = jnp.einsum("hbs,hb->bs", out.attprob, gates)
-    uni_pred = jnp.mean(out.scores, axis=0)
-    uni_att = jnp.mean(out.attprob, axis=0)
-    tab_pred = jnp.concatenate(
-        [out.scores, uni_pred[None], select_pred[None]], axis=0)
-    tab_att = jnp.concatenate(
-        [out.attprob, uni_att[None], select_att[None]], axis=0)
-    return tab_pred, tab_att
+    return _aggregate(out.scores, out.do_pred, out.attprob)
 
 
-def make_predict_step(cfg: ModelConfig):
+def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
+                  block_b: int = 16, interpret: bool = False
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Like ``predict`` but the hop loop runs in the fused Pallas kernel
+    (ops/rau_hops.py): 2-3x faster than the XLA hop loop on v5e for the
+    8-hop configs.  Batch must divide by ``block_b``; bf16 numerics
+    (>99.8% argmax agreement with the f32 path)."""
+    from rau_vqa_tpu.models.rau import embed_image, encode_question
+    from rau_vqa_tpu.ops.rau_hops import rau_hops_pallas
+
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        q = encode_question(params, cfg, tokens, lengths, train=False)
+        ifeat, iatt = embed_image(params["mult"], cfg, feats, train=False)
+    scores, do_pred, attprob = rau_hops_pallas(
+        params["mult"], cfg, q, ifeat, iatt, block_b=block_b,
+        interpret=interpret)
+    return _aggregate(scores, do_pred, attprob)
+
+
+def make_predict_step(cfg: ModelConfig, *, fused: bool = False,
+                      interpret: bool = False):
     """Jitted (params, tokens, lengths, feats) -> (tab_pred, tab_att)."""
+    if fused:
+        return jax.jit(lambda p, t, l, f: predict_fused(
+            p, cfg, t, l, f, interpret=interpret))
     return jax.jit(lambda p, t, l, f: predict(p, cfg, t, l, f))
 
 

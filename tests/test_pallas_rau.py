@@ -71,3 +71,21 @@ def test_pallas_kernel_batch_divisibility():
     except ValueError as e:
         raised = "divisible" in str(e)
     assert raised
+
+
+def test_predict_fused_matches_predict():
+    from rau_vqa_tpu.eval.predict import predict, predict_fused
+
+    params, mp, q, feats, ifeat, iatt = setup(B=16)
+    rs = np.random.RandomState(1)
+    tokens = jnp.asarray(rs.randint(1, CFG.vocab_size, (16, CFG.seq_len)),
+                         jnp.int32)
+    lengths = jnp.asarray(rs.randint(1, CFG.seq_len + 1, 16), jnp.int32)
+    tab_ref, att_ref = predict(params, CFG, tokens, lengths, feats)
+    tab_pl, att_pl = predict_fused(params, CFG, tokens, lengths, feats,
+                                   interpret=True)
+    assert tab_pl.shape == tab_ref.shape
+    np.testing.assert_allclose(np.asarray(tab_pl), np.asarray(tab_ref),
+                               rtol=0.05, atol=0.02)
+    agree = float((tab_ref.argmax(-1) == tab_pl.argmax(-1)).mean())
+    assert agree > 0.95
