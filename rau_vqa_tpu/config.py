@@ -203,11 +203,26 @@ def _preset_resnet() -> ExperimentConfig:
     )
 
 
+def _preset_vit() -> ExperimentConfig:
+    """Stretch config (BASELINE.json configs[4]): ViT-L/14 patch tokens as
+    the RAU feature map — 16x16 = 256 spatial cells of dim 1024 at 224px
+    input.  Features come from the on-TPU ViT backbone
+    (models/backbones/vit.py); the RAU attention is length-agnostic."""
+    return ExperimentConfig(
+        name="ours_vit",
+        alg_name="RauVitL14Stretch",
+        model=ModelConfig(n_hops=8, cnn_dim=1024, cnn_w=16, cnn_h=16),
+        train=TrainConfig(),
+        data=DataConfig(split="val2014"),
+    )
+
+
 PRESETS = {
     "ours_ss": _preset_ss,
     "ours_ms": _preset_ms,
     "ours_full": _preset_full,
     "ours_resnet": _preset_resnet,
+    "ours_vit": _preset_vit,
 }
 
 

@@ -181,3 +181,44 @@ def test_pytorch_forward_equivalence():
                          tokens, lengths, feats)
     np.testing.assert_allclose(np.asarray(out.scores), want,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_golden_roundtrip_through_torch_snapshot(tmp_path):
+    """End-to-end golden-output flow: a trained native checkpoint exported to
+    the reference's snapshot format, converted back, must produce IDENTICAL
+    answer ids on the test split (the checkpoint-parity protocol of
+    SURVEY.md §4/§5 exercised on a real file)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+    from rau_vqa_tpu.eval.predict import compute_answers
+    from test_train import make_trainer
+
+    root = str(tmp_path / "fix")
+    generate_fixture(root)
+    trainer = make_trainer(root, str(tmp_path / "run"))
+    trainer.fit(epochs=3, eval_each=False)
+
+    mcfg = trainer.mcfg
+    params_np = jax.tree.map(np.asarray, trainer.state.params)
+    t7_path = str(tmp_path / "golden.t7")
+    export_snapshot(t7_path, params_np, mcfg, it=30, epoch=3.0)
+    converted = convert_snapshot(t7_path, mcfg)
+
+    # identical answers on a test batch through both parameter sets
+    from rau_vqa_tpu.data import T7DirFeatureSource
+    src = T7DirFeatureSource([os.path.join(root, "feat")], mcfg.cnn_dim,
+                             mcfg.cnn_w, mcfg.cnn_h)
+    trainer.data.test_data.inorder()
+    batch = trainer.data.test_data.next_batch(src)
+    t = jnp.asarray(batch.tokens)
+    l = jnp.asarray(batch.lengths)
+    f = jnp.asarray(batch.feats)
+    tab_a, _ = trainer.predict_step(trainer.state.params, t, l, f)
+    tab_b, _ = trainer.predict_step(converted, t, l, f)
+    oe_a, _ = compute_answers(tab_a)
+    oe_b, _ = compute_answers(tab_b)
+    np.testing.assert_array_equal(np.asarray(oe_a), np.asarray(oe_b))
+    np.testing.assert_allclose(np.asarray(tab_a), np.asarray(tab_b),
+                               rtol=1e-5, atol=1e-6)
