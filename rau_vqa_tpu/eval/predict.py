@@ -46,17 +46,23 @@ def predict(params, cfg: ModelConfig, tokens, lengths, feats
 
 
 def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
-                  block_b: int = 16, interpret: bool = False
-                  ) -> Tuple[jax.Array, jax.Array]:
-    """Like ``predict`` but the hop loop runs in the fused Pallas kernel
-    (ops/rau_hops.py): 2-3x faster than the XLA hop loop on v5e for the
+                  block_b: int = 16, interpret: bool = False,
+                  fuse_encoder: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """Like ``predict`` but the hop loop (and optionally the question-LSTM
+    scan) run in fused Pallas kernels (ops/rau_hops.py,
+    ops/lstm_encoder.py): 2-3x faster than the XLA hop loop on v5e for the
     8-hop configs.  Batch must divide by ``block_b``; bf16 numerics
     (>99.8% argmax agreement with the f32 path)."""
     from rau_vqa_tpu.models.rau import embed_image, encode_question
+    from rau_vqa_tpu.ops.lstm_encoder import encode_question_fused
     from rau_vqa_tpu.ops.rau_hops import rau_hops_pallas
 
     with jax.default_matmul_precision(cfg.matmul_precision):
-        q = encode_question(params, cfg, tokens, lengths, train=False)
+        if fuse_encoder:
+            q = encode_question_fused(params, cfg, tokens, lengths,
+                                      block_b=block_b, interpret=interpret)
+        else:
+            q = encode_question(params, cfg, tokens, lengths, train=False)
         ifeat, iatt = embed_image(params["mult"], cfg, feats, train=False)
     scores, do_pred, attprob = rau_hops_pallas(
         params["mult"], cfg, q, ifeat, iatt, block_b=block_b,

@@ -89,3 +89,21 @@ def test_predict_fused_matches_predict():
                                rtol=0.05, atol=0.02)
     agree = float((tab_ref.argmax(-1) == tab_pl.argmax(-1)).mean())
     assert agree > 0.95
+
+
+def test_lstm_encoder_fused_matches_scan():
+    from rau_vqa_tpu.models.rau import encode_question
+    from rau_vqa_tpu.ops.lstm_encoder import encode_question_fused
+
+    params, mp, q, feats, ifeat, iatt = setup(B=16)
+    rs = np.random.RandomState(2)
+    lengths = rs.randint(1, CFG.seq_len + 1, 16).astype(np.int32)
+    tokens = np.zeros((16, CFG.seq_len), np.int32)
+    for k in range(16):
+        tokens[k, :lengths[k]] = rs.randint(1, CFG.vocab_size, lengths[k])
+    ref = encode_question(params, CFG, jnp.asarray(tokens),
+                          jnp.asarray(lengths))
+    got = encode_question_fused(params, CFG, jnp.asarray(tokens),
+                                jnp.asarray(lengths), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=5e-3)
