@@ -391,6 +391,12 @@ def main(argv=None) -> int:
     _add_train_flags(p_conv)
     _add_common_data_flags(p_conv)
 
+    p_dash = sub.add_parser("dashboard",
+                            help="live HTTP dashboard over a run directory")
+    p_dash.add_argument("--workdir", required=True)
+    p_dash.add_argument("--port", type=int, default=8000)
+    p_dash.add_argument("--nhop", type=int, default=8)
+
     p_ask = sub.add_parser("ask", help="answer one question from a checkpoint")
     p_ask.add_argument("--checkpoint", required=True)
     p_ask.add_argument("--question", required=True)
@@ -401,6 +407,10 @@ def main(argv=None) -> int:
     _add_common_data_flags(p_ask)
 
     args = parser.parse_args(argv)
+    if args.command == "dashboard":
+        from rau_vqa_tpu.utils.dashboard import serve_dashboard
+        serve_dashboard(args.workdir, args.port, args.nhop)
+        return 0
     return {"train": cmd_train, "eval": cmd_eval,
             "pack-features": cmd_pack_features,
             "fixture": cmd_fixture,

@@ -40,6 +40,25 @@ def make_mesh(n_data: int = -1, n_model: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+def make_multihost_mesh(n_model: int = 1) -> Mesh:
+    """Multi-host ('data', 'model') mesh with devices ordered process-major.
+
+    Initialize the runtime first (``jax.distributed.initialize()``).  Keeping
+    each process's chips contiguous along 'data' makes the gradient
+    all-reduce hierarchical automatically — GSPMD rides ICI within a slice
+    and crosses DCN only for the inter-host combine (device placement, not
+    axis naming, decides the network).  TP ('model') must stay within a
+    host's chips: n_model must divide the per-host chip count.  Each process
+    feeds its own shard of the global batch (host-sharded input pipeline,
+    SURVEY.md §5)."""
+    devices = jax.devices()          # already process-major in JAX
+    local = len(devices) // jax.process_count()
+    assert local % n_model == 0, (
+        f"{local} chips/host not divisible by model axis {n_model}")
+    return make_mesh(n_data=len(devices) // n_model, n_model=n_model,
+                     devices=devices)
+
+
 # ---------------------------------------------------------------------------
 # Sharding rules
 # ---------------------------------------------------------------------------
