@@ -194,7 +194,8 @@ class Trainer:
                 continue
             n_steps += 1
             for k in ("loss", "uni_loss", "select_loss", "uni_acc",
-                      "select_acc"):
+                      "select_acc", "grad_norm_embed", "grad_norm_rnn",
+                      "grad_norm_mult"):
                 sums[k] = sums.get(k, 0.0) + float(metrics[k])
             for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss"):
                 v = np.asarray(metrics[k])
@@ -210,7 +211,8 @@ class Trainer:
             "trainacc": out.get("acc_per_hop", []),
             "do_pred_loss": out.get("do_pred_loss", []),
         }))
-        for k in ("loss", "uni_loss", "select_loss", "uni_acc", "select_acc"):
+        for k in ("loss", "uni_loss", "select_loss", "uni_acc", "select_acc",
+                  "grad_norm_embed", "grad_norm_rnn", "grad_norm_mult"):
             if k in out:
                 record[k] = out[k]
         self.logger.log(record, kind="train")

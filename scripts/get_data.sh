@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# Fetch the released VQA v1 prepro bundles, precomputed CNN features, and the
+# reference's trained snapshots, then pack the features into mmap shards for
+# this framework.  Asset endpoints are those published by the reference
+# release (data/get_vqa_prepro.sh, data/get_vgg16_pool5_448.sh,
+# data/get_resnet_101_448.sh, experiments/*/download_trained_model.sh).
+#
+# Usage:  scripts/get_data.sh [prepro|vgg|resnet|snapshots|pack|all]
+set -euo pipefail
+
+ROOT="${DATA_ROOT:-./data}"
+mkdir -p "$ROOT"
+cd "$ROOT"
+
+fetch_targz() { wget -c "$1" && tar -zxvf "$(basename "$1")" && rm -f "$(basename "$1")"; }
+fetch_zip()   { wget -c "$1" && unzip -o "$(basename "$1")" && rm -f "$(basename "$1")"; }
+
+do_prepro() {
+  mkdir -p VQA_prepro/data_train_val
+  (cd VQA_prepro/data_train_val &&
+    fetch_zip https://filebox.ece.vt.edu/~jiasenlu/codeRelease/vqaRelease/train_only/data_train_val.zip)
+  (cd VQA_prepro &&
+    fetch_zip https://filebox.ece.vt.edu/~jiasenlu/codeRelease/vqaRelease/train_val/data_train-val_test.zip &&
+    fetch_targz http://cvlab.postech.ac.kr/research/imageqa/data/vqa_prepro/data_train-val_test-dev.tar.gz &&
+    fetch_targz http://cvlab.postech.ac.kr/research/imageqa/data/vqa_prepro/data_train_train.tar.gz &&
+    fetch_targz http://cvlab.postech.ac.kr/research/imageqa/data/vqa_prepro/comprehend.tar.gz)
+}
+
+do_vgg() {
+  fetch_targz http://cvlab.postech.ac.kr/~hyeonwoonoh/research/imageqa/data/vqa_VGG16Conv_pool5_448.tar.gz
+}
+
+do_resnet() {
+  fetch_targz http://cvlab.postech.ac.kr/~hyeonwoonoh/research/imageqa/data/vqa_resnet_101_convfeat_448.tar.gz
+}
+
+do_snapshots() {
+  # reference trained models (golden outputs for checkpoint-parity tests)
+  for exp in Ours_SS Ours_MS Ours_Full; do
+    fetch_targz "http://cvlab.postech.ac.kr/~hyeonwoonoh/research/imageqa/2016_NIPS/${exp}/save_result_vqa_448_test-dev2015.tar.gz" || true
+  done
+}
+
+do_pack() {
+  cd ..
+  python -m rau_vqa_tpu.cli pack-features \
+    --feat-dir "$ROOT/vqa_VGG16Conv_pool5_448/feat_448x448" \
+    --vqa-dir "$ROOT/VQA_prepro/data_train_val" \
+    --out "$ROOT/packed_vgg448" --cnnout-dim 512 --cnnout-w 14 --cnnout-h 14
+}
+
+case "${1:-all}" in
+  prepro)    do_prepro ;;
+  vgg)       do_vgg ;;
+  resnet)    do_resnet ;;
+  snapshots) do_snapshots ;;
+  pack)      do_pack ;;
+  all)       do_prepro; do_vgg; do_resnet; do_snapshots; do_pack ;;
+  *) echo "usage: $0 [prepro|vgg|resnet|snapshots|pack|all]" >&2; exit 1 ;;
+esac
