@@ -70,7 +70,11 @@ class SplitData:
         self.mc_answers = None if mc_answers is None else mc_answers.astype(np.int32)
         self.num_examples = questions.shape[0]
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # each reorder draws from a counter-seeded stream so the epoch order
+        # is a pure function of (seed, epoch) — training resumes with the
+        # exact data order of an uninterrupted run
+        self.reorder_count = 0
         self.order_policy = "shuffle"
         self.batch_order = np.arange(self.num_examples)
         self.batch_index = 0
@@ -88,15 +92,17 @@ class SplitData:
 
     def reorder(self) -> None:
         self.batch_index = 0
+        rng = np.random.default_rng((self.seed, self.reorder_count))
+        self.reorder_count += 1
         if self.order_policy == "shuffle":
-            self.batch_order = self.rng.permutation(self.num_examples)
+            self.batch_order = rng.permutation(self.num_examples)
         elif self.order_policy == "inorder":
             self.batch_order = np.arange(self.num_examples)
         elif self.order_policy == "sort":
             self.batch_order = np.argsort(self.lengths, kind="stable")
         elif self.order_policy == "randsort":
             # sort by length, random order within equal-length runs
-            tiebreak = self.rng.permutation(self.num_examples)
+            tiebreak = rng.permutation(self.num_examples)
             self.batch_order = np.lexsort((tiebreak, self.lengths))
 
     def inorder(self) -> None:

@@ -334,6 +334,12 @@ class Trainer:
             self.loss_ema = meta["loss_ema"]
         if "epoch" in meta:
             self.epoch = int(meta["epoch"])
+            # fast-forward the epoch-order stream so the resumed run sees the
+            # exact batch order of an uninterrupted one (reorder streams are
+            # counter-seeded, data/loader.py)
+            td = self.data.train_data
+            td.reorder_count = self.epoch
+            td.reorder()
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None, *,

@@ -265,3 +265,50 @@ def test_explosion_guard_restores(fixture_root, tmp_path):
     trainer.loss_ema = 1e-9
     rec = trainer.train_epoch()
     assert rec["exploded"] > 0
+
+
+def test_do_pred_metrics_vs_loop_oracle():
+    """do_pred accuracy gating: rows where no hop is correct don't count
+    (reference :544-557)."""
+    rs = np.random.RandomState(4)
+    H, B, A = 3, 8, 5
+    scores = jnp.asarray(rs.randn(H, B, A).astype(np.float32))
+    do_pred = jnp.asarray(rs.rand(H, B).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, A, B))
+    _, m = joint_loss_and_metrics(scores, do_pred, labels, jnp.ones((H,)))
+
+    s = np.asarray(scores)
+    d = np.asarray(do_pred)
+    y = np.asarray(labels)
+    is_correct = (s.argmax(-1) == y[None]).astype(float)      # [H, B]
+    did_correct = np.clip(is_correct.sum(0), 0, 1)            # [B]
+    for h in range(H):
+        fired = (d[h] > 0.5).astype(float)
+        num = ((fired == is_correct[h]).astype(float) * did_correct).sum()
+        assert abs(float(m["do_pred_acc_num"][h]) - num) < 1e-5
+    assert abs(float(m["do_pred_acc_den"]) - did_correct.sum()) < 1e-5
+    # BCE oracle for hop 0
+    p = np.clip(d[0], 1e-12, 1 - 1e-12)
+    bce0 = -(is_correct[0] * np.log(p)
+             + (1 - is_correct[0]) * np.log1p(-p)).mean()
+    assert abs(float(m["do_pred_loss"][0]) - bce0) < 1e-5
+
+
+def test_resume_equivalence(fixture_root, tmp_path):
+    """Train 4 epochs straight vs train 2 + checkpoint + restore + 2 more:
+    identical parameters (true resumability — the reference's -init_from
+    never actually loaded, Ours_SS/...lua:349-355)."""
+    a = make_trainer(fixture_root, str(tmp_path / "a"))
+    a.fit(epochs=4, eval_each=False)
+
+    b1 = make_trainer(fixture_root, str(tmp_path / "b1"))
+    b1.fit(epochs=2, eval_each=False)
+    path = b1.save()
+    b2 = make_trainer(fixture_root, str(tmp_path / "b2"))
+    b2.restore(path)
+    b2.fit(epochs=2, eval_each=False)
+
+    np.testing.assert_allclose(
+        np.asarray(a.state.params["mult"]["cls"]["w"]),
+        np.asarray(b2.state.params["mult"]["cls"]["w"]), rtol=1e-5, atol=1e-6)
+    assert int(a.state.step) == int(b2.state.step)
