@@ -47,12 +47,14 @@ def predict(params, cfg: ModelConfig, tokens, lengths, feats
 
 def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
                   block_b: int = 16, interpret: bool = False,
-                  fuse_encoder: bool = True) -> Tuple[jax.Array, jax.Array]:
+                  fuse_encoder: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Like ``predict`` but the hop loop (and optionally the question-LSTM
     scan) run in fused Pallas kernels (ops/rau_hops.py,
     ops/lstm_encoder.py): 2-3x faster than the XLA hop loop on v5e for the
     8-hop configs.  Batch must divide by ``block_b``; bf16 numerics
-    (>99.8% argmax agreement with the f32 path)."""
+    (>99.8% argmax agreement with the f32 path).  The encoder kernel is
+    off by default: measured at the dispatch-latency floor it adds compile
+    time without wall-clock benefit on a single chip."""
     from rau_vqa_tpu.models.rau import embed_image, encode_question
     from rau_vqa_tpu.ops.lstm_encoder import encode_question_fused
     from rau_vqa_tpu.ops.rau_hops import rau_hops_pallas
