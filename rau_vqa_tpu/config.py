@@ -146,6 +146,7 @@ class ExperimentConfig:
     visatt: bool = False          # dump attention-map PNGs during eval
     graph_interval: int = 10      # epochs between curve renders (:59)
     profile_dir: str = ""         # non-empty => jax.profiler trace of epoch 1
+    fused_eval: bool = False      # fused Pallas kernels in the eval sweep
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

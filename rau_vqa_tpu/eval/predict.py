@@ -59,6 +59,18 @@ def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
     from rau_vqa_tpu.ops.lstm_encoder import encode_question_fused
     from rau_vqa_tpu.ops.rau_hops import rau_hops_pallas
 
+    B = tokens.shape[0]
+    pad = (-B) % block_b
+    if pad:
+        # pad to the tile size (lengths=1 keeps the gather in range), then
+        # slice the outputs back — makes the fused path usable with the
+        # reference's odd test batch sizes (83/57, Ours_SS/...lua:85-95)
+        tokens = jnp.concatenate(
+            [tokens, jnp.zeros((pad,) + tokens.shape[1:], tokens.dtype)])
+        lengths = jnp.concatenate([lengths, jnp.ones((pad,), lengths.dtype)])
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
+
     with jax.default_matmul_precision(cfg.matmul_precision):
         if fuse_encoder:
             q = encode_question_fused(params, cfg, tokens, lengths,
@@ -69,6 +81,10 @@ def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
     scores, do_pred, attprob = rau_hops_pallas(
         params["mult"], cfg, q, ifeat, iatt, block_b=block_b,
         interpret=interpret)
+    if pad:
+        scores = scores[:, :B]
+        do_pred = do_pred[:, :B]
+        attprob = attprob[:, :B]
     return _aggregate(scores, do_pred, attprob)
 
 

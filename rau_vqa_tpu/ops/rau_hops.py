@@ -187,9 +187,6 @@ def rau_hops_pallas(mp: Dict, cfg: ModelConfig, q, ifeat, iatt, *,
     weights = [_pluck(mp, path) for path in _WEIGHT_ORDER]
     weights = [w.astype(bf16) for w in weights]
 
-    def tile0(*args):
-        return tuple(0 for _ in args)  # replicated operand
-
     in_specs = [
         pl.BlockSpec((block_b, q.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),

@@ -30,7 +30,6 @@ import numpy as np
 from rau_vqa_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
 from rau_vqa_tpu.data.loader import SplitData, VQAData
 from rau_vqa_tpu.data.features import FeatureSource
-from rau_vqa_tpu.eval.metrics import fast_val_accuracy
 from rau_vqa_tpu.eval.predict import compute_answers, make_predict_step
 from rau_vqa_tpu.eval.submission import write_results
 from rau_vqa_tpu.models.rau import init_params, rau_forward
@@ -142,7 +141,7 @@ class Trainer:
         else:
             self.train_step = jax.jit(
                 make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
-        self.predict_step = make_predict_step(self.mcfg)
+        self.predict_step = make_predict_step(self.mcfg, fused=exp.fused_eval)
 
         self.lr = self.tcfg.learning_rate
         self.mult_lr = self.tcfg.mult_learning_rate
@@ -255,8 +254,7 @@ class Trainer:
                 f"Ours_SS/...lua:85-95)")
         test.inorder()
         H2 = self.mcfg.n_hops + 2
-        rows_oe = [[] for _ in range(H2)]
-        rows_mc = [[] for _ in range(H2)]
+        oe_chunks, mc_chunks, qid_chunks = [], [], []
         first_batch = True
         for batch in test.batches(self.source):
             tab_pred, tab_att = self.predict_step(
@@ -275,20 +273,30 @@ class Trainer:
             mc = (None if batch.mc_answers is None
                   else jnp.asarray(batch.mc_answers, jnp.int32))
             oe_ans, mc_ans = compute_answers(tab_pred, mc)
-            oe_np = np.asarray(oe_ans)
-            mc_np = None if mc_ans is None else np.asarray(mc_ans)
-            for h in range(H2):
-                for b, qid in enumerate(batch.qids.tolist()):
-                    rows_oe[h].append(
-                        {"answer": self.data.answers[int(oe_np[h, b])],
-                         "question_id": int(qid)})
-                    if mc_np is not None:
-                        rows_mc[h].append(
-                            {"answer": self.data.answers[int(mc_np[h, b])],
-                             "question_id": int(qid)})
+            oe_chunks.append(np.asarray(oe_ans))          # [H2, B] ids
+            if mc_ans is not None:
+                mc_chunks.append(np.asarray(mc_ans))
+            qid_chunks.append(batch.qids)
+
+        # vectorized id->string mapping + row building (the reference builds
+        # each row in a Lua loop, :903-913 — SURVEY.md hot-loop #4)
+        qids = np.concatenate(qid_chunks)
+        answer_arr = np.asarray(self.data.answers, dtype=object)
+        oe_ids = np.concatenate(oe_chunks, axis=1)        # [H2, N]
+        oe_strs = answer_arr[oe_ids]
+        mc_strs = None
+        if mc_chunks:
+            mc_strs = answer_arr[np.concatenate(mc_chunks, axis=1)]
+
+        def make_rows(strs_h):
+            return [{"answer": a, "question_id": int(q)}
+                    for a, q in zip(strs_h, qids)]
 
         epoch_f = float(self.epoch)
         result: Dict[str, Any] = {"epoch": epoch_f}
+        rows_oe = [make_rows(oe_strs[h]) for h in range(H2)]
+        rows_mc = ([make_rows(mc_strs[h]) for h in range(H2)]
+                   if mc_strs is not None else [[]] * H2)
         if write_submissions:
             write_results(self.workdir, "OpenEnded", self.exp.data.split,
                           self.exp.alg_name, epoch_f, rows_oe)
@@ -297,12 +305,19 @@ class Trainer:
                               self.exp.data.split, self.exp.alg_name,
                               epoch_f, rows_mc)
         if self.gt_anno is not None:
-            result["testOEacc"] = [fast_val_accuracy(rows_oe[h], self.gt_anno)
+            # vectorized fast validation (reference :914-925)
+            missing = [q for q in qids if int(q) not in self.gt_anno]
+            if missing:
+                raise KeyError(
+                    f"fast validation: {len(missing)} question ids not in "
+                    f"GT map (first: {missing[0]})")
+            gt = np.asarray([self.gt_anno[int(q)] for q in qids],
+                            dtype=object)
+            result["testOEacc"] = [float((oe_strs[h] == gt).mean())
                                    for h in range(H2)]
-            if rows_mc[0]:
-                result["testMCacc"] = [
-                    fast_val_accuracy(rows_mc[h], self.gt_anno)
-                    for h in range(H2)]
+            if mc_strs is not None:
+                result["testMCacc"] = [float((mc_strs[h] == gt).mean())
+                                       for h in range(H2)]
             self.logger.log(
                 {"epoch": epoch_f,
                  **per_hop_record({k: v for k, v in result.items()

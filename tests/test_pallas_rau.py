@@ -107,3 +107,24 @@ def test_lstm_encoder_fused_matches_scan():
                                 jnp.asarray(lengths), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.05, atol=5e-3)
+
+
+def test_predict_fused_pads_odd_batches():
+    """Fused path must handle batch sizes not divisible by the tile
+    (the reference's test batches are 83/57/96)."""
+    from rau_vqa_tpu.eval.predict import predict, predict_fused
+
+    params, mp, q, feats, ifeat, iatt = setup(B=32)
+    B = 19
+    rs = np.random.RandomState(3)
+    tokens = jnp.asarray(rs.randint(1, CFG.vocab_size, (B, CFG.seq_len)),
+                         jnp.int32)
+    lengths = jnp.asarray(rs.randint(1, CFG.seq_len + 1, B), jnp.int32)
+    fts = feats[:B]
+    tab_ref, att_ref = predict(params, CFG, tokens, lengths, fts)
+    tab_pl, att_pl = predict_fused(params, CFG, tokens, lengths, fts,
+                                   interpret=True)
+    assert tab_pl.shape == (CFG.n_hops + 2, B, CFG.answer_size)
+    assert att_pl.shape == (CFG.n_hops + 2, B, CFG.cnn_spat)
+    agree = float((tab_ref.argmax(-1) == tab_pl.argmax(-1)).mean())
+    assert agree > 0.95
