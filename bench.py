@@ -50,8 +50,8 @@ def main() -> None:
     params = init_params(jax.random.PRNGKey(0), cfg)
 
     B = 512
-    n_batches = 4      # distinct device-resident input batches, cycled
-    n_iters = 24
+    n_batches = 2      # distinct device-resident input batches, cycled
+    n_iters = 16
     rs = np.random.RandomState(0)
 
     log(f"bench: staging {n_batches} batches of {B} on device")

@@ -98,6 +98,7 @@ class TrainConfig:
     loss_explode_threshold: float = 3.0
     test_interval: int = 1            # epochs between eval sweeps
     checkpoint_interval: int = 1      # epochs between checkpoints
+    keep_last_checkpoints: int = 0    # 0 = keep all snapshots
 
 
 @dataclass(frozen=True)

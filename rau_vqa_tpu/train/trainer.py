@@ -330,6 +330,7 @@ class Trainer:
         step = int(self.state.step)
         return save_checkpoint(
             self.ckpt_dir, step, float(self.epoch), self.state._asdict(),
+            keep_last=self.tcfg.keep_last_checkpoints or None,
             extra={"lr": self.lr, "mult_lr": self.mult_lr,
                    "loss_ema": self.loss_ema,
                    "preset": self.exp.name, "alg_name": self.exp.alg_name,

@@ -29,8 +29,10 @@ def checkpoint_name(step: int, epoch: float) -> str:
 
 
 def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
-                    extra: Optional[Dict] = None) -> str:
-    """Serialize an arbitrary pytree of arrays/scalars. Returns the path."""
+                    extra: Optional[Dict] = None,
+                    keep_last: Optional[int] = None) -> str:
+    """Serialize an arbitrary pytree of arrays/scalars. Returns the path.
+    With ``keep_last`` only the newest N snapshots are retained."""
     os.makedirs(ckpt_dir, exist_ok=True)
     name = checkpoint_name(step, epoch)
     path = os.path.join(ckpt_dir, name + ".msgpack")
@@ -44,6 +46,15 @@ def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
         json.dump(meta, f)
     with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
         f.write(name)
+    if keep_last is not None and keep_last > 0:
+        snaps = sorted(f for f in os.listdir(ckpt_dir)
+                       if f.startswith("snapshot_") and f.endswith(".msgpack"))
+        for old in snaps[:-keep_last]:
+            for suffix in (".msgpack", ".json"):
+                stale = os.path.join(ckpt_dir,
+                                     old.replace(".msgpack", suffix))
+                if os.path.exists(stale):
+                    os.remove(stale)
     return path
 
 
