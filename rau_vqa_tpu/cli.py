@@ -65,6 +65,8 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                         "the reference's vestigial -init_from)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute + MXU-default matmul precision")
+    p.add_argument("--fused-eval", action="store_true",
+                   help="run eval sweeps through the fused Pallas kernels")
 
 
 def _apply_overrides(exp, args):
@@ -80,6 +82,8 @@ def _apply_overrides(exp, args):
     if args.bf16:
         m["compute_dtype"] = "bfloat16"
         m["matmul_precision"] = "default"
+    if getattr(args, "fused_eval", False):
+        exp = exp.replace(fused_eval=True)
     for flag, field in [("epochs", "max_epochs"), ("batch_size", "batch_size"),
                         ("learning_rate", "learning_rate"),
                         ("mult_learning_rate", "mult_learning_rate"),
@@ -98,7 +102,10 @@ def _apply_overrides(exp, args):
         if v is not None:
             d[field] = v
     if args.feat_dir:
-        d["feat_dir"] = args.feat_dir[0]
+        # multiple dirs = per-datatype sources (test2015 splits mix train2014
+        # and val2014 features, vqa_prepro_loader.lua:876); stored
+        # comma-separated
+        d["feat_dir"] = ",".join(args.feat_dir)
     exp = exp.replace(
         model=dataclasses.replace(exp.model, **m),
         train=dataclasses.replace(exp.train, **t),
@@ -110,6 +117,8 @@ def _apply_overrides(exp, args):
 
 def _make_feature_source(feat_dirs, mcfg):
     from rau_vqa_tpu.data.features import PackedFeatureStore, T7DirFeatureSource
+    if len(feat_dirs) == 1 and "," in feat_dirs[0]:
+        feat_dirs = feat_dirs[0].split(",")
     first = feat_dirs[0]
     if os.path.exists(os.path.join(first, "index.json")):
         return PackedFeatureStore(first)
