@@ -312,3 +312,15 @@ def test_resume_equivalence(fixture_root, tmp_path):
         np.asarray(a.state.params["mult"]["cls"]["w"]),
         np.asarray(b2.state.params["mult"]["cls"]["w"]), rtol=1e-5, atol=1e-6)
     assert int(a.state.step) == int(b2.state.step)
+
+
+def test_trainer_applies_hop_curriculum(fixture_root, tmp_path):
+    """Ours_Full-style early-stop curriculum wired through the Trainer:
+    hop 2's gradient scale flips to 0 from the epoch after its stop time."""
+    trainer = make_trainer(fixture_root, str(tmp_path / "cur"),
+                           hop_stop_timing=(1000, 1))
+    np.testing.assert_array_equal(np.asarray(trainer._hop_scale(1)), [1, 1])
+    np.testing.assert_array_equal(np.asarray(trainer._hop_scale(2)), [1, 0])
+    trainer.fit(epochs=2, eval_each=False)  # runs through both regimes
+    rows = trainer.logger.read(kind="train")
+    assert len(rows) == 2
