@@ -99,6 +99,8 @@ class TrainConfig:
     test_interval: int = 1            # epochs between eval sweeps
     checkpoint_interval: int = 1      # epochs between checkpoints
     keep_last_checkpoints: int = 0    # 0 = keep all snapshots
+    print_interval: int = 0           # steps between stdout lines (0 = off;
+                                      # reference -print_iter, :60)
 
 
 @dataclass(frozen=True)

@@ -192,6 +192,16 @@ class Trainer:
                 exploded += 1
                 continue
             n_steps += 1
+            if (self.tcfg.print_interval
+                    and n_steps % self.tcfg.print_interval == 0):
+                step_no = int(self.state.step)
+                print(f"it {step_no} (epoch {epoch_1based}) "
+                      f"loss={loss:.5f} lr={self.lr:.2e} "
+                      f"mult_lr={self.mult_lr:.2e} "
+                      f"[grad] E:{float(metrics['grad_norm_embed']):.4f} "
+                      f"R:{float(metrics['grad_norm_rnn']):.4f} "
+                      f"M:{float(metrics['grad_norm_mult']):.4f}",
+                      flush=True)
             for k in ("loss", "uni_loss", "select_loss", "uni_acc",
                       "select_acc", "grad_norm_embed", "grad_norm_rnn",
                       "grad_norm_mult"):
