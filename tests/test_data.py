@@ -211,3 +211,28 @@ def test_qa_utils_names():
 
     assert cocoimg_name("train2014", 357413) == "COCO_train2014_000000357413.jpg"
     assert cocofeat_name("val2014", 7) == "COCO_val2014_000000000007.t7"
+
+
+def test_packed_store_float16(fixture_root, tmp_path):
+    """fp16 shards halve feature storage/bandwidth; reads return f32."""
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    imgs = info["unique_img_train"][:6]
+    store = pack_feature_dir([feat_dir], imgs, [1] * len(imgs),
+                             str(tmp_path / "packed16"),
+                             SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h,
+                             dtype="float16")
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w,
+                             SPEC.feat_h)
+    names = [coco_feat_name(p) for p in imgs]
+    a = store.get_batch(names, [1] * len(names))
+    b = src.get_batch(names, [1] * len(names))
+    assert a.dtype == np.float32
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+    # native reader handles fp16 rows too
+    from rau_vqa_tpu.data.native import NativePackedFeatureStore
+    nat = NativePackedFeatureStore(str(tmp_path / "packed16"), n_threads=2)
+    np.testing.assert_array_equal(nat.get_batch(names, [1] * len(names)), a)
+    nat.close()
