@@ -415,10 +415,23 @@ def main(argv=None) -> int:
     _add_train_flags(p_ask)
     _add_common_data_flags(p_ask)
 
+    p_serve = sub.add_parser("serve", help="HTTP inference service")
+    p_serve.add_argument("--checkpoint", required=True)
+    p_serve.add_argument("--port", type=int, default=8080)
+    _add_train_flags(p_serve)
+    _add_common_data_flags(p_serve)
+
     args = parser.parse_args(argv)
     if args.command == "dashboard":
         from rau_vqa_tpu.utils.dashboard import serve_dashboard
         serve_dashboard(args.workdir, args.port, args.nhop)
+        return 0
+    if args.command == "serve":
+        from rau_vqa_tpu.serve import RAUService, serve
+        svc = RAUService(args.checkpoint, args.vqa_dir,
+                         args.feat_dir or [], preset=args.preset,
+                         fused=getattr(args, "fused_eval", False))
+        serve(svc, args.port).serve_forever()
         return 0
     return {"train": cmd_train, "eval": cmd_eval,
             "pack-features": cmd_pack_features,

