@@ -32,3 +32,19 @@ from rau_vqa_tpu.config import (  # noqa: F401
     get_preset,
     PRESETS,
 )
+
+
+def __getattr__(name):  # lazy: keep `import rau_vqa_tpu` light (no jax import)
+    if name == "Trainer":
+        from rau_vqa_tpu.train.trainer import Trainer
+        return Trainer
+    if name == "load_vqa_data":
+        from rau_vqa_tpu.data.loader import load_vqa_data
+        return load_vqa_data
+    if name in ("predict", "predict_fused"):
+        from rau_vqa_tpu.eval import predict as _p
+        return getattr(_p, name)
+    if name in ("init_params", "rau_forward"):
+        from rau_vqa_tpu.models import rau as _r
+        return getattr(_r, name)
+    raise AttributeError(f"module 'rau_vqa_tpu' has no attribute {name!r}")
