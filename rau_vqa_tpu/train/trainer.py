@@ -85,8 +85,10 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
         lrs = {"embed": lr, "rnn": lr, "mult": mult_lr}
         new_params, new_opt = {}, {}
         for i, g in enumerate(PARAM_GROUPS):
+            # state.step counts completed steps; the noise schedule takes the
+            # 1-based iteration (the reference's `it`, :598)
             gg = add_gradient_noise(grads[g], jax.random.fold_in(k_noise, i),
-                                    state.step, tcfg.noisy_eta,
+                                    state.step + 1, tcfg.noisy_eta,
                                     tcfg.noisy_gamma)
             gg, norm = clip_by_global_norm(gg, tcfg.grad_clip)
             new_params[g], new_opt[g] = adam_update(
