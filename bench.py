@@ -50,8 +50,8 @@ def main() -> None:
                               compute_dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
 
-    B = 512
-    K = 50           # serving steps chained per dispatch
+    B = 2048
+    K = 30           # serving steps chained per dispatch
     rs = np.random.RandomState(0)
     tokens = jnp.asarray(rs.randint(1, cfg.vocab_size,
                                     (B, cfg.seq_len)).astype(np.int32))
@@ -79,7 +79,7 @@ def main() -> None:
 
     np.asarray(serve_chain(params, tokens, lengths, feats, jnp.int32(5))[1])
 
-    n_rounds = 3
+    n_rounds = 2
     t0 = time.perf_counter()
     for r in range(n_rounds):
         out = serve_chain(params, tokens, lengths, feats, jnp.int32(100 + r))
