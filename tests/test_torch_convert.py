@@ -222,3 +222,124 @@ def test_golden_roundtrip_through_torch_snapshot(tmp_path):
     np.testing.assert_array_equal(np.asarray(oe_a), np.asarray(oe_b))
     np.testing.assert_allclose(np.asarray(tab_a), np.asarray(tab_b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pytorch_gradient_equivalence():
+    """Training-path parity: gradients of the joint per-hop CE loss computed
+    by PyTorch autograd on the reference equations must match JAX grads
+    (mapped through the converter layout) — validates the entire
+    differentiable path, not just the forward."""
+    import torch as T
+
+    rs = np.random.RandomState(7)
+    flats = {g: rs.uniform(-0.08, 0.08, group_size(CFG, g)).astype(np.float32)
+             for g in ("embed", "rnn", "mult")}
+    params = {g: flat_to_group(flats[g], CFG, g)
+              for g in ("embed", "rnn", "mult")}
+
+    B = 4
+    lengths = rs.randint(1, CFG.seq_len + 1, B).astype(np.int32)
+    tokens = np.zeros((B, CFG.seq_len), np.int32)
+    for k in range(B):
+        tokens[k, :lengths[k]] = rs.randint(1, CFG.vocab_size, lengths[k])
+    feats = rs.randn(B, CFG.cnn_spat, CFG.cnn_dim).astype(np.float32)
+    labels = rs.randint(0, CFG.answer_size, B)
+
+    # --- JAX side: grad of sum of per-hop mean CE (eval-mode forward) ---
+    from rau_vqa_tpu.train.losses import joint_loss_and_metrics
+
+    def loss_fn(p):
+        out = rau_forward(p, CFG, jnp.asarray(tokens), jnp.asarray(lengths),
+                          jnp.asarray(feats))
+        loss, _ = joint_loss_and_metrics(out.scores, out.do_pred,
+                                         jnp.asarray(labels),
+                                         jnp.ones((CFG.n_hops,)))
+        return loss
+    jax_grads = jax.grad(loss_fn)(params)
+    jax_flat = {g: group_to_flat(jax.tree.map(np.asarray, jax_grads[g]),
+                                 CFG, g) for g in flats}
+
+    # --- PyTorch side: same equations with autograd on the flat vectors ---
+    t_flats = {g: T.tensor(flats[g], dtype=T.float64, requires_grad=True)
+               for g in flats}
+
+    def torch_forward_grad(embed_flat, rnn_flat, mult_flat):
+        # replicate torch_forward with tensors that carry grad
+        def mk(flat):
+            r = FlatReader.__new__(FlatReader)
+            r.flat = flat
+            r.off = 0
+            return r
+        cfg = CFG
+        Bq, Tq = tokens.shape
+        R = cfg.rnn_size
+        er = mk(embed_flat)
+        lookup = er.take(cfg.vocab_size, cfg.embed_dim)
+        emb = T.tanh(lookup[T.as_tensor(tokens, dtype=T.long)])
+        rr = mk(rnn_flat)
+        layers = []
+        d_in = cfg.embed_dim
+        for _ in range(cfg.rnn_layers):
+            layers.append((rr.linear(4 * R, d_in), rr.linear(4 * R, R)))
+            d_in = R
+        state = T.zeros(Bq, cfg.rnnout_dim, dtype=T.float64)
+        rnn_out = T.zeros(Bq, cfg.rnnout_dim, dtype=T.float64)
+        for t in range(Tq):
+            x = emb[:, t]
+            parts = []
+            for L, (i2h, h2h) in enumerate(layers):
+                c = state[:, 2 * L * R:(2 * L + 1) * R]
+                h = state[:, (2 * L + 1) * R:(2 * L + 2) * R]
+                g = i2h(x) + h2h(h)
+                sig = T.sigmoid(g[:, :3 * R])
+                i_g, f_g, o_g = sig[:, :R], sig[:, R:2 * R], sig[:, 2 * R:]
+                g_t = T.tanh(g[:, 3 * R:])
+                nc = f_g * c + i_g * g_t
+                nh = o_g * T.tanh(nc)
+                parts += [nc, nh]
+                x = nh
+            state = T.cat(parts, dim=1)
+            mask = T.as_tensor((lengths == t + 1).astype(np.float64))[:, None]
+            rnn_out = mask * state + (1 - mask) * rnn_out
+        mr = mk(mult_flat)
+        S, M, F_, Ra = cfg.cnn_spat, cfg.multfeat_dim, cfg.attfeat_dim, cfg.att_rnn_size
+        q_proj = mr.linear(M, cfg.rnnout_dim); h_proj = mr.linear(M, cfg.att_state_dim)
+        i_embed = mr.linear(M, cfg.cnn_dim)
+        att_q = mr.linear(F_, M); att_i = mr.linear(F_, M); att_s = mr.linear(1, F_)
+        att_mem = mr.linear(S, cfg.att_state_dim)
+        attprob_proj = mr.linear(M, S)
+        lstm_i2h = mr.linear(4 * Ra, M); lstm_h2h = mr.linear(4 * Ra, Ra)
+        merge_l = mr.linear(M, cfg.att_state_dim)
+        cls = mr.linear(cfg.answer_size, M); do_p = mr.linear(1, M)
+        feats_t = T.as_tensor(feats, dtype=T.float64)
+        c = T.zeros(Bq, cfg.att_state_dim, dtype=T.float64)
+        h = T.zeros(Bq, cfg.att_state_dim, dtype=T.float64)
+        scores = []
+        for _ in range(cfg.n_hops):
+            qfeat = T.tanh(q_proj(rnn_out) + h_proj(h))
+            ifeat = T.tanh(i_embed(feats_t))
+            score_c = att_s(T.tanh(att_i(ifeat) + att_q(qfeat)[:, None, :]))
+            attscore = score_c[..., 0] + att_mem(h)
+            attprob = T.softmax(attscore, dim=-1)
+            attfeat = T.einsum("bsm,bs->bm", ifeat, attprob)
+            join = qfeat + attfeat + attprob_proj(attprob)
+            g = lstm_i2h(join) + lstm_h2h(h)
+            i_g = T.sigmoid(g[:, :Ra]); g_t = T.tanh(g[:, Ra:2 * Ra])
+            f_g = T.sigmoid(g[:, 2 * Ra:3 * Ra]); o_g = T.sigmoid(g[:, 3 * Ra:])
+            c = f_g * c + i_g * g_t
+            h = o_g * T.tanh(c)
+            merge = join + merge_l(h)
+            scores.append(cls(merge))
+        return T.stack(scores)
+
+    scores = torch_forward_grad(t_flats["embed"], t_flats["rnn"],
+                                t_flats["mult"])
+    y = T.as_tensor(labels, dtype=T.long)
+    loss = sum(T.nn.functional.cross_entropy(scores[hh], y)
+               for hh in range(CFG.n_hops))
+    loss.backward()
+
+    for g in ("embed", "rnn", "mult"):
+        want = t_flats[g].grad.numpy()
+        got = jax_flat[g]
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)
