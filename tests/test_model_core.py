@@ -172,3 +172,23 @@ def test_single_hop_matches_multi_hop_first_step(params, rng_np):
     out_one = rau_forward(params, cfg1, tokens, lengths, feats)
     np.testing.assert_allclose(np.asarray(out_multi.scores[0]),
                                np.asarray(out_one.scores[0]), rtol=1e-6)
+
+
+def test_preset_shapes_compile():
+    """Every preset's model builds and its forward shape-checks at full size
+    (eval_shape only — no FLOPs)."""
+    from rau_vqa_tpu.config import PRESETS
+
+    for name, make in PRESETS.items():
+        cfg = make().model
+        params_shape = jax.eval_shape(
+            lambda key: init_params(key, cfg), jax.random.PRNGKey(0))
+        out = jax.eval_shape(
+            lambda p: rau_forward(
+                p, cfg,
+                jnp.zeros((4, cfg.seq_len), jnp.int32),
+                jnp.ones((4,), jnp.int32),
+                jnp.zeros((4, cfg.cnn_spat, cfg.cnn_dim), jnp.float32)),
+            params_shape)
+        assert out.scores.shape == (cfg.n_hops, 4, cfg.answer_size), name
+        assert out.attprob.shape == (cfg.n_hops, 4, cfg.cnn_spat), name
