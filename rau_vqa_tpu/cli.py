@@ -42,7 +42,7 @@ def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default="ours_ss",
-                   choices=["ours_ss", "ours_ms", "ours_full", "ours_resnet"])
+                   choices=["ours_ss", "ours_ms", "ours_full", "ours_resnet", "ours_vit"])
     p.add_argument("--fixture", action="store_true",
                    help="generate + train on the deterministic tiny fixture")
     p.add_argument("--save-dir", default=None)
@@ -381,7 +381,7 @@ def main(argv=None) -> int:
     p_pack.add_argument("--cnnout-w", type=int, default=14)
     p_pack.add_argument("--cnnout-h", type=int, default=14)
     p_pack.add_argument("--dtype", default="float32",
-                        choices=["float32", "float16"])
+                        choices=["float32", "float16", "int8"])
 
     p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
     p_fix.add_argument("--out", required=True)

@@ -88,7 +88,9 @@ class T7DirFeatureSource(FeatureSource):
 
 class PackedFeatureStore(FeatureSource):
     """mmap-backed packed feature shard: `features.npy` [N, S, D] +
-    `index.json` mapping feature-file name -> row."""
+    `index.json` mapping feature-file name -> row.  int8 shards carry a
+    per-image `scales.npy` (symmetric absmax quantization, 4x less feature
+    bandwidth); reads always return dequantized float32."""
 
     def __init__(self, shard_dir: str):
         with open(os.path.join(shard_dir, "index.json")) as f:
@@ -103,10 +105,17 @@ class PackedFeatureStore(FeatureSource):
         if self.mmap.shape != (n, self.spat, self.dim):
             raise ValueError(
                 f"packed shard shape {self.mmap.shape} != ({n}, {self.spat}, {self.dim})")
+        self.scales = None
+        scales_path = os.path.join(shard_dir, "scales.npy")
+        if os.path.exists(scales_path):
+            self.scales = np.load(scales_path)
 
     def get_batch(self, names: Sequence[str], datatypes: Sequence[int]) -> np.ndarray:
         rows = np.fromiter((self.index[n] for n in names), np.int64, len(names))
-        return np.asarray(self.mmap[rows], np.float32)
+        out = np.asarray(self.mmap[rows], np.float32)
+        if self.scales is not None:
+            out *= self.scales[rows][:, None, None]
+        return out
 
 
 def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],
@@ -126,13 +135,24 @@ def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],
             seen.add(name)
             names.append(name)
             dts.append(dt)
+    quantize = dtype == "int8"
     arr = np.lib.format.open_memmap(
         os.path.join(out_dir, "features.npy"), mode="w+",
         dtype=np.dtype(dtype), shape=(len(names), w * h, dim))
+    scales = np.ones((len(names),), np.float32) if quantize else None
     chunk = 256
     for i in range(0, len(names), chunk):
-        arr[i:i + chunk] = src.get_batch(names[i:i + chunk], dts[i:i + chunk])
+        block = src.get_batch(names[i:i + chunk], dts[i:i + chunk])
+        if quantize:
+            # symmetric per-image absmax quantization
+            absmax = np.abs(block).reshape(block.shape[0], -1).max(axis=1)
+            s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+            scales[i:i + chunk] = s
+            block = np.clip(np.rint(block / s[:, None, None]), -127, 127)
+        arr[i:i + chunk] = block
     arr.flush()
+    if quantize:
+        np.save(os.path.join(out_dir, "scales.npy"), scales)
     with open(os.path.join(out_dir, "index.json"), "w") as f:
         json.dump({"index": {n: i for i, n in enumerate(names)},
                    "dim": dim, "spat": w * h, "dtype": dtype}, f)

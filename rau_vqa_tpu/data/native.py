@@ -89,6 +89,10 @@ class NativePackedFeatureStore(FeatureSource):
         if dtype != self.dtype or shape[1:] != (self.spat, self.dim):
             raise ValueError(f"{path}: layout {shape}/{dtype} disagrees with "
                              f"index.json")
+        self.scales = None
+        scales_path = os.path.join(shard_dir, "scales.npy")
+        if os.path.exists(scales_path):
+            self.scales = np.load(scales_path)
         self.row_bytes = self.spat * self.dim * self.dtype.itemsize
         self.handle = self.lib.fl_open(path.encode(), offset,
                                        self.row_bytes, shape[0])
@@ -131,7 +135,10 @@ class NativePackedFeatureStore(FeatureSource):
             len(rows), self.spat, self.dim)
         # MUST copy: the ring slot is reused after n_slots more batches
         # (np.asarray would alias the slot when dtypes already match)
-        return arr.astype(np.float32, copy=True)
+        out = arr.astype(np.float32, copy=True)
+        if self.scales is not None:
+            out *= self.scales[rows][:, None, None]
+        return out
 
     def close(self) -> None:
         if self._ring is not None:

@@ -236,3 +236,30 @@ def test_packed_store_float16(fixture_root, tmp_path):
     nat = NativePackedFeatureStore(str(tmp_path / "packed16"), n_threads=2)
     np.testing.assert_array_equal(nat.get_batch(names, [1] * len(names)), a)
     nat.close()
+
+
+def test_packed_store_int8(fixture_root, tmp_path):
+    """int8 shards (per-image absmax scales): 4x less feature bandwidth."""
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    imgs = info["unique_img_train"][:6]
+    store = pack_feature_dir([feat_dir], imgs, [1] * len(imgs),
+                             str(tmp_path / "packed8"),
+                             SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h,
+                             dtype="int8")
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w,
+                             SPEC.feat_h)
+    names = [coco_feat_name(p) for p in imgs]
+    a = store.get_batch(names, [1] * len(names))
+    b = src.get_batch(names, [1] * len(names))
+    # quantization error bounded by scale/2 = absmax/254 per image
+    absmax = np.abs(b).reshape(len(imgs), -1).max(axis=1)
+    err = np.abs(a - b).reshape(len(imgs), -1).max(axis=1)
+    assert np.all(err <= absmax / 254 + 1e-6)
+    from rau_vqa_tpu.data.native import NativePackedFeatureStore
+    nat = NativePackedFeatureStore(str(tmp_path / "packed8"), n_threads=2)
+    np.testing.assert_allclose(nat.get_batch(names, [1] * len(names)), a,
+                               rtol=1e-6)
+    nat.close()
