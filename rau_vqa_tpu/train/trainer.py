@@ -285,10 +285,14 @@ class Trainer:
             mc = (None if batch.mc_answers is None
                   else jnp.asarray(batch.mc_answers, jnp.int32))
             oe_ans, mc_ans = compute_answers(tab_pred, mc)
-            oe_chunks.append(np.asarray(oe_ans))          # [H2, B] ids
+            # keep device arrays; one host sync after the sweep (async
+            # dispatch overlaps the next batch's prefetch + forward)
+            oe_chunks.append(oe_ans)                      # [H2, B] ids
             if mc_ans is not None:
-                mc_chunks.append(np.asarray(mc_ans))
+                mc_chunks.append(mc_ans)
             qid_chunks.append(batch.qids)
+        oe_chunks = [np.asarray(x) for x in oe_chunks]
+        mc_chunks = [np.asarray(x) for x in mc_chunks]
 
         # vectorized id->string mapping + row building (the reference builds
         # each row in a Lua loop, :903-913 — SURVEY.md hot-loop #4)

@@ -1,0 +1,135 @@
+"""Multi-host (DCN) validation: two real processes under
+jax.distributed.initialize, each feeding its own shard of the global batch
+through the sharded train step over a process-spanning mesh, must agree with
+the single-process result.
+
+This is the closest a single machine gets to the multi-host story: the mesh
+spans two OS processes (the DCN boundary in production), device order is
+process-major (make_multihost_mesh), and every collective crosses the
+process boundary through the distributed runtime.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys, json
+import numpy as np
+proc_id = int(sys.argv[1]); n_procs = int(sys.argv[2])
+port = sys.argv[3]; out_path = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=n_procs, process_id=proc_id,
+                           local_device_ids=[0, 1])
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from rau_vqa_tpu.config import ModelConfig, TrainConfig
+from rau_vqa_tpu.parallel.mesh import make_multihost_mesh, make_sharded_train_step, state_shardings
+from rau_vqa_tpu.train.trainer import init_train_state
+
+cfg = ModelConfig(vocab_size=40, answer_size=8, seq_len=7, embed_dim=8,
+                  rnn_size=16, rnn_layers=2, cnn_dim=8, cnn_w=2, cnn_h=2,
+                  multfeat_dim=16, attfeat_dim=8, att_rnn_size=16, n_hops=2,
+                  embed_dropout=0.0, rnn_dropout=0.0, mult_dropout=0.0)
+tcfg = TrainConfig(noisy_eta=0.0, grad_clip=10.0)
+mesh = make_multihost_mesh(n_model=1)
+assert mesh.devices.size == 2 * n_procs
+
+B = 8  # global batch; each process feeds its local half
+rs = np.random.RandomState(0)
+tokens = rs.randint(1, cfg.vocab_size, (B, cfg.seq_len)).astype(np.int32)
+lengths = rs.randint(1, cfg.seq_len + 1, B).astype(np.int32)
+feats = rs.randn(B, cfg.cnn_spat, cfg.cnn_dim).astype(np.float32)
+labels = rs.randint(0, cfg.answer_size, B).astype(np.int32)
+
+def put_global(x):
+    spec = P("data", *([None] * (x.ndim - 1)))
+    sh = NamedSharding(mesh, spec)
+    # host-sharded input pipeline: this process materializes only its shard
+    return jax.make_array_from_process_local_data(sh, x[proc_id * (B // n_procs):
+                                                        (proc_id + 1) * (B // n_procs)])
+
+state = init_train_state(jax.random.PRNGKey(0), cfg)
+sh = state_shardings(mesh, state, tp=False)
+state = jax.tree.map(lambda x, s: jax.make_array_from_callback(
+    x.shape, s, lambda idx: np.asarray(x)[idx]), state, sh)
+step = make_sharded_train_step(cfg, tcfg, mesh, state, tp=False)
+hop_scale = jnp.ones((cfg.n_hops,))
+for _ in range(3):
+    state, metrics = step(state, put_global(tokens), put_global(lengths),
+                          put_global(feats), put_global(labels), hop_scale,
+                          jnp.float32(1e-2), jnp.float32(1e-2))
+loss = float(metrics["loss"])
+# replicated param: fully addressable in every process
+w = np.asarray(jax.device_get(state.params["mult"]["cls"]["b"]))
+if proc_id == 0:
+    with open(out_path, "w") as f:
+        json.dump({"loss": loss, "b_head": w.reshape(-1)[:4].tolist()}, f)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RAU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_mesh_matches_single(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(WORKER)
+    out_path = str(tmp_path / "out.json")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", port, out_path],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    with open(out_path) as f:
+        multi = json.load(f)
+
+    # single-process reference on a 4-device mesh
+    import jax
+    import jax.numpy as jnp
+    from rau_vqa_tpu.config import ModelConfig, TrainConfig
+    from rau_vqa_tpu.parallel.mesh import (
+        make_mesh, make_sharded_train_step, place_state, shard_batch)
+    from rau_vqa_tpu.train.trainer import init_train_state
+
+    cfg = ModelConfig(vocab_size=40, answer_size=8, seq_len=7, embed_dim=8,
+                      rnn_size=16, rnn_layers=2, cnn_dim=8, cnn_w=2, cnn_h=2,
+                      multfeat_dim=16, attfeat_dim=8, att_rnn_size=16,
+                      n_hops=2, embed_dropout=0.0, rnn_dropout=0.0,
+                      mult_dropout=0.0)
+    tcfg = TrainConfig(noisy_eta=0.0, grad_clip=10.0)
+    rs = np.random.RandomState(0)
+    B = 8
+    tokens = rs.randint(1, cfg.vocab_size, (B, cfg.seq_len)).astype(np.int32)
+    lengths = rs.randint(1, cfg.seq_len + 1, B).astype(np.int32)
+    feats = rs.randn(B, cfg.cnn_spat, cfg.cnn_dim).astype(np.float32)
+    labels = rs.randint(0, cfg.answer_size, B).astype(np.int32)
+    mesh = make_mesh(n_data=4, n_model=1)
+    state = place_state(mesh, init_train_state(jax.random.PRNGKey(0), cfg))
+    step = make_sharded_train_step(cfg, tcfg, mesh, state, tp=False)
+    batch = shard_batch(mesh, tokens, lengths, feats, labels)
+    hop_scale = jnp.ones((cfg.n_hops,))
+    for _ in range(3):
+        state, metrics = step(state, *batch, hop_scale,
+                              jnp.float32(1e-2), jnp.float32(1e-2))
+    np.testing.assert_allclose(multi["loss"], float(metrics["loss"]),
+                               rtol=1e-4)
+    b_head = np.asarray(state.params["mult"]["cls"]["b"])[:4]
+    np.testing.assert_allclose(multi["b_head"], b_head, rtol=1e-4, atol=1e-6)
