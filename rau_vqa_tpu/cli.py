@@ -383,6 +383,8 @@ def main(argv=None) -> int:
     p_pack.add_argument("--dtype", default="float32",
                         choices=["float32", "float16", "int8"])
 
+    sub.add_parser("bench", help="serving throughput benchmark (one JSON line)")
+
     p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
     p_fix.add_argument("--out", required=True)
 
@@ -422,6 +424,10 @@ def main(argv=None) -> int:
     _add_common_data_flags(p_serve)
 
     args = parser.parse_args(argv)
+    if args.command == "bench":
+        import bench as _bench
+        _bench.main()
+        return 0
     if args.command == "dashboard":
         from rau_vqa_tpu.utils.dashboard import serve_dashboard
         serve_dashboard(args.workdir, args.port, args.nhop)

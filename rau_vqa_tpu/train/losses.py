@@ -55,7 +55,11 @@ def hop_grad_scale(n_hops: int, *, scale_by_nhop: bool,
     scale = float(n_hops) if scale_by_nhop else 1.0
     out = []
     for h in range(n_hops):
-        stop = stop_timing[h] if stop_timing is not None else 10 ** 9
+        if stop_timing is not None and h < len(stop_timing):
+            stop = stop_timing[h]
+        else:
+            stop = 10 ** 9  # hops beyond the table never stop (reference
+                            # tables carry sentinel 1000 entries)
         out.append(0.0 if epoch > stop else scale)
     return jnp.asarray(out, jnp.float32)
 
