@@ -15,7 +15,7 @@ Eval/serving path only (training uses the differentiable XLA scan).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ vqa_prepro_loader.lua:55-62, 1061-1067).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ is deliberately absent — questions are <= 26 tokens and attention spans
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np

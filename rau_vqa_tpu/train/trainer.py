@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rau_vqa_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
-from rau_vqa_tpu.data.loader import SplitData, VQAData
+from rau_vqa_tpu.data.loader import VQAData
 from rau_vqa_tpu.data.features import FeatureSource
 from rau_vqa_tpu.eval.predict import compute_answers, make_predict_step
 from rau_vqa_tpu.eval.submission import write_results
