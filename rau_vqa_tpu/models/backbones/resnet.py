@@ -97,6 +97,7 @@ def _bottleneck(x, blk, stride):
 def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
     """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
     [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout."""
+    x = x.astype(params["conv1"]["w"].dtype)  # follow param dtype (bf16 ok)
     x = _conv(x, params["conv1"]["w"], stride=2)
     x = jax.nn.relu(_bn(x, params["bn1"]))
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)

@@ -59,6 +59,7 @@ def vgg16_pool5_init(key: jax.Array, dtype=jnp.float32) -> Dict:
 def vgg16_pool5_apply(params: Dict, x: jax.Array) -> jax.Array:
     """x [B, H, W, 3] (Caffe-BGR preprocessed) -> pool5 features
     [B, (H/32)*(W/32), 512] in the model's [B, S, D] layout."""
+    x = x.astype(params["convs"][0]["w"].dtype)  # follow param dtype (bf16 ok)
     i = 0
     for v in VGG16_CFG:
         if v == "M":

@@ -110,6 +110,7 @@ def _mhsa(x, blk, heads):
 def vit_apply(params: Dict, cfg: ViTConfig, x: jax.Array) -> jax.Array:
     """x [B, H, W, 3] normalized -> patch tokens [B, S, D]."""
     B = x.shape[0]
+    x = x.astype(params["patch_embed"]["w"].dtype)  # follow param dtype
     x = jax.lax.conv_general_dilated(
         x, params["patch_embed"]["w"],
         window_strides=(cfg.patch, cfg.patch), padding="VALID",
