@@ -348,6 +348,41 @@ def cmd_ask(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """jax.profiler trace of N synthetic train steps (the reference's only
+    tracing was a per-iteration wall clock, Ours_SS/...lua:767,776)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.train.trainer import init_train_state, make_train_step
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    mcfg, tcfg = exp.model, exp.train
+    state = init_train_state(jax.random.PRNGKey(tcfg.seed), mcfg)
+    step = jax.jit(make_train_step(mcfg, tcfg), donate_argnums=(0,))
+    rs = np.random.RandomState(0)
+    B = tcfg.batch_size
+    batch = (
+        jnp.asarray(rs.randint(1, mcfg.vocab_size,
+                               (B, mcfg.seq_len)).astype(np.int32)),
+        jnp.asarray(rs.randint(1, mcfg.seq_len + 1, B).astype(np.int32)),
+        jnp.asarray(rs.randn(B, mcfg.cnn_spat,
+                             mcfg.cnn_dim).astype(np.float32)),
+        jnp.asarray(rs.randint(0, mcfg.answer_size, B).astype(np.int32)),
+    )
+    hop_scale = jnp.ones((mcfg.n_hops,))
+    lr, mlr = jnp.float32(tcfg.learning_rate), jnp.float32(tcfg.mult_learning_rate)
+    state, m = step(state, *batch, hop_scale, lr, mlr)  # compile outside trace
+    with jax.profiler.trace(args.out):
+        for _ in range(args.steps):
+            state, m = step(state, *batch, hop_scale, lr, mlr)
+        jax.block_until_ready(m["loss"])
+    print(f"traced {args.steps} steps (loss {float(m['loss']):.4f}) -> {args.out}")
+    return 0
+
+
 def cmd_fixture(args) -> int:
     from rau_vqa_tpu.data.fixtures import generate_fixture
 
@@ -384,6 +419,13 @@ def main(argv=None) -> int:
                         choices=["float32", "float16", "int8"])
 
     sub.add_parser("bench", help="serving throughput benchmark (one JSON line)")
+
+    p_prof = sub.add_parser("profile",
+                            help="trace N train steps with jax.profiler")
+    p_prof.add_argument("--out", required=True, help="trace output directory")
+    p_prof.add_argument("--steps", type=int, default=10)
+    _add_train_flags(p_prof)
+    _add_common_data_flags(p_prof)
 
     p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
     p_fix.add_argument("--out", required=True)
@@ -428,6 +470,8 @@ def main(argv=None) -> int:
         import bench as _bench
         _bench.main()
         return 0
+    if args.command == "profile":
+        return cmd_profile(args)
     if args.command == "dashboard":
         from rau_vqa_tpu.utils.dashboard import serve_dashboard
         serve_dashboard(args.workdir, args.port, args.nhop)

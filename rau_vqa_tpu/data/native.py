@@ -153,3 +153,10 @@ class NativePackedFeatureStore(FeatureSource):
             self.close()
         except Exception:
             pass
+
+# Concurrency contract: one NativePackedFeatureStore instance serves one
+# consumer stream — ring slots are recycled strictly in sequence order
+# (submit(seq) may overwrite slot seq % n_slots only after wait(seq -
+# n_slots) returned and its copy was taken).  SplitData.batches' single
+# prefetch worker and RAUService's lock both satisfy this; for concurrent
+# streams, open one store per stream (mmap pages are shared by the OS).

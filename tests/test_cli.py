@@ -82,3 +82,16 @@ def test_pack_features_cli(trained_run, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "features.npy"))
     assert os.path.exists(os.path.join(out, "index.json"))
+
+
+def test_profile_command(tmp_path):
+    out = str(tmp_path / "trace")
+    rc = main(["profile", "--out", out, "--steps", "2", "--preset", "ours_ms",
+               "--nhop", "1", "--batch-size", "8", "--cnnout-dim", "16",
+               "--cnnout-w", "2", "--cnnout-h", "2"])
+    assert rc == 0
+    # a trace directory with at least one artifact
+    found = []
+    for root, _, files in os.walk(out):
+        found += files
+    assert found, "profiler produced no trace files"
