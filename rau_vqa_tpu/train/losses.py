@@ -103,6 +103,9 @@ def joint_loss_and_metrics(scores: jax.Array, do_pred: jax.Array,
 
     metrics = {
         "loss": loss,
+        # share of examples where at least one hop answered correctly
+        # (the reference's '[At least one answer ratio]' print, :543)
+        "any_correct_ratio": jnp.mean(did_correct),
         "ce_per_hop": ce_per_hop,
         "uni_loss": uni_loss,
         "select_loss": select_loss,

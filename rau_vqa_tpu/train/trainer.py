@@ -205,8 +205,8 @@ class Trainer:
                       f"M:{float(metrics['grad_norm_mult']):.4f}",
                       flush=True)
             for k in ("loss", "uni_loss", "select_loss", "uni_acc",
-                      "select_acc", "grad_norm_embed", "grad_norm_rnn",
-                      "grad_norm_mult"):
+                      "select_acc", "any_correct_ratio", "grad_norm_embed",
+                      "grad_norm_rnn", "grad_norm_mult"):
                 sums[k] = sums.get(k, 0.0) + float(metrics[k])
             for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss"):
                 v = np.asarray(metrics[k])
@@ -221,8 +221,12 @@ class Trainer:
             "trainloss": out.get("ce_per_hop", []),
             "trainacc": out.get("acc_per_hop", []),
             "do_pred_loss": out.get("do_pred_loss", []),
+            # which hops carried gradient this epoch (the reference's
+            # cmploss_XX columns, Ours_Full/...lua:1137-1143)
+            "cmploss": (np.asarray(hop_scale) > 0).astype(np.float64),
         }))
         for k in ("loss", "uni_loss", "select_loss", "uni_acc", "select_acc",
+                  "any_correct_ratio",
                   "grad_norm_embed", "grad_norm_rnn", "grad_norm_mult"):
             if k in out:
                 record[k] = out[k]

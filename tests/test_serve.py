@@ -73,3 +73,35 @@ def test_answer_endpoint_errors(served):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_int8_features_preserve_accuracy(tmp_path_factory):
+    """Serving from int8-quantized feature shards must keep fixture accuracy
+    (within a couple of answers of the f32 store)."""
+    import json
+    import numpy as np
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import make_trainer
+    from rau_vqa_tpu.data.features import PackedFeatureStore, pack_feature_dir
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+
+    root = str(tmp_path_factory.mktemp("int8fix"))
+    vqa_dir = generate_fixture(root)
+    trainer = make_trainer(root, str(tmp_path_factory.mktemp("int8run")))
+    trainer.fit(epochs=25, eval_each=False)
+    base = trainer.evaluate(write_submissions=False)
+
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    imgs = info["unique_img_train"] + info["unique_img_test"]
+    from rau_vqa_tpu.data.fixtures import FixtureSpec
+    spec = FixtureSpec()
+    shard = os.path.join(root, "packed8")
+    pack_feature_dir([os.path.join(root, "feat")], imgs, [1] * len(imgs),
+                     shard, spec.feat_dim, spec.feat_w, spec.feat_h,
+                     dtype="int8")
+    trainer.source = PackedFeatureStore(shard)
+    quant = trainer.evaluate(write_submissions=False)
+    for a, b in zip(base["testOEacc"], quant["testOEacc"]):
+        assert abs(a - b) <= 2 / 32 + 1e-9  # at most 2 answers differ
