@@ -38,6 +38,9 @@ def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
                    choices=["shuffle", "inorder", "sort", "randsort"])
     p.add_argument("--test-batch-size", type=int, default=None,
                    help="override the split-derived test batch size")
+    p.add_argument("--valid-ratio", type=float, default=None,
+                   help="carve a validation split out of train "
+                        "(reference valid_ratio, vqa_prepro_loader.lua:1346)")
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -97,7 +100,8 @@ def _apply_overrides(exp, args):
     for flag, field in [("vqa_dir", "vqa_dir"), ("split", "split"),
                         ("gt_anno", "gt_anno"),
                         ("batch_order", "batch_order"),
-                        ("test_batch_size", "test_batch_size")]:
+                        ("test_batch_size", "test_batch_size"),
+                        ("valid_ratio", "valid_ratio")]:
         v = getattr(args, flag)
         if v is not None:
             d[field] = v

@@ -263,3 +263,46 @@ def test_packed_store_int8(fixture_root, tmp_path):
     np.testing.assert_allclose(nat.get_batch(names, [1] * len(names)), a,
                                rtol=1e-6)
     nat.close()
+
+
+def test_t7_fuzz_roundtrip(tmp_path):
+    """Random nested tables/tensors survive the t7 codec byte-exact."""
+    rs = np.random.RandomState(11)
+
+    def rand_obj(depth):
+        kind = rs.randint(0, 6 if depth < 3 else 4)
+        if kind == 0:
+            return float(rs.randn())
+        if kind == 1:
+            return f"s{rs.randint(1000)}"
+        if kind == 2:
+            return bool(rs.randint(2))
+        if kind == 3:
+            shape = tuple(rs.randint(1, 5, rs.randint(1, 4)))
+            dt = [np.float32, np.float64, np.int32, np.int64][rs.randint(4)]
+            return (rs.randn(*shape) * 10).astype(dt)
+        if kind == 4:
+            return [rand_obj(depth + 1) for _ in range(rs.randint(1, 4))]
+        return {f"k{i}": rand_obj(depth + 1) for i in range(rs.randint(1, 4))}
+
+    def check(a, b):
+        if isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, b)
+        elif isinstance(a, list):
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                check(x, y)
+        elif isinstance(a, dict):
+            assert set(a) == set(b)
+            for k in a:
+                check(a[k], b[k])
+        elif isinstance(a, float):
+            assert a == b
+        else:
+            assert a == b
+
+    for trial in range(20):
+        obj = {"root": rand_obj(0)}
+        p = str(tmp_path / f"fuzz{trial}.t7")
+        t7.save_t7(p, obj)
+        check(obj, t7.load_t7(p))
