@@ -183,21 +183,20 @@ class Trainer:
         n_steps = 0
         exploded = 0
         t0 = time.time()
-        for batch in self.data.train_data.batches(self.source):
-            dev = self._put_batch(batch)
-            self.state, metrics = self.train_step(
-                self.state, dev["tokens"], dev["lengths"], dev["feats"],
-                dev["labels"], hop_scale,
-                jnp.float32(self.lr), jnp.float32(self.mult_lr))
+
+        def consume(metrics) -> None:
+            """Host-side bookkeeping for a finished step (guard, prints,
+            metric sums).  Called one step BEHIND the dispatch so reading
+            metrics never stalls the device pipeline."""
+            nonlocal n_steps, exploded
             loss = float(metrics["loss"])
             if not self._guard(loss):
                 exploded += 1
-                continue
+                return
             n_steps += 1
             if (self.tcfg.print_interval
                     and n_steps % self.tcfg.print_interval == 0):
-                step_no = int(self.state.step)
-                print(f"it {step_no} (epoch {epoch_1based}) "
+                print(f"it {int(self.state.step)} (epoch {epoch_1based}) "
                       f"loss={loss:.5f} lr={self.lr:.2e} "
                       f"mult_lr={self.mult_lr:.2e} "
                       f"[grad] E:{float(metrics['grad_norm_embed']):.4f} "
@@ -211,6 +210,19 @@ class Trainer:
             for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss"):
                 v = np.asarray(metrics[k])
                 sums[k] = sums.get(k, np.zeros_like(v)) + v
+
+        pending = None
+        for batch in self.data.train_data.batches(self.source):
+            dev = self._put_batch(batch)
+            self.state, metrics = self.train_step(
+                self.state, dev["tokens"], dev["lengths"], dev["feats"],
+                dev["labels"], hop_scale,
+                jnp.float32(self.lr), jnp.float32(self.mult_lr))
+            if pending is not None:
+                consume(pending)
+            pending = metrics
+        if pending is not None:
+            consume(pending)
         dt = time.time() - t0
         self.epoch += 1
         out = {k: v / max(n_steps, 1) for k, v in sums.items()}
@@ -242,7 +254,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _guard(self, loss: float) -> bool:
         """Loss-explosion guard: reject the step (restore last checkpoint)
-        when loss is non-finite or > threshold x EMA."""
+        when loss is non-finite or > threshold x EMA.  Evaluated one step
+        behind the dispatch (pipelined train loop), so the restore also
+        discards the one in-flight step — both are rebuilt from the
+        checkpoint."""
         thresh = self.tcfg.loss_explode_threshold
         bad = not math.isfinite(loss) or (
             self.loss_ema is not None and thresh > 0
