@@ -161,10 +161,14 @@ class Trainer:
             epoch=epoch_1based)
 
     def _put_batch(self, batch):
+        # ship features in the compute dtype: halves host->device bytes in
+        # bf16 mode (the model casts to compute_dtype on entry anyway)
+        feat_dt = (np.float32 if self.mcfg.compute_dtype == "float32"
+                   else jnp.dtype(self.mcfg.compute_dtype))
         arrays = {
             "tokens": np.asarray(batch.tokens, np.int32),
             "lengths": np.asarray(batch.lengths, np.int32),
-            "feats": np.asarray(batch.feats, np.float32),
+            "feats": np.asarray(batch.feats).astype(feat_dt),
         }
         if batch.labels is not None:
             arrays["labels"] = np.asarray(batch.labels, np.int32)

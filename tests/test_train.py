@@ -324,3 +324,17 @@ def test_trainer_applies_hop_curriculum(fixture_root, tmp_path):
     trainer.fit(epochs=2, eval_each=False)  # runs through both regimes
     rows = trainer.logger.read(kind="train")
     assert len(rows) == 2
+
+
+def test_put_batch_ships_compute_dtype(fixture_root, tmp_path):
+    """bf16 mode halves host->device feature bytes."""
+    import dataclasses
+    import jax.numpy as jnp
+    trainer = make_trainer(fixture_root, str(tmp_path / "dt"))
+    trainer.data.train_data.inorder()
+    batch = trainer.data.train_data.next_batch(trainer.source)
+    dev = trainer._put_batch(batch)
+    assert dev["feats"].dtype == jnp.float32
+    trainer.mcfg = dataclasses.replace(trainer.mcfg, compute_dtype="bfloat16")
+    dev = trainer._put_batch(batch)
+    assert dev["feats"].dtype == jnp.bfloat16
