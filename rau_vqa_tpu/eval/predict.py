@@ -89,9 +89,14 @@ def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
 
 
 def make_predict_step(cfg: ModelConfig, *, fused: bool = False,
-                      interpret: bool = False):
-    """Jitted (params, tokens, lengths, feats) -> (tab_pred, tab_att)."""
+                      interpret: bool | None = None):
+    """Jitted (params, tokens, lengths, feats) -> (tab_pred, tab_att).
+
+    ``interpret=None`` auto-selects: compiled Pallas on TPU, interpreter
+    elsewhere (Pallas TPU kernels don't lower on CPU)."""
     if fused:
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
         return jax.jit(lambda p, t, l, f: predict_fused(
             p, cfg, t, l, f, interpret=interpret))
     return jax.jit(lambda p, t, l, f: predict(p, cfg, t, l, f))

@@ -95,3 +95,19 @@ def test_profile_command(tmp_path):
     for root, _, files in os.walk(out):
         found += files
     assert found, "profiler produced no trace files"
+
+
+def test_fused_eval_flag(trained_run, tmp_path):
+    """--fused-eval works off-TPU (Pallas interpret auto-selected)."""
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    fix = os.path.join(trained_run, "fixture")
+    rc = main(["eval", "--checkpoint", ck, "--preset", "ours_ms",
+               "--fused-eval",
+               "--vqa-dir", os.path.join(fix, "vqa_prepro"),
+               "--feat-dir", os.path.join(fix, "feat"),
+               "--split", "val2014", "--test-batch-size", "8",
+               "--gt-anno", os.path.join(fix, "vqa_prepro",
+                                         "gt_annotations.json"),
+               "--save-dir", str(tmp_path / "fused_eval")])
+    assert rc == 0
