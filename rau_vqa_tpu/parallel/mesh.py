@@ -157,3 +157,29 @@ def place_state(mesh: Mesh, state: TrainState, *, tp: bool = False) -> TrainStat
     """device_put a host-initialized TrainState onto the mesh."""
     sh = state_shardings(mesh, state, tp=tp)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+
+
+# ---------------------------------------------------------------------------
+# Sharded serving
+# ---------------------------------------------------------------------------
+
+def make_sharded_predict(mcfg: ModelConfig, mesh: Mesh, params, *,
+                         tp: bool = False):
+    """jit the eval forward with the batch sharded on 'data' (+ optional TP
+    weights): multi-chip serving scales throughput ~linearly with the data
+    axis since the per-hop compute is embarrassingly batch-parallel.
+    Returns (jitted_fn, placed_params)."""
+    from rau_vqa_tpu.eval.predict import predict
+
+    pspecs = param_pspecs(params, tp=tp)
+    p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, p_sh)
+    in_sh = (
+        p_sh,
+        NamedSharding(mesh, P("data", None)),        # tokens
+        NamedSharding(mesh, P("data")),              # lengths
+        NamedSharding(mesh, P("data", None, None)),  # feats
+    )
+    fn = jax.jit(lambda p, t, l, f: predict(p, mcfg, t, l, f),
+                 in_shardings=in_sh)
+    return fn, params

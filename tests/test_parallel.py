@@ -139,3 +139,22 @@ def test_trainer_on_mesh(tmp_path):
     trainer.fit(epochs=15, eval_each=False)
     res = trainer.evaluate(write_submissions=False)
     assert max(res["testOEacc"]) > 0.3   # well above 20% chance by epoch 15
+
+
+@pytest.mark.parametrize("n_data,n_model,tp", [(8, 1, False), (4, 2, True)])
+def test_sharded_predict_matches_single_device(n_data, n_model, tp):
+    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.parallel.mesh import make_sharded_predict
+
+    tokens, lengths, feats, _ = make_batch()
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    ref_tab, ref_att = predict(state.params, CFG, tokens, lengths, feats)
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    fn, params = make_sharded_predict(CFG, mesh, state.params, tp=tp)
+    sbatch = shard_batch(mesh, tokens, lengths, feats)
+    tab, att = fn(params, *sbatch)
+    np.testing.assert_allclose(np.asarray(tab), np.asarray(ref_tab),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
+                               rtol=2e-4, atol=1e-5)
