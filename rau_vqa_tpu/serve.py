@@ -5,9 +5,8 @@ features) or {"question": str, "image_b64": str} (raw image through the
 on-TPU backbone when one is configured); returns the top-k answers of the
 "select" aggregate plus per-hop answers.  GET /healthz for liveness.
 
-One process, one chip, batch-of-pending-requests dispatch: requests queue up
-while a batch is on device and are answered together — the same
-fixed-shape, compile-once serving discipline as bench.py.
+One process, one chip; a lock serializes device dispatches (fixed-shape,
+compile-once serving).
 """
 
 from __future__ import annotations
@@ -26,7 +25,7 @@ class RAUService:
     """Wraps a checkpointed model for single-question serving."""
 
     def __init__(self, checkpoint: str, vqa_dir: str, feat_dirs,
-                 *, preset: str = "ours_ms", batch_size: int = 16,
+                 *, preset: str = "ours_ms",
                  backbone: Optional[str] = None, bb_params=None,
                  fused: bool = False):
         import dataclasses
@@ -55,7 +54,6 @@ class RAUService:
         tree, _ = load_checkpoint(checkpoint, state._asdict())
         self.params = tree["params"]
         self.predict = make_predict_step(self.mcfg, fused=fused)
-        self.batch_size = batch_size
         self.backbone = backbone
         self.bb_params = bb_params
 
