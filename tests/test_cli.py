@@ -111,3 +111,26 @@ def test_fused_eval_flag(trained_run, tmp_path):
                                          "gt_annotations.json"),
                "--save-dir", str(tmp_path / "fused_eval")])
     assert rc == 0
+
+
+def test_submission_file_schema(trained_run):
+    """Result JSONs must match the VQA eval-server contract exactly:
+    name vqa_<task>_mscoco_<split>_<alg><NN>hop-<epoch>_results.json,
+    content [{"answer": str, "question_id": int}] (reference :1171-1186)."""
+    import json
+    import re
+
+    files = glob.glob(os.path.join(trained_run, "results", "hop_*",
+                                   "vqa_*_results.json"))
+    assert files
+    pat = re.compile(
+        r"vqa_(OpenEnded|MultipleChoice)_mscoco_[\w-]+_.+\d{2}hop-\d+\.\d{2}_results\.json$")
+    for path in files:
+        assert pat.search(os.path.basename(path)), path
+        with open(path) as f:
+            rows = json.load(f)
+        assert isinstance(rows, list) and rows
+        for row in rows[:5]:
+            assert set(row) == {"answer", "question_id"}
+            assert isinstance(row["answer"], str)
+            assert isinstance(row["question_id"], int)
