@@ -134,3 +134,11 @@ def test_submission_file_schema(trained_run):
             assert set(row) == {"answer", "question_id"}
             assert isinstance(row["answer"], str)
             assert isinstance(row["question_id"], int)
+
+
+def test_data_script_syntax():
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["bash", "-n", os.path.join(root, "scripts",
+                                                   "get_data.sh")])
+    assert r.returncode == 0
