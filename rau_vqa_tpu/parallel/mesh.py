@@ -112,11 +112,24 @@ def batch_pspec() -> P:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """device_put each array with its leading dim split over 'data'."""
+    """Place each array with its leading dim split over 'data'.
+
+    Single-process: a plain device_put of the global batch.  Multi-process
+    (``jax.process_count() > 1``): each process passes only its LOCAL shard
+    and the global array is assembled via
+    ``jax.make_array_from_process_local_data`` — the host-sharded input
+    pipeline the multi-host mesh requires (no process ever materializes the
+    global batch)."""
+    multiproc = jax.process_count() > 1
     out = []
     for a in arrays:
         spec = P("data", *([None] * (a.ndim - 1)))
-        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            out.append(jax.make_array_from_process_local_data(
+                sh, np.asarray(a)))
+        else:
+            out.append(jax.device_put(a, sh))
     return tuple(out) if len(out) > 1 else out[0]
 
 
@@ -163,23 +176,33 @@ def place_state(mesh: Mesh, state: TrainState, *, tp: bool = False) -> TrainStat
 # Sharded serving
 # ---------------------------------------------------------------------------
 
-def make_sharded_predict(mcfg: ModelConfig, mesh: Mesh, params, *,
-                         tp: bool = False):
+def make_sharded_predict_fn(mcfg: ModelConfig, mesh: Mesh, params, *,
+                            tp: bool = False):
     """jit the eval forward with the batch sharded on 'data' (+ optional TP
-    weights): multi-chip serving scales throughput ~linearly with the data
-    axis since the per-hop compute is embarrassingly batch-parallel.
-    Returns (jitted_fn, placed_params)."""
+    weights).  ``params`` is only used for its tree structure; pass arrays
+    already placed with matching shardings (e.g. a mesh-placed TrainState's
+    params)."""
     from rau_vqa_tpu.eval.predict import predict
 
     pspecs = param_pspecs(params, tp=tp)
     p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
-    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, p_sh)
     in_sh = (
         p_sh,
         NamedSharding(mesh, P("data", None)),        # tokens
         NamedSharding(mesh, P("data")),              # lengths
         NamedSharding(mesh, P("data", None, None)),  # feats
     )
-    fn = jax.jit(lambda p, t, l, f: predict(p, mcfg, t, l, f),
-                 in_shardings=in_sh)
-    return fn, params
+    return jax.jit(lambda p, t, l, f: predict(p, mcfg, t, l, f),
+                   in_shardings=in_sh)
+
+
+def make_sharded_predict(mcfg: ModelConfig, mesh: Mesh, params, *,
+                         tp: bool = False):
+    """jit the eval forward with the batch sharded on 'data' (+ optional TP
+    weights): multi-chip serving scales throughput ~linearly with the data
+    axis since the per-hop compute is embarrassingly batch-parallel.
+    Returns (jitted_fn, placed_params)."""
+    pspecs = param_pspecs(params, tp=tp)
+    p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, p_sh)
+    return make_sharded_predict_fn(mcfg, mesh, params, tp=tp), params

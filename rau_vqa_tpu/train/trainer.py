@@ -126,6 +126,11 @@ class Trainer:
 
         self.state = init_train_state(jax.random.PRNGKey(self.tcfg.seed),
                                       self.mcfg)
+        # host-side fallback so the explosion guard can reject a poisoned
+        # update even before the first checkpoint exists (reference declares
+        # -loss_explod_threshold but never reads it, Ours_SS/...lua:29);
+        # captured pre-placement so it is host-local in every process
+        self._fallback_state = jax.tree.map(np.asarray, self.state)
         self.mesh = mesh
         if jit_step is not None:
             self.train_step = jit_step
@@ -143,7 +148,16 @@ class Trainer:
         else:
             self.train_step = jax.jit(
                 make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
-        self.predict_step = make_predict_step(self.mcfg, fused=exp.fused_eval)
+        if mesh is not None:
+            # sharded serving for the eval sweep: params already live on the
+            # mesh with TP/replicated shardings, the batch shards on 'data'
+            from rau_vqa_tpu.parallel.mesh import make_sharded_predict_fn
+            self.predict_step = make_sharded_predict_fn(
+                self.mcfg, mesh, self.state.params,
+                tp=exp.mesh.shard_params_tp)
+        else:
+            self.predict_step = make_predict_step(self.mcfg,
+                                                  fused=exp.fused_eval)
 
         self.lr = self.tcfg.learning_rate
         self.mult_lr = self.tcfg.mult_learning_rate
@@ -270,6 +284,15 @@ class Trainer:
             path = latest_checkpoint(self.ckpt_dir)
             if path is not None:
                 self.restore(path)
+            else:
+                # no checkpoint yet: fall back to the initial state held on
+                # host, so the poisoned update is never kept
+                state = jax.tree.map(jnp.asarray, self._fallback_state)
+                if self.mesh is not None:
+                    from rau_vqa_tpu.parallel.mesh import place_state
+                    state = place_state(self.mesh, state,
+                                        tp=self.exp.mesh.shard_params_tp)
+                self.state = state
             return False
         self.loss_ema = loss if self.loss_ema is None else (
             0.9 * self.loss_ema + 0.1 * loss)
@@ -292,10 +315,12 @@ class Trainer:
         oe_chunks, mc_chunks, qid_chunks = [], [], []
         first_batch = True
         for batch in test.batches(self.source):
+            # _put_batch ships features in compute_dtype (halving bytes in
+            # bf16 mode, same as the train path) and shards on the mesh
+            dev = self._put_batch(batch)
             tab_pred, tab_att = self.predict_step(
-                self.state.params, jnp.asarray(batch.tokens, jnp.int32),
-                jnp.asarray(batch.lengths, jnp.int32),
-                jnp.asarray(batch.feats, jnp.float32))
+                self.state.params, dev["tokens"], dev["lengths"],
+                dev["feats"])
             if self.exp.visatt and first_batch:
                 # attention PNG dumps (reference :926-932); first batch only
                 # by default to bound file count
@@ -382,6 +407,10 @@ class Trainer:
     def restore(self, path: str) -> None:
         tree, meta = load_checkpoint(path, self.state._asdict())
         self.state = TrainState(**tree)
+        if self.mesh is not None:
+            from rau_vqa_tpu.parallel.mesh import place_state
+            self.state = place_state(self.mesh, self.state,
+                                     tp=self.exp.mesh.shard_params_tp)
         if "lr" in meta:
             self.lr = meta["lr"]
             self.mult_lr = meta["mult_lr"]
