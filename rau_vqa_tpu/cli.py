@@ -70,6 +70,14 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute + MXU-default matmul precision")
     p.add_argument("--fused-eval", action="store_true",
                    help="run eval sweeps through the fused Pallas kernels")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="size of the 'data' (DP) mesh axis; -1 = all "
+                        "available devices")
+    p.add_argument("--mesh-model", type=int, default=None,
+                   help="size of the 'model' (TP) mesh axis")
+    p.add_argument("--tp", action="store_true",
+                   help="shard the classifier + LSTM gate projections over "
+                        "the 'model' axis (implies --mesh-model 2 unless set)")
 
 
 def _apply_overrides(exp, args):
@@ -87,6 +95,17 @@ def _apply_overrides(exp, args):
         m["matmul_precision"] = "default"
     if getattr(args, "fused_eval", False):
         exp = exp.replace(fused_eval=True)
+    me = {}
+    if getattr(args, "mesh_data", None) is not None:
+        me["data_axis"] = args.mesh_data
+    if getattr(args, "mesh_model", None) is not None:
+        me["model_axis"] = args.mesh_model
+    if getattr(args, "tp", False):
+        me["shard_params_tp"] = True
+        me.setdefault("model_axis", max(exp.mesh.model_axis, 2))
+    if me:
+        me["enabled"] = True
+        exp = exp.replace(mesh=dataclasses.replace(exp.mesh, **me))
     for flag, field in [("epochs", "max_epochs"), ("batch_size", "batch_size"),
                         ("learning_rate", "learning_rate"),
                         ("mult_learning_rate", "mult_learning_rate"),
@@ -173,7 +192,13 @@ def cmd_train(args) -> int:
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)
 
-    trainer = Trainer(exp, data, source, workdir, gt_anno=gt)
+    mesh = None
+    if exp.mesh.enabled:
+        from rau_vqa_tpu.parallel.mesh import mesh_from_config
+        mesh = mesh_from_config(exp.mesh)
+        print(f"mesh: {dict(mesh.shape)}"
+              + (" (TP weight sharding)" if exp.mesh.shard_params_tp else ""))
+    trainer = Trainer(exp, data, source, workdir, gt_anno=gt, mesh=mesh)
     if args.init_from:
         trainer.restore(args.init_from)
         print(f"resumed from {args.init_from} at epoch {trainer.epoch}")

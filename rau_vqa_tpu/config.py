@@ -130,6 +130,7 @@ class MeshConfig:
     model size (~20M params); TP over 'model' optionally shards the 1000-way
     classifier and the 4x512 LSTM gate matmuls (SURVEY.md §2d)."""
 
+    enabled: bool = False             # construct a mesh for the Trainer
     data_axis: int = -1               # -1 => all available devices
     model_axis: int = 1
     axis_names: Tuple[str, str] = ("data", "model")

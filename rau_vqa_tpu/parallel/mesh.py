@@ -18,7 +18,7 @@ is deliberately absent — questions are <= 26 tokens and attention spans
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
@@ -38,6 +38,15 @@ def make_mesh(n_data: int = -1, n_model: int = 1,
         f"need {n_data * n_model} devices, have {len(devices)}")
     grid = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
+
+
+def mesh_from_config(mc) -> Mesh:
+    """Construct the Trainer's mesh from a MeshConfig (CLI --mesh-data /
+    --mesh-model / --tp).  Multi-process runs get the process-major
+    multihost layout automatically."""
+    if jax.process_count() > 1:
+        return make_multihost_mesh(n_model=mc.model_axis)
+    return make_mesh(n_data=mc.data_axis, n_model=mc.model_axis)
 
 
 def make_multihost_mesh(n_model: int = 1) -> Mesh:
@@ -63,36 +72,47 @@ def make_multihost_mesh(n_model: int = 1) -> Mesh:
 # Sharding rules
 # ---------------------------------------------------------------------------
 
-def _tp_rule(path: Tuple, leaf) -> P:
+def _tp_rule(path: Tuple, leaf, n_model: int = 0) -> P:
     """Tensor-parallel PartitionSpec for one parameter leaf, keyed by its
-    tree path.  Output-dim sharding on 'model' for the wide projections."""
+    tree path.  Output-dim sharding on 'model' for the wide projections.
+    Leaves whose sharded dim is not divisible by the model-axis size fall
+    back to replication (device_put rejects uneven shardings)."""
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
     name = keys[-1]          # 'w'/'b' or 'wi'/'bi'/'wh'/'bh' or 'lookup'
     parent = next((k for k in reversed(keys[:-1]) if isinstance(k, str)), None)
 
     # LSTM gate projections: [in, 4R] / [4R]
     if name in ("wi", "wh"):
-        return P(None, "model")
-    if name in ("bi", "bh"):
-        return P("model")
+        spec = P(None, "model")
+    elif name in ("bi", "bh"):
+        spec = P("model")
     # classifier [M, A] — the widest matmul in the model
-    if parent == "cls":
-        return P(None, "model") if name == "w" else P("model")
-    # everything else (embeddings, small projections) replicated
-    return P()
+    elif parent == "cls":
+        spec = P(None, "model") if name == "w" else P("model")
+    else:
+        # everything else (embeddings, small projections) replicated
+        return P()
+    if n_model > 1:
+        shape = getattr(leaf, "shape", ())
+        for i, axis in enumerate(spec):
+            if axis == "model" and shape[i] % n_model != 0:
+                return P()
+    return spec
 
 
-def param_pspecs(params: Any, *, tp: bool) -> Any:
+def param_pspecs(params: Any, *, tp: bool, mesh: Optional[Mesh] = None) -> Any:
     """PartitionSpec pytree matching ``params``."""
     if not tp:
         return jax.tree.map(lambda _: P(), params)
-    return jax.tree_util.tree_map_with_path(_tp_rule, params)
+    n_model = int(mesh.shape.get("model", 0)) if mesh is not None else 0
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _tp_rule(path, leaf, n_model), params)
 
 
 def state_shardings(mesh: Mesh, state: TrainState, *, tp: bool) -> TrainState:
     """NamedSharding pytree for the full TrainState: Adam moments mirror
     their parameters; scalars/rng replicated."""
-    pspecs = param_pspecs(state.params, tp=tp)
+    pspecs = param_pspecs(state.params, tp=tp, mesh=mesh)
     def ns(spec):
         return NamedSharding(mesh, spec)
     params_sh = jax.tree.map(ns, pspecs)
@@ -184,7 +204,7 @@ def make_sharded_predict_fn(mcfg: ModelConfig, mesh: Mesh, params, *,
     params)."""
     from rau_vqa_tpu.eval.predict import predict
 
-    pspecs = param_pspecs(params, tp=tp)
+    pspecs = param_pspecs(params, tp=tp, mesh=mesh)
     p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
     in_sh = (
         p_sh,
@@ -202,7 +222,7 @@ def make_sharded_predict(mcfg: ModelConfig, mesh: Mesh, params, *,
     weights): multi-chip serving scales throughput ~linearly with the data
     axis since the per-hop compute is embarrassingly batch-parallel.
     Returns (jitted_fn, placed_params)."""
-    pspecs = param_pspecs(params, tp=tp)
+    pspecs = param_pspecs(params, tp=tp, mesh=mesh)
     p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
     params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, p_sh)
     return make_sharded_predict_fn(mcfg, mesh, params, tp=tp), params

@@ -188,6 +188,20 @@ class Trainer:
             arrays["labels"] = np.asarray(batch.labels, np.int32)
         if self.mesh is not None:
             from rau_vqa_tpu.parallel.mesh import shard_batch
+            if jax.process_count() > 1:
+                # host-sharded input: every process sees the same (counter-
+                # seeded, deterministic) batch stream but materializes only
+                # its own slice on device; shard_batch assembles the global
+                # array from the per-process shards
+                np_, pid = jax.process_count(), jax.process_index()
+                b = next(iter(arrays.values())).shape[0]
+                if b % np_:
+                    raise ValueError(
+                        f"global batch {b} not divisible by "
+                        f"{np_} processes")
+                loc = b // np_
+                arrays = {k: v[pid * loc:(pid + 1) * loc]
+                          for k, v in arrays.items()}
             vals = shard_batch(self.mesh, *arrays.values())
             return dict(zip(arrays.keys(), vals))
         return {k: jnp.asarray(v) for k, v in arrays.items()}

@@ -78,6 +78,8 @@ if proc_id == 0:
 
 @pytest.mark.skipif(os.environ.get("RAU_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
+@pytest.mark.slow
+@pytest.mark.multiproc
 def test_two_process_mesh_matches_single(tmp_path):
     import socket
 

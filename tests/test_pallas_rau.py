@@ -4,6 +4,7 @@ CPU; the real-TPU run is exercised by bench.py and the driver)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rau_vqa_tpu.config import ModelConfig
 from rau_vqa_tpu.models.rau import embed_image, init_params, rau_forward
@@ -109,6 +110,7 @@ def test_lstm_encoder_fused_matches_scan():
                                rtol=0.05, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_predict_fused_pads_odd_batches():
     """Fused path must handle batch sizes not divisible by the tile
     (the reference's test batches are 83/57/96)."""

@@ -63,6 +63,7 @@ def test_tp_pspecs():
 
 
 @pytest.mark.parametrize("n_data,n_model,tp", [(8, 1, False), (4, 2, True)])
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(n_data, n_model, tp):
     batch = make_batch()
     # single-device reference
@@ -95,6 +96,7 @@ def test_sharded_step_matches_single_device(n_data, n_model, tp):
     assert len(tok_shards) == 8
 
 
+@pytest.mark.slow
 def test_trainer_on_mesh(tmp_path):
     """Trainer drives the full epoch loop through the sharded step on the
     8-device mesh and learns the fixture above chance."""

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rau_vqa_tpu.config import ModelConfig
 from rau_vqa_tpu.data.images import ImageDirSource
@@ -26,6 +27,7 @@ def test_image_dir_source(tmp_path):
     assert batch.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_pixels_to_answers(tmp_path):
     cfg = ModelConfig(
         vocab_size=40, answer_size=9, seq_len=7, embed_dim=8, rnn_size=16,

@@ -8,6 +8,9 @@ import urllib.request
 
 import pytest
 
+# module-scope: the session fixture trains a model (~25 s)
+pytestmark = pytest.mark.slow
+
 from rau_vqa_tpu.cli import main
 
 

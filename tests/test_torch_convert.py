@@ -183,6 +183,7 @@ def test_pytorch_forward_equivalence():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_golden_roundtrip_through_torch_snapshot(tmp_path):
     """End-to-end golden-output flow: a trained native checkpoint exported to
     the reference's snapshot format, converted back, must produce IDENTICAL

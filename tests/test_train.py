@@ -217,6 +217,7 @@ def make_trainer(fixture_root, workdir, n_hops=2, **train_overrides):
     return Trainer(exp, data, src, workdir, gt_anno=gt)
 
 
+@pytest.mark.slow
 def test_trainer_learns_fixture(fixture_root, tmp_path):
     trainer = make_trainer(fixture_root, str(tmp_path / "run"))
     trainer.fit(epochs=30, eval_each=False)
@@ -235,6 +236,7 @@ def test_trainer_learns_fixture(fixture_root, tmp_path):
     assert "trainacc_01" in rows[-1] and "trainloss_02" in rows[-1]
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(fixture_root, tmp_path):
     trainer = make_trainer(fixture_root, str(tmp_path / "ckpt_run"))
     trainer.fit(epochs=2, eval_each=False)
@@ -256,6 +258,7 @@ def test_checkpoint_roundtrip(fixture_root, tmp_path):
         np.asarray(trainer.state.opt["mult"]["m"]["cls"]["w"]))
 
 
+@pytest.mark.slow
 def test_explosion_guard_restores(fixture_root, tmp_path):
     trainer = make_trainer(fixture_root, str(tmp_path / "guard_run"),
                            loss_explode_threshold=1.0001)
@@ -267,6 +270,7 @@ def test_explosion_guard_restores(fixture_root, tmp_path):
     assert rec["exploded"] > 0
 
 
+@pytest.mark.slow
 def test_explosion_guard_pre_checkpoint(fixture_root, tmp_path):
     """A loss explosion on step 1 with NO checkpoint on disk must not keep
     the poisoned update: the trainer falls back to its initial state
@@ -331,6 +335,7 @@ def test_do_pred_metrics_vs_loop_oracle():
     assert abs(float(m["do_pred_loss"][0]) - bce0) < 1e-5
 
 
+@pytest.mark.slow
 def test_resume_equivalence(fixture_root, tmp_path):
     """Train 4 epochs straight vs train 2 + checkpoint + restore + 2 more:
     identical parameters (true resumability — the reference's -init_from
@@ -351,6 +356,7 @@ def test_resume_equivalence(fixture_root, tmp_path):
     assert int(a.state.step) == int(b2.state.step)
 
 
+@pytest.mark.slow
 def test_trainer_applies_hop_curriculum(fixture_root, tmp_path):
     """Ours_Full-style early-stop curriculum wired through the Trainer:
     hop 2's gradient scale flips to 0 from the epoch after its stop time."""

@@ -4,6 +4,7 @@ cross-framework equivalence against hand-built PyTorch modules."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -69,6 +70,7 @@ def test_ten_crop():
                                np.asarray(tc[0])[:, :, ::-1, :])
 
 
+@pytest.mark.slow
 def test_photometric_jittable():
     x = imgs()
     rng = jax.random.PRNGKey(1)
@@ -112,6 +114,7 @@ def torch_vgg16_features():
     return nn.Sequential(*layers)
 
 
+@pytest.mark.slow
 def test_vgg16_matches_torch():
     torch.manual_seed(0)
     net = torch_vgg16_features().double().eval()
@@ -132,6 +135,7 @@ def test_vgg16_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vgg16_448_shape():
     params = vgg16_pool5_init(jax.random.PRNGKey(0))
     # 448 input must give the 14x14x512 grid of the released features
@@ -145,6 +149,7 @@ def test_vgg16_448_shape():
 # ResNet-101
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_resnet101_shape_and_converter_keys():
     params = resnet101_init(jax.random.PRNGKey(0))
     shape = jax.eval_shape(

@@ -4,6 +4,7 @@ equivalence, RAU integration over patch tokens."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -18,6 +19,7 @@ TINY_VIT = ViTConfig(image_size=16, patch=4, dim=32, depth=2, heads=4,
                      mlp_ratio=2.0)
 
 
+@pytest.mark.slow
 def test_vit_shapes():
     params = vit_init(jax.random.PRNGKey(0), TINY_VIT)
     x = jnp.asarray(np.random.RandomState(0)
@@ -94,6 +96,7 @@ def test_vit_block_matches_torch():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vit_feeds_rau():
     """ViT patch tokens as the RAU feature map (the stretch config)."""
     from rau_vqa_tpu.config import ModelConfig
