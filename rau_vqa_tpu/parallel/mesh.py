@@ -187,8 +187,19 @@ def make_sharded_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
 
 
 def place_state(mesh: Mesh, state: TrainState, *, tp: bool = False) -> TrainState:
-    """device_put a host-initialized TrainState onto the mesh."""
+    """Place a host-initialized TrainState onto the mesh.
+
+    Multi-process: every process holds the same full host state (same seed),
+    and each contributes its addressable shards via
+    ``make_array_from_callback`` — device_put cannot target a sharding that
+    spans processes."""
     sh = state_shardings(mesh, state, tp=tp)
+    if jax.process_count() > 1:
+        def place(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, s, lambda idx, x=x: x[idx])
+        return jax.tree.map(place, state, sh)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
 
 
