@@ -267,12 +267,31 @@ def cmd_eval(args) -> int:
 
 
 def cmd_pack_features(args) -> int:
+    """Pack per-image .t7 features into one mmap shard.
+
+    Per-image source dirs follow the h5 ``datatype_train`` contract: the
+    reference indexes tab_featpaths by each question's datatype
+    (vqa_prepro_loader.lua:876), so a mixed train2014+val2014 split reads
+    images from different dirs.  Test images always use datatype 1 (the
+    reference fills test datatypes with 1, vqa_prepro_loader.lua:1378)."""
+    import numpy as np
+
     from rau_vqa_tpu.data.features import pack_feature_dir
 
     with open(os.path.join(args.vqa_dir, "data_prepro.json")) as f:
         info = json.load(f)
     imgs = list(info.get("unique_img_train", []))
-    dts = [1] * len(imgs)
+    dts = np.ones(len(imgs), np.int32)
+    h5_path = os.path.join(args.vqa_dir, "data_prepro.h5")
+    if imgs and os.path.exists(h5_path):
+        import h5py
+        with h5py.File(h5_path, "r") as h5:
+            if "datatype_train" in h5:
+                # per-question datatype -> per-image via img_pos (1-based)
+                pos = np.asarray(h5["img_pos_train"], np.int64)
+                dt = np.asarray(h5["datatype_train"], np.int32)
+                dts[pos - 1] = dt
+    dts = dts.tolist()
     for p in info.get("unique_img_test", []):
         imgs.append(p)
         dts.append(1)
