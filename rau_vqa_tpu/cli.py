@@ -349,6 +349,54 @@ def cmd_convert_snapshot(args) -> int:
     return 0
 
 
+def cmd_diagnose_snapshot(args) -> int:
+    """Diagnose a reference Torch snapshot's flat-vector layout against our
+    reconstructed ordering (utils.layout_diag): size segmentation, ambiguity
+    classes, and — given a trusted native checkpoint via --ref-checkpoint —
+    content-based order recovery with a repair diff."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from rau_vqa_tpu.config import get_preset, ModelConfig
+    from rau_vqa_tpu.utils import layout_diag as ld
+    from rau_vqa_tpu.utils import torch_convert as tc
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    mcfg = dc.replace(exp.model, vocab_size=args.vocab_size,
+                      answer_size=args.answer_size, seq_len=args.seq_len)
+    flats = tc.snapshot_flats(args.input)
+    print(ld.layout_report(mcfg))
+    ok = True
+    for group, flat in zip(("embed", "rnn", "mult"), flats):
+        want = tc.group_size(mcfg, group)
+        status = "OK" if flat.size == want else "MISMATCH"
+        ok = ok and flat.size == want
+        print(f"{group}: snapshot {flat.size} vs config {want} elements "
+              f"[{status}]")
+    if not ok:
+        print("size mismatch: fix model dims before diagnosing order")
+        return 1
+    if args.ref_checkpoint:
+        import jax
+        from rau_vqa_tpu.train.trainer import init_train_state
+        from rau_vqa_tpu.utils.checkpoint import load_checkpoint
+
+        state = init_train_state(jax.random.PRNGKey(0), mcfg)
+        tree, _ = load_checkpoint(args.ref_checkpoint, state._asdict())
+        params = jax.tree.map(np.asarray, tree["params"])
+        for group, flat in zip(("embed", "rnn", "mult"), flats):
+            rec = ld.align_flat_by_content(flat, mcfg, group, params[group])
+            diff = ld.layout_diff(mcfg, group, rec)
+            if diff:
+                print(f"{group}: ORDER MISMATCH —")
+                for d in diff:
+                    print(f"  {d}")
+            else:
+                print(f"{group}: order matches GROUP_LAYOUTS")
+    return 0
+
+
 def cmd_ask(args) -> int:
     """Answer one question about one image's features from a checkpoint —
     the smallest serving path (question string -> tokens via the dataset
@@ -492,6 +540,19 @@ def main(argv=None) -> int:
     _add_train_flags(p_conv)
     _add_common_data_flags(p_conv)
 
+    p_diag = sub.add_parser("diagnose-snapshot",
+                            help="diagnose a Torch snapshot's flat-vector "
+                                 "layout (sizes, ambiguity classes, order)")
+    p_diag.add_argument("--input", required=True, help="snapshot .t7")
+    p_diag.add_argument("--ref-checkpoint", default=None,
+                        help="trusted native checkpoint for content-based "
+                             "order recovery")
+    p_diag.add_argument("--vocab-size", type=int, required=True)
+    p_diag.add_argument("--answer-size", type=int, default=1000)
+    p_diag.add_argument("--seq-len", type=int, default=26)
+    _add_train_flags(p_diag)
+    _add_common_data_flags(p_diag)
+
     p_dash = sub.add_parser("dashboard",
                             help="live HTTP dashboard over a run directory")
     p_dash.add_argument("--workdir", required=True)
@@ -535,6 +596,7 @@ def main(argv=None) -> int:
             "pack-features": cmd_pack_features,
             "fixture": cmd_fixture,
             "convert-snapshot": cmd_convert_snapshot,
+            "diagnose-snapshot": cmd_diagnose_snapshot,
             "ask": cmd_ask}[args.command](args)
 
 

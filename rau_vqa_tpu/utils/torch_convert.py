@@ -154,10 +154,14 @@ def group_size(cfg: ModelConfig, group: str) -> int:
     return sum(int(np.prod(shape)) for _, shape, _ in GROUP_LAYOUTS[group](cfg))
 
 
-def flat_to_group(flat: np.ndarray, cfg: ModelConfig, group: str) -> Dict:
-    """Slice one torch flat vector into the {group: subtree} of our pytree."""
-    layout = GROUP_LAYOUTS[group](cfg)
-    want = group_size(cfg, group)
+def flat_to_group(flat: np.ndarray, cfg: ModelConfig, group: str,
+                  layout: List[Entry] = None) -> Dict:
+    """Slice one torch flat vector into the {group: subtree} of our pytree.
+    ``layout`` overrides the reconstructed GROUP_LAYOUTS order (e.g. one
+    recovered by utils.layout_diag when a real snapshot's nngraph
+    ``parameters()`` order disagrees)."""
+    layout = GROUP_LAYOUTS[group](cfg) if layout is None else layout
+    want = sum(int(np.prod(s)) for _, s, _ in layout)
     if flat.size != want:
         raise ValueError(
             f"{group} flat vector has {flat.size} elements; config expects "
@@ -173,9 +177,10 @@ def flat_to_group(flat: np.ndarray, cfg: ModelConfig, group: str) -> Dict:
     return tree[group]
 
 
-def group_to_flat(params: Dict, cfg: ModelConfig, group: str) -> np.ndarray:
+def group_to_flat(params: Dict, cfg: ModelConfig, group: str,
+                  layout: List[Entry] = None) -> np.ndarray:
     """Inverse: our {group} subtree -> the torch flat vector."""
-    layout = GROUP_LAYOUTS[group](cfg)
+    layout = GROUP_LAYOUTS[group](cfg) if layout is None else layout
     chunks = []
     for path, shape, transpose in layout:
         arr = np.asarray(_get({group: params}, path))
@@ -187,10 +192,8 @@ def group_to_flat(params: Dict, cfg: ModelConfig, group: str) -> np.ndarray:
     return np.concatenate(chunks)
 
 
-def convert_snapshot(t7_path: str, cfg: ModelConfig) -> Dict:
-    """Load a reference training snapshot
-    (``{it, opt, epoch, params={1: embed, 2: rnn, 3: mult}}``,
-    reference :1192-1197) and return the rau_vqa_tpu params pytree."""
+def snapshot_flats(t7_path: str) -> List[np.ndarray]:
+    """Load the three flat parameter vectors from a reference snapshot."""
     from rau_vqa_tpu.data import t7
 
     snap = t7.load_t7(t7_path)
@@ -200,12 +203,22 @@ def convert_snapshot(t7_path: str, cfg: ModelConfig) -> Dict:
         raise ValueError(f"{t7_path}: expected a snapshot table")
     if isinstance(flats, dict):   # lua 1-based table -> dict
         flats = [flats[float(i)] for i in (1, 2, 3)]
-    embed_flat, rnn_flat, mult_flat = [np.asarray(f).reshape(-1)
-                                       for f in flats]
+    return [np.asarray(f).reshape(-1) for f in flats]
+
+
+def convert_snapshot(t7_path: str, cfg: ModelConfig,
+                     layouts: Dict[str, List[Entry]] = None) -> Dict:
+    """Load a reference training snapshot
+    (``{it, opt, epoch, params={1: embed, 2: rnn, 3: mult}}``,
+    reference :1192-1197) and return the rau_vqa_tpu params pytree.
+    ``layouts`` overrides per-group orderings (see utils.layout_diag)."""
+    embed_flat, rnn_flat, mult_flat = snapshot_flats(t7_path)
+    layouts = layouts or {}
     return {
-        "embed": flat_to_group(embed_flat, cfg, "embed"),
-        "rnn": flat_to_group(rnn_flat, cfg, "rnn"),
-        "mult": flat_to_group(mult_flat, cfg, "mult"),
+        "embed": flat_to_group(embed_flat, cfg, "embed",
+                               layouts.get("embed")),
+        "rnn": flat_to_group(rnn_flat, cfg, "rnn", layouts.get("rnn")),
+        "mult": flat_to_group(mult_flat, cfg, "mult", layouts.get("mult")),
     }
 
 
