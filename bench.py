@@ -90,11 +90,34 @@ def main() -> None:
     total_q = n_rounds * K * B
     qps = total_q / dt
     log(f"bench: {dt / (n_rounds * K) * 1e3:.2f} ms/batch of {B}")
+
+    # MFU: XLA's own FLOP count for one serving step / v5e bf16 peak
+    # (197 TFLOP/s) at the measured step time.  This model is tiny and
+    # bandwidth-bound (~23 MB of bf16 params re-read per step), so MFU is
+    # expected to be low; it is recorded so future rounds judge kernels
+    # against silicon, not only the 5k-qps north star (VERDICT r1 #10).
+    PEAK_FLOPS = 197e12
+    mfu = None
+    try:
+        compiled = jax.jit(
+            lambda p, t, l, f: predict(p, cfg, t, l, f)
+        ).lower(params, tokens, lengths, feats).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_batch = float(cost["flops"])
+        sec_per_batch = dt / (n_rounds * K)
+        mfu = flops_per_batch / sec_per_batch / PEAK_FLOPS
+        log(f"bench: {flops_per_batch / B / 1e6:.2f} MFLOP/question, "
+            f"MFU {mfu * 100:.2f}%")
+    except Exception as e:          # cost_analysis is not a stable API
+        log(f"bench: cost_analysis unavailable ({e}); mfu omitted")
+
     print(json.dumps({
         "metric": "vqa_questions_per_sec_per_chip",
         "value": round(qps, 1),
         "unit": "questions/sec",
         "vs_baseline": round(qps / NORTH_STAR_QPS, 3),
+        **({"mfu": round(mfu, 4)} if mfu is not None else {}),
     }))
 
 

@@ -70,6 +70,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute + MXU-default matmul precision")
     p.add_argument("--fused-eval", action="store_true",
                    help="run eval sweeps through the fused Pallas kernels")
+    p.add_argument("--visatt", action="store_true",
+                   help="dump attention-map PNGs during eval sweeps")
+    p.add_argument("--visatt-batches", type=int, default=None,
+                   help="eval batches to dump per epoch; -1 = every test "
+                        "question (reference semantics)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="size of the 'data' (DP) mesh axis; -1 = all "
                         "available devices")
@@ -95,6 +100,10 @@ def _apply_overrides(exp, args):
         m["matmul_precision"] = "default"
     if getattr(args, "fused_eval", False):
         exp = exp.replace(fused_eval=True)
+    if getattr(args, "visatt", False):
+        exp = exp.replace(visatt=True)
+    if getattr(args, "visatt_batches", None) is not None:
+        exp = exp.replace(visatt=True, visatt_batches=args.visatt_batches)
     me = {}
     if getattr(args, "mesh_data", None) is not None:
         me["data_axis"] = args.mesh_data

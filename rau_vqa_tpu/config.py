@@ -148,6 +148,9 @@ class ExperimentConfig:
     save_dir: str = "save_result_vqa"
     # observability (reference VISUALIZATION group, :57-62)
     visatt: bool = False          # dump attention-map PNGs during eval
+    # eval batches to dump per epoch: 1 bounds the file count (default);
+    # -1 = every test question, the reference's semantics (:926-932)
+    visatt_batches: int = 1
     graph_interval: int = 10      # epochs between curve renders (:59)
     profile_dir: str = ""         # non-empty => jax.profiler trace of epoch 1
     fused_eval: bool = False      # fused Pallas kernels in the eval sweep

@@ -327,7 +327,8 @@ class Trainer:
         test.inorder()
         H2 = self.mcfg.n_hops + 2
         oe_chunks, mc_chunks, qid_chunks = [], [], []
-        first_batch = True
+        visatt_left = (self.exp.visatt_batches if self.exp.visatt_batches >= 0
+                       else test.iter_per_epoch)
         for batch in test.batches(self.source):
             # _put_batch ships features in compute_dtype (halving bytes in
             # bf16 mode, same as the train path) and shards on the mesh
@@ -335,15 +336,16 @@ class Trainer:
             tab_pred, tab_att = self.predict_step(
                 self.state.params, dev["tokens"], dev["lengths"],
                 dev["feats"])
-            if self.exp.visatt and first_batch:
-                # attention PNG dumps (reference :926-932); first batch only
-                # by default to bound file count
+            if self.exp.visatt and visatt_left > 0:
+                # attention PNG dumps (reference dumps EVERY test question
+                # per epoch, :926-932; visatt_batches=1 bounds the file
+                # count by default, -1 restores reference semantics)
                 from rau_vqa_tpu.utils.visatt import dump_attention_maps
                 dump_attention_maps(
                     os.path.join(self.workdir, "figures"), float(self.epoch),
                     np.asarray(tab_att), batch.qids.tolist(),
                     self.mcfg.cnn_w, self.mcfg.cnn_h)
-                first_batch = False
+                visatt_left -= 1
             mc = (None if batch.mc_answers is None
                   else jnp.asarray(batch.mc_answers, jnp.int32))
             oe_ans, mc_ans = compute_answers(tab_pred, mc)

@@ -308,6 +308,31 @@ def test_evaluate_ships_compute_dtype(fixture_root, tmp_path):
     assert seen and all(dt == jnp.bfloat16 for dt in seen)
 
 
+def test_visatt_file_count_bounds(fixture_root, tmp_path):
+    """visatt_batches bounds the PNG count: 1 batch by default, -1 = every
+    test question x every hop set (the reference's per-question dumps,
+    Ours_SS/...lua:926-932)."""
+    import dataclasses
+    import glob
+    trainer = make_trainer(fixture_root, str(tmp_path / "va"))
+    trainer.exp = trainer.exp.replace(visatt=True)   # default: 1 batch
+    trainer.evaluate(write_submissions=False)
+    fig_dir = os.path.join(str(tmp_path / "va"), "figures")
+    H2 = trainer.mcfg.n_hops + 2
+    test_bs = trainer.data.test_data.batch_size
+    n_default = len(glob.glob(os.path.join(fig_dir, "**", "*.png"),
+                              recursive=True))
+    assert n_default == H2 * test_bs
+
+    trainer.exp = trainer.exp.replace(visatt_batches=-1)
+    trainer.epoch += 1                               # new epoch_XXX dir
+    trainer.evaluate(write_submissions=False)
+    n_all = len(glob.glob(os.path.join(
+        fig_dir, f"epoch_{trainer.epoch:03d}", "**", "*.png"),
+        recursive=True))
+    assert n_all == H2 * trainer.data.test_data.num_examples
+
+
 def test_do_pred_metrics_vs_loop_oracle():
     """do_pred accuracy gating: rows where no hop is correct don't count
     (reference :544-557)."""
