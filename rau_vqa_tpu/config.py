@@ -53,6 +53,21 @@ class ModelConfig:
     compute_dtype: str = "float32"
     matmul_precision: str = "highest"
 
+    # run the training hop loop through the fused Pallas custom-VJP kernel
+    # pair (ops/rau_train_hops.py): feats + weights stay VMEM-resident across
+    # all hops in fwd AND bwd, dropout masks regenerate in-kernel.  Off-TPU
+    # this selects the numerically identical pure-XLA reference path.
+    fused_train: bool = False
+    # batch tile for the fused training kernels (B must divide by it)
+    fused_train_block: int = 16
+
+    # rematerialize each answering-unit hop in the backward pass
+    # (jax.checkpoint): trades ~1x extra hop-forward FLOPs for not saving the
+    # 8x [B, S, M]-sized per-hop activations — the training analogue of the
+    # reference clone-army keeping every clone's output alive
+    # (Ours_SS/LstmAttCtrlGradNoiseDontSelect.lua:343-347, :478-596)
+    remat_hops: bool = False
+
     @property
     def rnnout_dim(self) -> int:
         # packed (c, h) pairs for every layer (DeepLSTM.lua:22-25)

@@ -236,6 +236,32 @@ def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
     q = encode_question(params, cfg, tokens, lengths, train=train, rng=k_enc)
 
+    if train and cfg.fused_train:
+        # fused Pallas custom-VJP hop loop (pure-XLA reference path off-TPU);
+        # do_pred/attprob are zero-gradient monitors in the reference
+        # (d_do_pred:mul(0), :565-567) — the kernel's backward ignores their
+        # cotangents, so stop_gradient makes that contract explicit here
+        from rau_vqa_tpu.ops.rau_train_hops import (
+            rau_train_hops,
+            rau_train_hops_reference,
+        )
+        seed = jax.random.randint(k_hops, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu:
+            scores, do_pred, attprob, fc, fh = rau_train_hops(
+                mp, cfg, q, feats, seed, block_b=cfg.fused_train_block)
+        else:
+            scores, do_pred, attprob, fc, fh = rau_train_hops_reference(
+                mp, cfg, q, feats, seed)
+        return RAUOutput(
+            scores=scores,
+            do_pred=jax.lax.stop_gradient(do_pred),
+            attprob=jax.lax.stop_gradient(attprob),
+            final_c=jax.lax.stop_gradient(fc),
+            final_h=jax.lax.stop_gradient(fh),
+        )
+
     c = jnp.zeros((B, cfg.att_state_dim), q.dtype)
     h = jnp.zeros((B, cfg.att_state_dim), q.dtype)
 
@@ -243,15 +269,27 @@ def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         # hop-invariant at eval: hoist out of the loop
         ifeat, iatt = embed_image(mp, cfg, feats, train=False)
 
-    scores, do_preds, attprobs = [], [], []
-    for hop in range(cfg.n_hops):
-        k_hop = jax.random.fold_in(k_hops, hop) if k_hops is not None else None
+    def hop_step(mp_, q_, feats_or_embeds, c_, h_, k_hop):
         if train:
             k_img = jax.random.fold_in(k_hop, 97)
             # the reference's per-hop clones draw independent dropout masks
-            ifeat, iatt = embed_image(mp, cfg, feats, train=True, rng=k_img)
-        score, do_p, attp, c, h = answering_unit(
-            mp, cfg, q, ifeat, iatt, c, h, train=train, rng=k_hop)
+            ifeat_, iatt_ = embed_image(mp_, cfg, feats_or_embeds,
+                                        train=True, rng=k_img)
+        else:
+            ifeat_, iatt_ = feats_or_embeds
+        return answering_unit(mp_, cfg, q_, ifeat_, iatt_, c_, h_,
+                              train=train, rng=k_hop)
+
+    if train and cfg.remat_hops:
+        # recompute the hop forward in the backward pass instead of saving
+        # the per-hop [B, S, M]-sized ifeat/iatt/addfeat activations
+        hop_step = jax.checkpoint(hop_step, static_argnums=())
+
+    scores, do_preds, attprobs = [], [], []
+    for hop in range(cfg.n_hops):
+        k_hop = jax.random.fold_in(k_hops, hop) if k_hops is not None else None
+        score, do_p, attp, c, h = hop_step(
+            mp, q, feats if train else (ifeat, iatt), c, h, k_hop)
         scores.append(score)
         do_preds.append(do_p)
         attprobs.append(attp)

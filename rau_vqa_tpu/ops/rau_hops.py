@@ -222,7 +222,8 @@ def rau_hops_pallas(mp: Dict, cfg: ModelConfig, q, ifeat, iatt, *,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # empirical probe (round 2): ~96-128 MB VMEM usable on this v5e
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(q.astype(bf16), ifeat.astype(bf16), iatt.astype(bf16), *weights)
     scores, dopred_padded, attprob = out

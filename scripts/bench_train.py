@@ -1,0 +1,124 @@
+"""Training-step benchmark on the real TPU: ms/step for the full jitted
+optimization iteration (forward, joint loss, backward, grad noise, clip,
+per-group Adam) of the flagship Ours_MS model.
+
+Protocol (CLAUDE.md): K steps are chained inside ONE jitted dispatch with a
+data dependence between iterations (the param/Adam state carries), each
+iteration salts the tokens so no two steps are identical, and the final
+params are forced to host — per-dispatch timing would otherwise measure the
+~30 ms tunnel RTT and identical dispatches can be served from a cache.
+
+Variants:
+  plain  — jax.value_and_grad over the unrolled hop loop (XLA saves every
+           hop's [B, S, M] ifeat/iatt/addfeat for the backward pass)
+  remat  — same, with jax.checkpoint around each hop (cfg.remat_hops)
+  fused  — Pallas fused training hop loop (ops/rau_train_hops.py), when built
+
+Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="+", default=[512])
+    ap.add_argument("--variants", type=str, default="plain,remat")
+    ap.add_argument("--steps", type=int, default=10,
+                    help="train steps chained per dispatch")
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--f32", action="store_true",
+                    help="full-f32 numerics instead of bf16 compute")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.models.rau import init_params
+    from rau_vqa_tpu.train.losses import hop_grad_scale
+    from rau_vqa_tpu.train.trainer import init_train_state, make_train_step
+
+    preset = get_preset("ours_ms")
+    results = {}
+    for B in args.batch:
+        for variant in args.variants.split(","):
+            numerics = (dict(matmul_precision="highest",
+                             compute_dtype="float32") if args.f32 else
+                        dict(matmul_precision="default",
+                             compute_dtype="bfloat16"))
+            mcfg = dataclasses.replace(
+                preset.model, remat_hops=(variant == "remat"), **numerics)
+            tcfg = preset.train
+            state = init_train_state(jax.random.PRNGKey(0), mcfg)
+
+            rs = np.random.RandomState(0)
+            tokens = jnp.asarray(rs.randint(
+                1, mcfg.vocab_size, (B, mcfg.seq_len)).astype(np.int32))
+            lengths = jnp.asarray(
+                rs.randint(1, mcfg.seq_len + 1, B).astype(np.int32))
+            feats = jnp.asarray(rs.randn(
+                B, mcfg.cnn_spat, mcfg.cnn_dim).astype(np.float32))
+            labels = jnp.asarray(
+                rs.randint(0, mcfg.answer_size, B).astype(np.int32))
+            hop_scale = hop_grad_scale(
+                mcfg.n_hops, scale_by_nhop=tcfg.hop_grad_scale_nhop,
+                stop_timing=tcfg.hop_stop_timing, epoch=1)
+
+            if variant == "fused":
+                from rau_vqa_tpu.train.trainer import make_train_step as _mk
+                step_fn = _mk(dataclasses.replace(mcfg, fused_train=True),
+                              tcfg)
+            else:
+                step_fn = make_train_step(mcfg, tcfg)
+            K = args.steps
+
+            @jax.jit
+            def chain(state, salt0):
+                def body(k, carry):
+                    st, salt = carry
+                    toks = jnp.where(
+                        tokens > 0,
+                        (tokens + salt + k) % mcfg.vocab_size, 0)
+                    st, metrics = step_fn(st, toks, lengths, feats, labels,
+                                          hop_scale, jnp.float32(3e-3),
+                                          jnp.float32(3e-4))
+                    return st, salt
+                st, _ = jax.lax.fori_loop(0, K, body, (state, salt0))
+                return st
+
+            t0 = time.perf_counter()
+            out = chain(state, jnp.int32(0))
+            np.asarray(out.params["mult"]["cls"]["b"])
+            log(f"[{variant} B={B}] compile+first {time.perf_counter()-t0:.1f}s")
+            # warm second dispatch (different salt: no cache)
+            np.asarray(chain(state, jnp.int32(7)).params["mult"]["cls"]["b"])
+
+            t0 = time.perf_counter()
+            for r in range(args.rounds):
+                out = chain(state, jnp.int32(100 + r))
+                np.asarray(out.params["mult"]["cls"]["b"])
+            dt = time.perf_counter() - t0
+            ms = dt / (args.rounds * K) * 1e3
+            eps = B / (ms / 1e3)
+            log(f"[{variant} B={B}] {ms:.2f} ms/step  "
+                f"({eps:,.0f} examples/sec)")
+            results[f"{variant}_b{B}"] = round(ms, 3)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

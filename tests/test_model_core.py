@@ -192,3 +192,41 @@ def test_preset_shapes_compile():
             params_shape)
         assert out.scores.shape == (cfg.n_hops, 4, cfg.answer_size), name
         assert out.attprob.shape == (cfg.n_hops, 4, cfg.cnn_spat), name
+
+
+def test_remat_hops_matches_plain_grads(params):
+    """cfg.remat_hops must change memory behavior only: identical forward
+    outputs and identical gradients to the plain unrolled hop loop."""
+    cfg = TINY
+    cfg_r = dataclasses.replace(cfg, remat_hops=True)
+    rs = np.random.RandomState(3)
+    B = 4
+    tokens = jnp.asarray(rs.randint(1, cfg.vocab_size, (B, cfg.seq_len)),
+                         jnp.int32)
+    lengths = jnp.asarray(rs.randint(1, cfg.seq_len + 1, B), jnp.int32)
+    feats = jnp.asarray(rs.randn(B, cfg.cnn_spat, cfg.cnn_dim),
+                        jnp.float32)
+    labels = jnp.asarray(rs.randint(0, cfg.answer_size, B), jnp.int32)
+    rng = jax.random.PRNGKey(11)
+
+    def loss(p, c):
+        out = rau_forward(p, c, tokens, lengths, feats, train=True, rng=rng)
+        logp = jax.nn.log_softmax(out.scores, axis=-1)
+        per_hop = -jnp.take_along_axis(
+            logp, labels[None, :, None], axis=-1).mean(axis=(1, 2))
+        return jnp.sum(per_hop), out
+
+    (l0, out0), g0 = jax.value_and_grad(
+        loss, has_aux=True)(params, cfg)
+    (l1, out1), g1 = jax.value_and_grad(
+        loss, has_aux=True)(params, cfg_r)
+    np.testing.assert_allclose(np.asarray(out0.scores),
+                               np.asarray(out1.scores), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p0))
