@@ -70,6 +70,12 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute + MXU-default matmul precision")
     p.add_argument("--fused-eval", action="store_true",
                    help="run eval sweeps through the fused Pallas kernels")
+    p.add_argument("--fused-train", action="store_true",
+                   help="run the training hop loop through the fused Pallas "
+                        "custom-VJP kernel pair (XLA reference path off-TPU)")
+    p.add_argument("--fused-train-block", type=int, default=None,
+                   help="batch tile for the fused training kernels "
+                        "(batch size must divide by it)")
     p.add_argument("--visatt", action="store_true",
                    help="dump attention-map PNGs during eval sweeps")
     p.add_argument("--visatt-batches", type=int, default=None,
@@ -98,6 +104,11 @@ def _apply_overrides(exp, args):
     if args.bf16:
         m["compute_dtype"] = "bfloat16"
         m["matmul_precision"] = "default"
+    if getattr(args, "fused_train", False):
+        m["fused_train"] = True
+    if getattr(args, "fused_train_block", None) is not None:
+        m["fused_train"] = True
+        m["fused_train_block"] = args.fused_train_block
     if getattr(args, "fused_eval", False):
         exp = exp.replace(fused_eval=True)
     if getattr(args, "visatt", False):

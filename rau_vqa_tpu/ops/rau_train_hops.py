@@ -171,7 +171,11 @@ def _hop_fwd_core(mp, q, feats, c, hprev, fm, qm, mm, dot_dtype):
 def _hop_bwd_core(mp, t, q, feats, c, hprev, g, dc_in, dh_in, fm, qm, mm):
     """VJP of one hop w.r.t. (weights, q, prev state), given the hop's
     forward values ``t`` and the score cotangent ``g`` [B, A].  Pure jnp;
-    shared by the backward kernel and (for tests) usable under XLA."""
+    shared by the backward kernel and (for tests) usable under XLA.
+
+    Bias gradients are returned 2-D ``(1, dim)``: Mosaic cannot lower a
+    sublane-axis reduction to a 1-D vector ("unsupported output implicit
+    dimension"); the caller reshapes them back to the weight's shape."""
     B, S, Dc = feats.shape
     M = t["join"].shape[-1]
     F = t["qatt"].shape[-1]
@@ -189,17 +193,27 @@ def _hop_bwd_core(mp, t, q, feats, c, hprev, g, dc_in, dh_in, fm, qm, mm):
             a.astype(dd), b.astype(dd), (((0,), (0,)), ((), ())),
             preferred_element_type=f32)
 
+    def bsum(x):
+        # bias grad: sum over rows as a ones-row matmul -> [1, dim].
+        # Mosaic cannot lower a sublane reduction whose 1-D output length
+        # is not a lane multiple (e.g. 196, 1000) — the matmul form stays
+        # 2-D throughout and is exact (f32 accumulation).
+        ones = jnp.ones((1, x.shape[0]), f32)
+        return jax.lax.dot_general(ones, x.astype(f32),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
     gw: Dict[Tuple, jax.Array] = {}
 
     # classifier (cls): score = merge_d @ Wc + bc
     gw[("cls", "w")] = gradw(t["merge_d"], g)
-    gw[("cls", "b")] = jnp.sum(g, axis=0)
+    gw[("cls", "b")] = bsum(g)
     dmerge_d = dotT(g, mp["cls"]["w"])                            # [B, M]
     dmerge_pre = dmerge_d * mm if mm is not None else dmerge_d
     # merge_pre = join + h_new @ Wm + bm
     djoin = dmerge_pre
     gw[("merge", "w")] = gradw(t["h_new"], dmerge_pre)
-    gw[("merge", "b")] = jnp.sum(dmerge_pre, axis=0)
+    gw[("merge", "b")] = bsum(dmerge_pre)
     dh_new = dotT(dmerge_pre, mp["merge"]["w"]) + dh_in
     # ATTLSTM cell
     do_g = dh_new * t["tanh_c"]
@@ -218,15 +232,15 @@ def _hop_bwd_core(mp, t, q, feats, c, hprev, g, dc_in, dh_in, fm, qm, mm):
     djoin = djoin + dotT(dgates, lp["wi"])
     dh_prev = dotT(dgates, lp["wh"])
     gw[("attlstm", "layers", 0, "wi")] = gradw(t["join"], dgates)
-    gw[("attlstm", "layers", 0, "bi")] = jnp.sum(dgates, axis=0)
+    gw[("attlstm", "layers", 0, "bi")] = bsum(dgates)
     gw[("attlstm", "layers", 0, "wh")] = gradw(hprev, dgates)
-    gw[("attlstm", "layers", 0, "bh")] = jnp.sum(dgates, axis=0)
+    gw[("attlstm", "layers", 0, "bh")] = bsum(dgates)
     # join = qfeat + attfeat + attprob @ Wp + bp
     dqfeat = djoin
     dattfeat = djoin                                              # [B, M]
     dattprob = dotT(djoin, mp["attprob_proj"]["w"])               # [B, S]
     gw[("attprob_proj", "w")] = gradw(t["attprob"], djoin)
-    gw[("attprob_proj", "b")] = jnp.sum(djoin, axis=0)
+    gw[("attprob_proj", "b")] = bsum(djoin)
     # attfeat = sum_s ifeat * attprob
     dattprob = dattprob + jnp.sum(t["ifeat"] * dattfeat[:, None, :], axis=2)
     difeat = t["attprob"][:, :, None] * dattfeat[:, None, :]      # [B, S, M]
@@ -236,30 +250,32 @@ def _hop_bwd_core(mp, t, q, feats, c, hprev, g, dc_in, dh_in, fm, qm, mm):
     # attscore = addfeat @ Ws + bs + hprev @ Wmem + bmem
     dh_prev = dh_prev + dotT(dattscore, mp["att_mem"]["w"])
     gw[("att_mem", "w")] = gradw(hprev, dattscore)
-    gw[("att_mem", "b")] = jnp.sum(dattscore, axis=0)
+    gw[("att_mem", "b")] = bsum(dattscore)
     gw[("att_score", "w")] = jax.lax.dot_general(
         t["addfeat"].reshape(B * S, F).astype(dd),
         dattscore.reshape(B * S, 1).astype(dd),
         (((0,), (0,)), ((), ())), preferred_element_type=f32)     # [F, 1]
-    gw[("att_score", "b")] = jnp.sum(dattscore).reshape(1)
+    gw[("att_score", "b")] = bsum(dattscore.reshape(B * S, 1))
+    # [F, 1] -> [1, 1, F] via reshape (mixed newaxis+int indexing would
+    # lower as an unsupported gather in Mosaic)
     daddfeat = (dattscore[:, :, None]
-                * mp["att_score"]["w"].astype(f32)[None, None, :, 0])
+                * mp["att_score"]["w"].astype(f32).reshape(1, 1, F))
     # addfeat = tanh(iatt + qatt)
     dpre_add = daddfeat * (1.0 - t["addfeat"] ** 2)               # [B, S, F]
     dqatt = jnp.sum(dpre_add, axis=1)                             # [B, F]
     # qatt = qfeat @ Wattq + b
     dqfeat = dqfeat + dotT(dqatt, mp["att_q"]["w"])
     gw[("att_q", "w")] = gradw(t["qfeat"], dqatt)
-    gw[("att_q", "b")] = jnp.sum(dqatt, axis=0)
+    gw[("att_q", "b")] = bsum(dqatt)
     # qfeat = tanh(q_d @ Wq + bq + hprev @ Whp + bhp)
     dpre_q = dqfeat * (1.0 - t["qfeat"] ** 2)                     # [B, M]
     dq_d = dotT(dpre_q, mp["q_proj"]["w"])                        # [B, Q]
     dq = dq_d * qm if qm is not None else dq_d
     dh_prev = dh_prev + dotT(dpre_q, mp["h_proj"]["w"])
     gw[("q_proj", "w")] = gradw(t["q_d"], dpre_q)
-    gw[("q_proj", "b")] = jnp.sum(dpre_q, axis=0)
+    gw[("q_proj", "b")] = bsum(dpre_q)
     gw[("h_proj", "w")] = gradw(hprev, dpre_q)
-    gw[("h_proj", "b")] = jnp.sum(dpre_q, axis=0)
+    gw[("h_proj", "b")] = bsum(dpre_q)
     # iatt = ifeat @ Wa + ba
     difeat = difeat + dotT(dpre_add.reshape(B * S, F),
                            mp["att_i"]["w"]).reshape(B, S, M)
@@ -267,14 +283,14 @@ def _hop_bwd_core(mp, t, q, feats, c, hprev, g, dc_in, dh_in, fm, qm, mm):
         t["ifeat"].reshape(B * S, M).astype(dd),
         dpre_add.reshape(B * S, F).astype(dd),
         (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    gw[("att_i", "b")] = jnp.sum(dpre_add, axis=(0, 1))
+    gw[("att_i", "b")] = bsum(dpre_add.reshape(B * S, F))
     # ifeat = tanh(feats_d @ Wi + bi)
     dpre_i = difeat * (1.0 - t["ifeat"] ** 2)                     # [B, S, M]
     gw[("i_embed", "w")] = jax.lax.dot_general(
         t["feats_d"].reshape(B * S, Dc).astype(dd),
         dpre_i.reshape(B * S, M).astype(dd),
         (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    gw[("i_embed", "b")] = jnp.sum(dpre_i, axis=(0, 1))
+    gw[("i_embed", "b")] = bsum(dpre_i.reshape(B * S, M))
     # dfeats is never needed: image features are frozen inputs
     return gw, dq, dc_prev, dh_prev
 
@@ -402,10 +418,19 @@ def _run_fwd(cfg: ModelConfig, block_b: int, interpret: bool, mp, q, feats,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(cfg: ModelConfig, block_b: int, dot_dtype, seed_ref, q_ref,
-                feats_ref, c_all_ref, h_all_ref, g_ref, *refs):
+                feats_ref, c_ref, h_ref, g_ref, *refs):
+    """One (batch-tile, hop) grid step of the backward pass.
+
+    The hop loop is a GRID dimension, not an in-kernel fori_loop: a
+    whole-loop body was a Mosaic compile pathology (>25 min, like the
+    round-1 unrolled kernel — CLAUDE.md).  The grid runs hops innermost and
+    the reverse-time (dc, dh) carry lives in VMEM scratch, which persists
+    across sequential TPU grid steps; the index maps serve hop H-1-h at
+    grid position h, so the kernel body itself is direction-agnostic."""
     w_refs = refs[:len(_DIFF_WEIGHTS)]
     dq_ref = refs[len(_DIFF_WEIGHTS)]
-    grad_refs = refs[len(_DIFF_WEIGHTS) + 1:]
+    grad_refs = refs[len(_DIFF_WEIGHTS) + 1:-2]
+    dc_sc, dh_sc = refs[-2:]
     mp = _rebuild(_DIFF_WEIGHTS, [r[:] for r in w_refs])
     q = q_ref[:]
     feats = feats_ref[:]
@@ -413,37 +438,36 @@ def _bwd_kernel(cfg: ModelConfig, block_b: int, dot_dtype, seed_ref, q_ref,
     B = block_b
     S, Dc = feats.shape[1], feats.shape[2]
     Q, M = q.shape[1], cfg.multfeat_dim
-    R = cfg.att_state_dim
     H = cfg.n_hops
     row0 = pl.program_id(0) * block_b
+    hop = H - 1 - pl.program_id(1)
 
-    # f32 weight-grad accumulators persist across the sequential batch-tile
-    # grid (their out BlockSpec index is constant): zero once, += every tile
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
+    # f32 weight-grad accumulators persist across the whole sequential grid
+    # (their out BlockSpec index is constant): zero once, += every step
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init_grads():
         for r in grad_refs:
             r[...] = jnp.zeros_like(r)
 
-    dq_ref[:] = jnp.zeros((B, Q), f32)
+    # per-tile state: reset at the first (reverse) hop of each batch tile
+    @pl.when(pl.program_id(1) == 0)
+    def _init_tile():
+        dc_sc[...] = jnp.zeros_like(dc_sc)
+        dh_sc[...] = jnp.zeros_like(dh_sc)
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    def body(k, carry):
-        hop = H - 1 - k
-        dc_in, dh_in = carry
-        fm, qm, mm = _masks(cfg, ((B, S, Dc), (B, Q), (B, M)),
-                            row0, seed, hop)
-        c = c_all_ref[pl.ds(hop, 1)][0]
-        hprev = h_all_ref[pl.ds(hop, 1)][0]
-        t = _hop_fwd_core(mp, q, feats, c, hprev, fm, qm, mm, dot_dtype)
-        g = g_ref[pl.ds(hop, 1)][0]
-        gw, dq, dc_prev, dh_prev = _hop_bwd_core(
-            mp, t, q, feats, c, hprev, g, dc_in, dh_in, fm, qm, mm)
-        for path, ref in zip(_DIFF_WEIGHTS, grad_refs):
-            ref[...] += gw[path]
-        dq_ref[:] += dq
-        return (dc_prev, dh_prev)
-
-    zero = jnp.zeros((B, R), f32)
-    jax.lax.fori_loop(0, H, body, (zero, zero))
+    fm, qm, mm = _masks(cfg, ((B, S, Dc), (B, Q), (B, M)), row0, seed, hop)
+    c = c_ref[0]
+    hprev = h_ref[0]
+    t = _hop_fwd_core(mp, q, feats, c, hprev, fm, qm, mm, dot_dtype)
+    g = g_ref[0]
+    gw, dq, dc_prev, dh_prev = _hop_bwd_core(
+        mp, t, q, feats, c, hprev, g, dc_sc[...], dh_sc[...], fm, qm, mm)
+    for path, ref in zip(_DIFF_WEIGHTS, grad_refs):
+        ref[...] += gw[path]
+    dq_ref[...] += dq
+    dc_sc[...] = dc_prev
+    dh_sc[...] = dh_prev
 
 
 def _run_bwd(cfg: ModelConfig, block_b: int, interpret: bool, mp, q, feats,
@@ -454,41 +478,49 @@ def _run_bwd(cfg: ModelConfig, block_b: int, interpret: bool, mp, q, feats,
     dot_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else f32)
     weights = [_pluck(mp, p).astype(dot_dtype) for p in _DIFF_WEIGHTS]
 
+    # grid: batch tiles outer, hops inner (innermost iterates fastest on
+    # TPU); hop blocks are served in reverse time order by the index maps
+    rev = lambda i, h, _H=H: (_H - 1 - h, i, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((block_b, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_b, S, Dc), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1), lambda i, h: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_b, Q), lambda i, h: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((H + 1, block_b, R), lambda i: (0, i, 0),
+        pl.BlockSpec((block_b, S, Dc), lambda i, h: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((H + 1, block_b, R), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, block_b, A), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+        pl.BlockSpec((1, block_b, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_b, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_b, A), rev, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(w.shape, lambda i, h, _nd=w.ndim: (0,) * _nd,
                       memory_space=pltpu.VMEM) for w in weights]
+    # bias grads are kernel-side 2-D (1, dim) — see _hop_bwd_core docstring
+    gshapes = [w.shape if w.ndim > 1 else (1,) + w.shape for w in weights]
     out_shape = tuple(
         [jax.ShapeDtypeStruct((B, Q), f32)]
-        + [jax.ShapeDtypeStruct(w.shape, f32) for w in weights])
+        + [jax.ShapeDtypeStruct(gs, f32) for gs in gshapes])
     out_specs = tuple(
-        [pl.BlockSpec((block_b, Q), lambda i: (i, 0),
+        [pl.BlockSpec((block_b, Q), lambda i, h: (i, 0),
                       memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                        memory_space=pltpu.VMEM) for w in weights])
+        + [pl.BlockSpec(gs, lambda i, h, _nd=len(gs): (0,) * _nd,
+                        memory_space=pltpu.VMEM) for gs in gshapes])
     kernel = functools.partial(_bwd_kernel, cfg, block_b, dot_dtype)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     out = pl.pallas_call(
         kernel,
-        grid=(B // block_b,),
+        grid=(B // block_b, H),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, R), f32),   # dc carry (reverse time)
+            pltpu.VMEM((block_b, R), f32),   # dh carry
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(seed_arr, q.astype(dot_dtype), feats.astype(dot_dtype),
       c_all, h_all, g_scores.astype(f32), *weights)
-    return out[0], list(out[1:])
+    grads = [g.reshape(w.shape) for g, w in zip(out[1:], weights)]
+    return out[0], grads
 
 
 # ---------------------------------------------------------------------------

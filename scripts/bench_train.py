@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--f32", action="store_true",
                     help="full-f32 numerics instead of bf16 compute")
+    ap.add_argument("--preset", default="ours_ms",
+                    help="experiment preset (ours_ms, ours_resnet, ...)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +53,7 @@ def main() -> None:
     from rau_vqa_tpu.train.losses import hop_grad_scale
     from rau_vqa_tpu.train.trainer import init_train_state, make_train_step
 
-    preset = get_preset("ours_ms")
+    preset = get_preset(args.preset)
     results = {}
     for B in args.batch:
         for variant in args.variants.split(","):
@@ -59,6 +61,10 @@ def main() -> None:
                              compute_dtype="float32") if args.f32 else
                         dict(matmul_precision="default",
                              compute_dtype="bfloat16"))
+            # variant "fusedN" = fused training kernel with block_b=N
+            if variant.startswith("fused"):
+                numerics.update(fused_train=True,
+                                fused_train_block=int(variant[5:] or 16))
             mcfg = dataclasses.replace(
                 preset.model, remat_hops=(variant == "remat"), **numerics)
             tcfg = preset.train
@@ -77,12 +83,7 @@ def main() -> None:
                 mcfg.n_hops, scale_by_nhop=tcfg.hop_grad_scale_nhop,
                 stop_timing=tcfg.hop_stop_timing, epoch=1)
 
-            if variant == "fused":
-                from rau_vqa_tpu.train.trainer import make_train_step as _mk
-                step_fn = _mk(dataclasses.replace(mcfg, fused_train=True),
-                              tcfg)
-            else:
-                step_fn = make_train_step(mcfg, tcfg)
+            step_fn = make_train_step(mcfg, tcfg)
             K = args.steps
 
             @jax.jit

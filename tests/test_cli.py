@@ -209,3 +209,23 @@ def test_data_script_syntax():
     r = subprocess.run(["bash", "-n", os.path.join(root, "scripts",
                                                    "get_data.sh")])
     assert r.returncode == 0
+
+
+def test_fused_train_flag(tmp_path):
+    """--fused-train trains the fixture through the fused-semantics hop loop
+    (pure-XLA reference path off-TPU) and still learns/evaluates."""
+    import json
+    wd = str(tmp_path / "fused_train_run")
+    rc = main(["train", "--preset", "ours_ms", "--fixture", "--nhop", "2",
+               "--epochs", "2", "--save-dir", wd,
+               "--fused-train", "--fused-train-block", "8"])
+    assert rc == 0
+    with open(os.path.join(wd, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["model"]["fused_train"] is True
+    assert cfg["model"]["fused_train_block"] == 8
+    assert glob.glob(os.path.join(wd, "results", "hop_01", "vqa_OpenEnded_*"))
+    with open(os.path.join(wd, "training_log", "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    losses = [r["loss"] for r in rows if r.get("kind") == "train"]
+    assert len(losses) == 2 and losses[-1] < losses[0]

@@ -197,3 +197,35 @@ def test_fused_rejects_unsupported_config(data):
     bad = dataclasses.replace(CFG, att_rnn_dropout=0.3)
     with pytest.raises(NotImplementedError):
         rau_train_hops(mp, bad, q, feats, seed, block_b=4)
+
+
+def test_fused_no_dropout_matches_eval_semantics(data):
+    """mult_dropout=0: masks compile away; fused == reference still."""
+    mp, q, feats, labels, seed = data
+    cfg0 = dataclasses.replace(CFG, mult_dropout=0.0)
+    s_k, *_ = rau_train_hops(mp, cfg0, q, feats, seed, block_b=4)
+    s_r, *_ = rau_train_hops_reference(mp, cfg0, q, feats, seed)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_r),
+                               rtol=1e-5, atol=1e-5)
+    # and the seed is irrelevant without dropout
+    s_k2, *_ = rau_train_hops(mp, cfg0, q, feats, jnp.int32(999), block_b=4)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_k2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_bf16_compute_runs(data):
+    """bfloat16 compute dtype: kernel + grads run and stay finite, and track
+    the f32 path loosely (bf16 mantissa)."""
+    mp, q, feats, labels, seed = data
+    cfg_bf = dataclasses.replace(CFG, compute_dtype="bfloat16",
+                                 matmul_precision="default")
+
+    def loss(mp_, c):
+        s, *_ = rau_train_hops(mp_, c, q, feats, seed, block_b=4)
+        return _loss(s, labels, c.n_hops)
+
+    l_bf, g_bf = jax.value_and_grad(loss)(mp, cfg_bf)
+    l_f32, _ = jax.value_and_grad(loss)(mp, CFG)
+    assert np.isfinite(float(l_bf))
+    assert abs(float(l_bf) - float(l_f32)) / abs(float(l_f32)) < 0.05
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g_bf))
