@@ -60,6 +60,16 @@ class ModelConfig:
     fused_train: bool = False
     # batch tile for the fused training kernels (B must divide by it)
     fused_train_block: int = 16
+    # forward implementation for the fused path on TPU: "pallas" runs the
+    # fused kernel, "reference" runs the numerically identical mask-exact
+    # XLA path (useful for isolating kernel cost; always used off-TPU)
+    fused_train_impl: str = "pallas"
+    # backward implementation for the fused path: "xla" rematerializes the
+    # hop loop through the mask-exact XLA core (default — the in-kernel
+    # backward is interpreter-verified but its Mosaic compile is
+    # pathological on this toolchain, docs/mosaic_notes.md #6); "kernel"
+    # uses the Pallas backward kernel.
+    fused_train_bwd: str = "xla"
 
     # rematerialize each answering-unit hop in the backward pass
     # (jax.checkpoint): trades ~1x extra hop-forward FLOPs for not saving the

@@ -247,7 +247,8 @@ def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         )
         seed = jax.random.randint(k_hops, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
-        on_tpu = jax.devices()[0].platform == "tpu"
+        on_tpu = (jax.devices()[0].platform == "tpu"
+                  and cfg.fused_train_impl == "pallas")
         if on_tpu:
             scores, do_pred, attprob, fc, fh = rau_train_hops(
                 mp, cfg, q, feats, seed, block_b=cfg.fused_train_block)

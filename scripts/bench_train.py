@@ -61,8 +61,13 @@ def main() -> None:
                              compute_dtype="float32") if args.f32 else
                         dict(matmul_precision="default",
                              compute_dtype="bfloat16"))
-            # variant "fusedN" = fused training kernel with block_b=N
-            if variant.startswith("fused"):
+            # variant "fusedN" = fused training kernel with block_b=N;
+            # "maskref" = fused semantics entirely in XLA (counter-hash
+            # masks, plain autodiff) — isolates kernel cost from mask cost
+            if variant == "maskref":
+                numerics.update(fused_train=True,
+                                fused_train_impl="reference")
+            elif variant.startswith("fused"):
                 numerics.update(fused_train=True,
                                 fused_train_block=int(variant[5:] or 16))
             mcfg = dataclasses.replace(

@@ -125,12 +125,14 @@ def _loss(scores, labels, n_hops):
     return jnp.sum(hop_w * jnp.mean(nll, axis=1))
 
 
-@pytest.mark.parametrize("block_b", [4, 8])
-def test_fused_grads_match_reference(data, block_b):
+@pytest.mark.parametrize("block_b,bwd", [(4, "kernel"), (8, "kernel"),
+                                         (4, "xla")])
+def test_fused_grads_match_reference(data, block_b, bwd):
     mp, q, feats, labels, seed = data
+    cfg = dataclasses.replace(CFG, fused_train_bwd=bwd)
 
     def loss_fused(mp_, q_):
-        s, *_ = rau_train_hops(mp_, CFG, q_, feats, seed, block_b=block_b)
+        s, *_ = rau_train_hops(mp_, cfg, q_, feats, seed, block_b=block_b)
         return _loss(s, labels, CFG.n_hops)
 
     def loss_ref(mp_, q_):
@@ -153,9 +155,11 @@ def test_fused_do_pred_grad_is_zero(data):
     """The DontSelect rule: do_pred params receive exactly zero gradient."""
     mp, q, feats, labels, seed = data
 
+    cfg_k = dataclasses.replace(CFG, fused_train_bwd="kernel")
+
     def loss_fused(mp_):
-        s, *_ = rau_train_hops(mp_, CFG, q, feats, seed, block_b=4)
-        return _loss(s, labels, CFG.n_hops)
+        s, *_ = rau_train_hops(mp_, cfg_k, q, feats, seed, block_b=4)
+        return _loss(s, labels, cfg_k.n_hops)
 
     g = jax.grad(loss_fused)(mp)
     assert float(jnp.abs(g["do_pred"]["w"]).max()) == 0.0
