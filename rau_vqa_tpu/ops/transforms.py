@@ -137,24 +137,91 @@ def ten_crop(img: jax.Array, size: int) -> jax.Array:
     return jnp.stack(crops)
 
 
+def _bilinear_sample(img: jax.Array, ys: jax.Array,
+                     xs: jax.Array) -> jax.Array:
+    """Per-example bilinear sampling at fractional coordinates.
+
+    img [B, H, W, C]; ys [B, S] row coords, xs [B, S] col coords (pixel
+    centers, may be traced) -> [B, S, S, C] sampled on the ys x xs grid.
+    Half-pixel convention matches jax.image.resize(method='bilinear')."""
+    B, H, W, C = img.shape
+    ys = jnp.clip(ys, 0.0, H - 1.0)
+    xs = jnp.clip(xs, 0.0, W - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[:, :, None, None]                     # [B, S, 1, 1]
+    wx = (xs - x0)[:, None, :, None]                     # [B, 1, S, 1]
+    b = jnp.arange(B)[:, None, None]
+
+    def g(yy, xx):
+        return img[b, yy[:, :, None], xx[:, None, :], :]  # [B, S, S, C]
+
+    top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
+    bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
 def random_scale(img: jax.Array, rng: jax.Array, minsize: int,
                  maxsize: int) -> jax.Array:
     """Scale shorter side to a random target (transforms.lua:114-129).
-    jit needs static shapes, so the scale factor is applied as a random
-    zoom-crop at the max size: resize to maxsize then crop a random window
-    of equivalent field of view."""
+
+    The reference returns a VARIABLE-size image, which jit cannot express;
+    this standalone form applies the max scale and a random crop of the min
+    size (an approximation).  For the composition the reference actually
+    uses (RandomScale -> fixed-size crop), use ``random_scale_crop`` below,
+    which is distribution-exact under static shapes."""
     scaled = scale_shorter_side(img, maxsize)
-    B = img.shape[0]
     size = int(minsize)
     return random_crop(scaled, rng, size) if maxsize > minsize else scaled
+
+
+def random_scale_crop(img: jax.Array, rng: jax.Array, minsize: int,
+                      maxsize: int, size: int) -> jax.Array:
+    """Exact static-shape equivalent of reference ``RandomScale(min, max)``
+    followed by ``RandomCrop(size)`` (transforms.lua:114-129 + :63-87).
+
+    Per example: draw the shorter-side target uniformly from
+    [minsize, maxsize] (torch.random semantics, :118), derive the
+    aspect-preserving virtual dims (:119-124), draw a crop origin uniformly
+    over the valid range, and bilinear-sample the size x size window
+    directly from the source — one fused gather instead of a resize pass,
+    identical output distribution (interpolation kernel: bilinear here vs
+    bicubic in :127; requires minsize >= size, as the reference composition
+    does)."""
+    if minsize < size:
+        raise ValueError(f"minsize {minsize} < crop size {size}: the "
+                         f"reference composition would crash too")
+    B, H, W, C = img.shape
+    k1, k2, k3 = jax.random.split(rng, 3)
+    target = jax.random.randint(k1, (B,), minsize, maxsize + 1)
+    target = target.astype(jnp.float32)
+    if W < H:
+        tw = target
+        th = jnp.round(H / W * tw)
+    else:
+        th = target
+        tw = jnp.round(W / H * th)
+    # crop origin in the virtual rescaled image (inclusive upper bound)
+    y0 = jax.random.uniform(k2, (B,)) * (th - size)
+    x0 = jax.random.uniform(k3, (B,)) * (tw - size)
+    # map destination pixel centers back to source coordinates
+    # (half-pixel convention: src = (dst + 0.5) * (SRC / DST) - 0.5)
+    i = jnp.arange(size, dtype=jnp.float32)
+    ys = (y0[:, None] + i[None, :] + 0.5) * (H / th)[:, None] - 0.5
+    xs = (x0[:, None] + i[None, :] + 0.5) * (W / tw)[:, None] - 0.5
+    return _bilinear_sample(img, ys, xs)
 
 
 def random_sized_crop(img: jax.Array, rng: jax.Array, size: int, *,
                       min_area: float = 0.08) -> jax.Array:
     """Inception-style random area+aspect crop resized to ``size``
-    (transforms.lua:131-164).  Static-shape variant: sample a crop window
-    per example with area in [min_area, 1] and aspect in [3/4, 4/3] using a
-    fixed-size gather grid."""
+    (transforms.lua:131-164).  Static-shape design: sample the crop window
+    per example (area in [min_area, 1], aspect in [3/4, 4/3], matching
+    :137-141) and bilinear-sample the size x size output grid directly from
+    the window — the crop and the ``Scale(size)`` resize fuse into one
+    gather (interpolation kernel: bilinear vs the reference's bicubic)."""
     B, H, W, C = img.shape
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     area = jax.random.uniform(k1, (B,), minval=min_area, maxval=1.0)
@@ -163,17 +230,16 @@ def random_sized_crop(img: jax.Array, rng: jax.Array, size: int, *,
     ratio = jnp.exp(log_ratio)
     target_h = jnp.sqrt(area * H * W / ratio)
     target_w = target_h * ratio
-    target_h = jnp.clip(target_h, 8, H).astype(jnp.int32)
-    target_w = jnp.clip(target_w, 8, W).astype(jnp.int32)
-    y0 = (jax.random.uniform(k3, (B,)) * (H - target_h + 1)).astype(jnp.int32)
-    x0 = (jax.random.uniform(k4, (B,)) * (W - target_w + 1)).astype(jnp.int32)
-    # gather a size x size sampling grid inside each window (bilinear-free
-    # nearest sampling keeps it one gather; adequate for augmentation)
-    ys = y0[:, None] + (jnp.arange(size)[None, :] *
-                        target_h[:, None] // size)
-    xs = x0[:, None] + (jnp.arange(size)[None, :] *
-                        target_w[:, None] // size)
-    return img[jnp.arange(B)[:, None, None], ys[:, :, None], xs[:, None, :], :]
+    target_h = jnp.clip(target_h, 8.0, float(H))
+    target_w = jnp.clip(target_w, 8.0, float(W))
+    y0 = jax.random.uniform(k3, (B,)) * (H - target_h)
+    x0 = jax.random.uniform(k4, (B,)) * (W - target_w)
+    i = jnp.arange(size, dtype=jnp.float32)
+    ys = (y0[:, None] + (i[None, :] + 0.5) * (target_h[:, None] / size)
+          - 0.5)
+    xs = (x0[:, None] + (i[None, :] + 0.5) * (target_w[:, None] / size)
+          - 0.5)
+    return _bilinear_sample(img, ys, xs)
 
 
 def rotation(img: jax.Array, rng: jax.Array, deg: float) -> jax.Array:

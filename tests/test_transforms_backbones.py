@@ -222,3 +222,85 @@ def test_resnet_bottleneck_matches_torch():
         want = blk(torch.as_tensor(x.transpose(0, 3, 1, 2)))
     want = want.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def _np_point_bilinear(img, ys, xs):
+    """Plain (non-antialiased) bilinear point sampling — torch image.scale
+    semantics, unlike jax.image.resize which low-pass-filters downscales."""
+    B, H, W, C = img.shape
+    out = np.zeros((B, ys.shape[1], xs.shape[1], C), np.float32)
+    for b in range(B):
+        yy = np.clip(ys[b], 0, H - 1)
+        xx = np.clip(xs[b], 0, W - 1)
+        y0 = np.floor(yy).astype(int); y1 = np.minimum(y0 + 1, H - 1)
+        x0 = np.floor(xx).astype(int); x1 = np.minimum(x0 + 1, W - 1)
+        wy = (yy - y0)[:, None, None]
+        wx = (xx - x0)[None, :, None]
+        im = img[b]
+        top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+        bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+        out[b] = top * (1 - wy) + bot * wy
+    return out
+
+
+def test_bilinear_sample_matches_numpy_oracle():
+    rs = np.random.RandomState(0)
+    img = rs.rand(2, 17, 23, 3).astype(np.float32)
+    out_s = 11
+    i = np.arange(out_s, dtype=np.float32)
+    ys = np.broadcast_to((i + 0.5) * (17 / out_s) - 0.5, (2, out_s))
+    xs = np.broadcast_to((i + 0.5) * (23 / out_s) - 0.5, (2, out_s))
+    got = T._bilinear_sample(jnp.asarray(img), jnp.asarray(ys),
+                             jnp.asarray(xs))
+    want = _np_point_bilinear(img, ys, xs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_random_scale_crop_degenerate_is_resize():
+    """minsize == maxsize == crop size on a square image leaves no crop
+    freedom: the result must equal a plain point-bilinear resize."""
+    rs = np.random.RandomState(1)
+    img = rs.rand(3, 32, 32, 3).astype(np.float32)
+    got = T.random_scale_crop(jnp.asarray(img), jax.random.PRNGKey(0),
+                              16, 16, 16)
+    i = np.arange(16, dtype=np.float32)
+    grid = np.broadcast_to((i + 0.5) * 2.0 - 0.5, (3, 16))
+    want = _np_point_bilinear(img, grid, grid)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_random_scale_crop_shapes_and_scale_variation():
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.rand(4, 40, 30, 3), jnp.float32)  # W < H
+    out = T.random_scale_crop(img, jax.random.PRNGKey(3), 20, 36, 18)
+    assert out.shape == (4, 18, 18, 3)
+    assert bool(jnp.isfinite(out).all())
+    # different key -> different scales/crops
+    out2 = T.random_scale_crop(img, jax.random.PRNGKey(4), 20, 36, 18)
+    assert (np.asarray(out) != np.asarray(out2)).any()
+    with pytest.raises(ValueError):
+        T.random_scale_crop(img, jax.random.PRNGKey(0), 10, 36, 18)
+
+
+def test_random_sized_crop_matches_window_oracle():
+    """Replicate the function's RNG draws to get each example's window,
+    then point-bilinear-sample that window in numpy and compare."""
+    rs = np.random.RandomState(3)
+    B, H, W, size = 2, 28, 24, 14
+    img = rs.rand(B, H, W, 3).astype(np.float32)
+    rng = jax.random.PRNGKey(0)
+    got = np.asarray(T.random_sized_crop(jnp.asarray(img), rng, size))
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    area = np.asarray(jax.random.uniform(k1, (B,), minval=0.08, maxval=1.0))
+    ratio = np.exp(np.asarray(jax.random.uniform(
+        k2, (B,), minval=np.log(3 / 4), maxval=np.log(4 / 3))))
+    th = np.clip(np.sqrt(area * H * W / ratio), 8.0, H)
+    tw = np.clip(np.sqrt(area * H * W / ratio) * ratio, 8.0, W)
+    y0 = np.asarray(jax.random.uniform(k3, (B,))) * (H - th)
+    x0 = np.asarray(jax.random.uniform(k4, (B,))) * (W - tw)
+    i = np.arange(size, dtype=np.float32)
+    ys = y0[:, None] + (i[None, :] + 0.5) * (th[:, None] / size) - 0.5
+    xs = x0[:, None] + (i[None, :] + 0.5) * (tw[:, None] / size) - 0.5
+    want = _np_point_bilinear(img, ys, xs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
