@@ -70,6 +70,10 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute + MXU-default matmul precision")
     p.add_argument("--fused-eval", action="store_true",
                    help="run eval sweeps through the fused Pallas kernels")
+    p.add_argument("--eval-buckets", default=None,
+                   help="comma-separated question-length buckets for eval "
+                        "dispatch, e.g. 8,16 (exact; smallest covering "
+                        "bucket is used per batch)")
     p.add_argument("--fused-train", action="store_true",
                    help="run the training hop loop through the fused Pallas "
                         "custom-VJP kernel pair (XLA reference path off-TPU)")
@@ -111,6 +115,9 @@ def _apply_overrides(exp, args):
         m["fused_train_block"] = args.fused_train_block
     if getattr(args, "fused_eval", False):
         exp = exp.replace(fused_eval=True)
+    if getattr(args, "eval_buckets", None):
+        exp = exp.replace(eval_buckets=tuple(
+            int(x) for x in args.eval_buckets.split(",") if x))
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:

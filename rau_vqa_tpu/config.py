@@ -179,6 +179,9 @@ class ExperimentConfig:
     graph_interval: int = 10      # epochs between curve renders (:59)
     profile_dir: str = ""         # non-empty => jax.profiler trace of epoch 1
     fused_eval: bool = False      # fused Pallas kernels in the eval sweep
+    # sequence-length buckets for eval/serving dispatch (exact — see
+    # eval/predict.py make_predict_step); () = always run full seq_len
+    eval_buckets: Tuple[int, ...] = ()
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -89,17 +89,47 @@ def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
 
 
 def make_predict_step(cfg: ModelConfig, *, fused: bool = False,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      buckets: Tuple[int, ...] = ()):
     """Jitted (params, tokens, lengths, feats) -> (tab_pred, tab_att).
 
     ``interpret=None`` auto-selects: compiled Pallas on TPU, interpreter
-    elsewhere (Pallas TPU kernels don't lower on CPU)."""
-    if fused:
-        if interpret is None:
-            interpret = jax.devices()[0].platform == "cpu"
-        return jax.jit(lambda p, t, l, f: predict_fused(
-            p, cfg, t, l, f, interpret=interpret))
-    return jax.jit(lambda p, t, l, f: predict(p, cfg, t, l, f))
+    elsewhere (Pallas TPU kernels don't lower on CPU).
+
+    ``buckets``: optional sequence-length bucketing for the question
+    encoder.  The 26-step LSTM scan is ~40% of serving FLOPs, but steps
+    past each question's last token are discarded by the last-token gather
+    (models/rau.py encode_question) — so running a batch at any T >= max
+    length is EXACT, not an approximation.  With buckets (e.g. ``(8, 16)``)
+    each call dispatches to the smallest compiled variant covering the
+    batch's max length; one variant per bucket plus the full seq_len is
+    compiled on first use.  Real VQA questions average ~7 tokens
+    (seq_len 26 covers the tail; h5 contract), so the win is large with
+    length-grouped batch orders (the reference's 'sort'/'randsort',
+    vqa_prepro_loader.lua batch-order options)."""
+    if fused and interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    def build(_T=None):
+        def run(p, t, l, f):
+            if fused:
+                return predict_fused(p, cfg, t, l, f, interpret=interpret)
+            return predict(p, cfg, t, l, f)
+        return jax.jit(run)
+
+    if not buckets:
+        return build()
+    import numpy as np
+    ladder = sorted({int(b) for b in buckets if 0 < int(b) < cfg.seq_len})
+    ladder.append(cfg.seq_len)
+    fns = {T: build(T) for T in ladder}
+
+    def step(p, tokens, lengths, feats):
+        max_len = int(np.max(np.asarray(lengths)))
+        T = next(t for t in ladder if t >= max_len)
+        return fns[T](p, tokens[:, :T], lengths, feats)
+
+    return step
 
 
 def mc_mask(mc_answers: jax.Array, answer_size: int) -> jax.Array:

@@ -53,7 +53,10 @@ class RAUService:
         state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
         tree, _ = load_checkpoint(checkpoint, state._asdict())
         self.params = tree["params"]
-        self.predict = make_predict_step(self.mcfg, fused=fused)
+        # length buckets cut single-question latency: a short question
+        # encodes in 8 scan steps instead of seq_len (exact — predict.py)
+        self.predict = make_predict_step(self.mcfg, fused=fused,
+                                         buckets=(8, 16))
         self.backbone = backbone
         self.bb_params = bb_params
 

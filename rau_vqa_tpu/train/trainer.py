@@ -156,8 +156,8 @@ class Trainer:
                 self.mcfg, mesh, self.state.params,
                 tp=exp.mesh.shard_params_tp)
         else:
-            self.predict_step = make_predict_step(self.mcfg,
-                                                  fused=exp.fused_eval)
+            self.predict_step = make_predict_step(
+                self.mcfg, fused=exp.fused_eval, buckets=exp.eval_buckets)
 
         self.lr = self.tcfg.learning_rate
         self.mult_lr = self.tcfg.mult_learning_rate

@@ -85,7 +85,8 @@ def test_mix32_avalanche():
 # forward parity: kernel (interpret) == XLA reference, tile-count invariant
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("block_b", [4, 8])
+@pytest.mark.parametrize("block_b", [
+    4, pytest.param(8, marks=pytest.mark.slow)])
 def test_fused_forward_matches_reference(data, block_b):
     mp, q, feats, labels, seed = data
     s_k, d_k, a_k, c_k, h_k = rau_train_hops(
@@ -125,8 +126,10 @@ def _loss(scores, labels, n_hops):
     return jnp.sum(hop_w * jnp.mean(nll, axis=1))
 
 
-@pytest.mark.parametrize("block_b,bwd", [(4, "kernel"), (8, "kernel"),
-                                         (4, "xla")])
+@pytest.mark.parametrize("block_b,bwd", [
+    (4, "kernel"),
+    pytest.param(8, "kernel", marks=pytest.mark.slow),
+    pytest.param(4, "xla", marks=pytest.mark.slow)])
 def test_fused_grads_match_reference(data, block_b, bwd):
     mp, q, feats, labels, seed = data
     cfg = dataclasses.replace(CFG, fused_train_bwd=bwd)
@@ -173,6 +176,7 @@ def test_fused_do_pred_grad_is_zero(data):
 # semantics (reference path on CPU) and trains end-to-end
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_rau_forward_fused_train_path(data):
     mp, q, feats, labels, seed = data
     cfg = dataclasses.replace(CFG, fused_train=True)
@@ -217,6 +221,7 @@ def test_fused_no_dropout_matches_eval_semantics(data):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_bf16_compute_runs(data):
     """bfloat16 compute dtype: kernel + grads run and stay finite, and track
     the f32 path loosely (bf16 mantissa)."""

@@ -108,3 +108,40 @@ def test_int8_features_preserve_accuracy(tmp_path_factory):
     quant = trainer.evaluate(write_submissions=False)
     for a, b in zip(base["testOEacc"], quant["testOEacc"]):
         assert abs(a - b) <= 2 / 32 + 1e-9  # at most 2 answers differ
+
+
+def test_bucketed_predict_is_exact():
+    """Bucketed dispatch returns bit-identical predictions to the full
+    seq_len run for every bucket branch (truncation past the last real
+    token is exact under the last-token gather)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rau_vqa_tpu.config import ModelConfig
+    from rau_vqa_tpu.eval.predict import make_predict_step
+    from rau_vqa_tpu.models.rau import init_params
+
+    cfg = ModelConfig(vocab_size=40, answer_size=11, seq_len=20,
+                      embed_dim=8, rnn_size=16, rnn_layers=2, cnn_dim=12,
+                      cnn_w=3, cnn_h=2, multfeat_dim=16, attfeat_dim=8,
+                      att_rnn_size=16, att_rnn_layers=1, n_hops=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    full = make_predict_step(cfg)
+    bucketed = make_predict_step(cfg, buckets=(6, 12))
+    rs = np.random.RandomState(0)
+    B = 5
+    feats = jnp.asarray(rs.randn(B, cfg.cnn_spat, cfg.cnn_dim), jnp.float32)
+    for max_len in (4, 6, 9, 17, 20):   # exercises every bucket + full
+        lengths = np.minimum(rs.randint(1, max_len + 1, B), max_len)
+        lengths[0] = max_len            # pin the max
+        tokens = np.zeros((B, cfg.seq_len), np.int32)
+        for b in range(B):
+            tokens[b, :lengths[b]] = rs.randint(1, cfg.vocab_size,
+                                                lengths[b])
+        tokens = jnp.asarray(tokens)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        want_p, want_a = full(params, tokens, lengths, feats)
+        got_p, got_a = bucketed(params, tokens, lengths, feats)
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
