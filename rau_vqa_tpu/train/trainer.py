@@ -333,8 +333,14 @@ class Trainer:
             # _put_batch ships features in compute_dtype (halving bytes in
             # bf16 mode, same as the train path) and shards on the mesh
             dev = self._put_batch(batch)
+            # bucketed dispatch reads max(lengths) on host: hand it the
+            # pre-placement numpy lengths so no device sync (the tunnel
+            # charges ~30 ms per readback) — jit re-places them for free
+            lengths_arg = (np.asarray(batch.lengths, np.int32)
+                           if self.mesh is None and self.exp.eval_buckets
+                           else dev["lengths"])
             tab_pred, tab_att = self.predict_step(
-                self.state.params, dev["tokens"], dev["lengths"],
+                self.state.params, dev["tokens"], lengths_arg,
                 dev["feats"])
             if self.exp.visatt and visatt_left > 0:
                 # attention PNG dumps (reference dumps EVERY test question

@@ -17,6 +17,62 @@ import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 
+def _sparkline(values, *, width: int = 260, height: int = 48,
+               color: str = "#06c") -> str:
+    """Inline SVG sparkline — curve rendering with zero dependencies
+    (matplotlib only backs the optional PNG curves)."""
+    vals = [float(v) for v in values
+            if isinstance(v, (int, float)) and v == v]
+    if len(vals) < 2:
+        return "<i>n/a</i>"
+    lo, hi = min(vals), max(vals)
+    span = (hi - lo) or 1.0
+    pts = " ".join(
+        f"{i * width / (len(vals) - 1):.1f},"
+        f"{height - 4 - (v - lo) / span * (height - 8):.1f}"
+        for i, v in enumerate(vals))
+    return (f'<svg width="{width}" height="{height}">'
+            f'<polyline points="{pts}" fill="none" stroke="{color}" '
+            f'stroke-width="1.5"/>'
+            f'<text x="2" y="10" font-size="9">{hi:.4g}</text>'
+            f'<text x="2" y="{height - 2}" font-size="9">{lo:.4g}</text>'
+            f'</svg>')
+
+
+def _sparkline_block(rows, n_hops: int) -> str:
+    """Per-metric sparklines straight from the JSONL stream."""
+    train = [r for r in rows if r.get("kind") == "train"]
+    test = [r for r in rows if r.get("kind") == "test"]
+    cells = []
+    for label, series in (
+            [("loss", [r.get("loss") for r in train]),
+             ("uni_acc", [r.get("uni_acc") for r in train]),
+             ("select_acc", [r.get("select_acc") for r in train]),
+             ("examples/sec", [r.get("examples_per_sec") for r in train])]
+            + [(f"testOE hop{h + 1:02d}",
+                [r.get(f"testOEacc_{h + 1:02d}") for r in test])
+               for h in range(n_hops)]):
+        cells.append(f"<td><b>{html.escape(label)}</b><br>"
+                     f"{_sparkline(series)}</td>")
+    rows_html = "".join(f"<tr>{''.join(cells[i:i + 4])}</tr>"
+                        for i in range(0, len(cells), 4))
+    return f"<table>{rows_html}</table>"
+
+
+def _attention_browser(workdir: str) -> str:
+    """Thumbnails of the visatt attention dumps (figures/), newest epoch
+    first (reference dumps per-question PNGs each epoch, :926-932)."""
+    fig_dir = os.path.join(workdir, "figures")
+    if not os.path.isdir(fig_dir):
+        return "<i>no attention dumps (run with --visatt)</i>"
+    names = sorted((n for n in os.listdir(fig_dir) if n.endswith(".png")),
+                   reverse=True)[:60]
+    return "".join(
+        f'<a href="/figures/{html.escape(n)}" title="{html.escape(n)}">'
+        f'<img src="/figures/{html.escape(n)}" width="120" '
+        f'style="margin:2px"></a>' for n in names)
+
+
 def _page(workdir: str, n_hops: int) -> str:
     from rau_vqa_tpu.utils.logging import MetricsLogger
 
@@ -38,8 +94,10 @@ def _page(workdir: str, n_hops: int) -> str:
     return f"""<html><head><title>rau_vqa_tpu dashboard</title>
 <meta http-equiv="refresh" content="15"></head>
 <body><h2>{html.escape(workdir)}</h2>
+<h3>sparklines</h3>{_sparkline_block(rows, n_hops)}
 <h3>latest train record</h3>{table(last_train)}
 <h3>latest test record</h3>{table(last_test)}
+<h3>attention maps</h3>{_attention_browser(workdir)}
 <h3>curves</h3>{imgs}
 </body></html>"""
 
@@ -50,9 +108,11 @@ def make_handler(workdir: str, n_hops: int):
             pass
 
         def do_GET(self):
-            if self.path.startswith("/graphs/"):
+            if self.path.startswith(("/graphs/", "/figures/")):
+                sub = "graphs" if self.path.startswith("/graphs/") else \
+                    "figures"
                 name = os.path.basename(self.path)
-                path = os.path.join(workdir, "graphs", name)
+                path = os.path.join(workdir, sub, name)
                 if os.path.exists(path):
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")

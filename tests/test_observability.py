@@ -83,3 +83,35 @@ def test_dashboard_serves(tmp_path):
         assert b"trainacc_01" in raw
     finally:
         server.shutdown()
+
+
+def test_dashboard_sparklines_and_attention(tmp_path):
+    """Sparklines render as inline SVG with no matplotlib involvement, and
+    the attention browser lists figures/ dumps (BACKLOG #7)."""
+    import json
+    from rau_vqa_tpu.utils.dashboard import (
+        _attention_browser,
+        _page,
+        _sparkline,
+    )
+    wd = str(tmp_path)
+    os.makedirs(os.path.join(wd, "training_log"))
+    with open(os.path.join(wd, "training_log", "metrics.jsonl"), "w") as f:
+        for e in range(5):
+            f.write(json.dumps({"kind": "train", "epoch": e + 1,
+                                "loss": 3.0 - 0.3 * e, "uni_acc": 0.2 * e,
+                                "select_acc": 0.1 * e,
+                                "examples_per_sec": 100.0 + e}) + "\n")
+            f.write(json.dumps({"kind": "test", "epoch": e + 1,
+                                "testOEacc_01": 0.1 * e}) + "\n")
+    page = _page(wd, 1)
+    assert "<svg" in page and "polyline" in page
+    assert "matplotlib" not in page
+    # sparkline handles short/NaN series gracefully
+    assert _sparkline([]) == "<i>n/a</i>"
+    assert "<svg" in _sparkline([1.0, float("nan"), 2.0, 3.0])
+    # attention browser
+    os.makedirs(os.path.join(wd, "figures"))
+    open(os.path.join(wd, "figures", "ep1.00_q7.png"), "wb").write(b"png")
+    got = _attention_browser(wd)
+    assert "ep1.00_q7.png" in got
