@@ -38,6 +38,10 @@ def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
                    choices=["shuffle", "inorder", "sort", "randsort"])
     p.add_argument("--test-batch-size", type=int, default=None,
                    help="override the split-derived test batch size")
+    p.add_argument("--ship-int8", action="store_true",
+                   help="with an int8 packed shard: ship raw int8 features "
+                        "to the device and dequantize there (4x less "
+                        "host->device transfer than f32)")
     p.add_argument("--valid-ratio", type=float, default=None,
                    help="carve a validation split out of train "
                         "(reference valid_ratio, vqa_prepro_loader.lua:1346)")
@@ -165,13 +169,13 @@ def _apply_overrides(exp, args):
     return exp
 
 
-def _make_feature_source(feat_dirs, mcfg):
+def _make_feature_source(feat_dirs, mcfg, *, ship_int8: bool = False):
     from rau_vqa_tpu.data.features import PackedFeatureStore, T7DirFeatureSource
     if len(feat_dirs) == 1 and "," in feat_dirs[0]:
         feat_dirs = feat_dirs[0].split(",")
     first = feat_dirs[0]
     if os.path.exists(os.path.join(first, "index.json")):
-        return PackedFeatureStore(first)
+        return PackedFeatureStore(first, raw_int8=ship_int8)
     return T7DirFeatureSource(feat_dirs, mcfg.cnn_dim, mcfg.cnn_w, mcfg.cnn_h)
 
 
@@ -214,7 +218,9 @@ def cmd_train(args) -> int:
         test_batch_size=exp.data.resolved_test_batch_size()
         if not args.fixture else 8,
         valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
-    source = _make_feature_source([exp.data.feat_dir], exp.model)
+    source = _make_feature_source(
+        [exp.data.feat_dir], exp.model,
+        ship_int8=bool(getattr(args, "ship_int8", False)))
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)
@@ -274,7 +280,9 @@ def cmd_eval(args) -> int:
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),
         seed=exp.train.seed)
-    source = _make_feature_source([exp.data.feat_dir], exp.model)
+    source = _make_feature_source(
+        [exp.data.feat_dir], exp.model,
+        ship_int8=bool(getattr(args, "ship_int8", False)))
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Sequence
+from typing import Dict, NamedTuple, Sequence
 
 import numpy as np
 
@@ -86,13 +86,25 @@ class T7DirFeatureSource(FeatureSource):
         return out
 
 
+class QuantFeats(NamedTuple):
+    """A quantized feature batch kept in its storage dtype: ``values``
+    int8 [B, S, D] plus per-image ``scales`` [B].  Shipping this to the
+    device and dequantizing there cuts host->device feature bytes 4x vs
+    f32 (2x vs bf16) — the dominant per-step cost on PCIe-light hosts
+    (BASELINE.md tunnel-bound observation)."""
+
+    values: np.ndarray
+    scales: np.ndarray
+
+
 class PackedFeatureStore(FeatureSource):
     """mmap-backed packed feature shard: `features.npy` [N, S, D] +
     `index.json` mapping feature-file name -> row.  int8 shards carry a
     per-image `scales.npy` (symmetric absmax quantization, 4x less feature
-    bandwidth); reads always return dequantized float32."""
+    bandwidth); reads return dequantized float32 by default, or the raw
+    ``QuantFeats`` when ``raw_int8=True`` (device-side dequantization)."""
 
-    def __init__(self, shard_dir: str):
+    def __init__(self, shard_dir: str, *, raw_int8: bool = False):
         with open(os.path.join(shard_dir, "index.json")) as f:
             meta = json.load(f)
         self.index: Dict[str, int] = meta["index"]
@@ -109,9 +121,14 @@ class PackedFeatureStore(FeatureSource):
         scales_path = os.path.join(shard_dir, "scales.npy")
         if os.path.exists(scales_path):
             self.scales = np.load(scales_path)
+        self.raw_int8 = bool(raw_int8 and self.scales is not None)
 
-    def get_batch(self, names: Sequence[str], datatypes: Sequence[int]) -> np.ndarray:
+    def get_batch(self, names: Sequence[str], datatypes: Sequence[int]):
         rows = np.fromiter((self.index[n] for n in names), np.int64, len(names))
+        if self.raw_int8:
+            return QuantFeats(values=np.asarray(self.mmap[rows]),
+                              scales=np.asarray(self.scales[rows],
+                                                np.float32))
         out = np.asarray(self.mmap[rows], np.float32)
         if self.scales is not None:
             out *= self.scales[rows][:, None, None]

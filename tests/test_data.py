@@ -306,3 +306,40 @@ def test_t7_fuzz_roundtrip(tmp_path):
         p = str(tmp_path / f"fuzz{trial}.t7")
         t7.save_t7(p, obj)
         check(obj, t7.load_t7(p))
+
+
+def test_packed_store_raw_int8_device_dequant(fixture_root, tmp_path):
+    """raw_int8 mode returns QuantFeats; device-side dequantization equals
+    the host-dequantized read bit-for-bit (same int8*scale math)."""
+    import jax
+    import jax.numpy as jnp
+    from rau_vqa_tpu.data.features import QuantFeats
+
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    imgs = info["unique_img_train"][:4]
+    out = str(tmp_path / "packed8raw")
+    pack_feature_dir([feat_dir], imgs, [1] * len(imgs), out,
+                     SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h, dtype="int8")
+    from rau_vqa_tpu.data.features import PackedFeatureStore
+    host = PackedFeatureStore(out)
+    raw = PackedFeatureStore(out, raw_int8=True)
+    names = [coco_feat_name(p) for p in imgs]
+    qf = raw.get_batch(names, [1] * len(names))
+    assert isinstance(qf, QuantFeats)
+    assert qf.values.dtype == np.int8
+    assert qf.scales.shape == (len(imgs),)
+    dev = jax.jit(lambda v, s: v.astype(jnp.float32)
+                  * s[:, None, None])(jnp.asarray(qf.values),
+                                      jnp.asarray(qf.scales))
+    np.testing.assert_array_equal(
+        np.asarray(dev), host.get_batch(names, [1] * len(names)))
+    # a shard without scales (f32) silently ignores raw_int8
+    out32 = str(tmp_path / "packed32")
+    pack_feature_dir([feat_dir], imgs, [1] * len(imgs), out32,
+                     SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
+    st = PackedFeatureStore(out32, raw_int8=True)
+    assert not st.raw_int8
+    assert isinstance(st.get_batch(names, [1] * len(names)), np.ndarray)

@@ -406,3 +406,50 @@ def test_put_batch_ships_compute_dtype(fixture_root, tmp_path):
     trainer.mcfg = dataclasses.replace(trainer.mcfg, compute_dtype="bfloat16")
     dev = trainer._put_batch(batch)
     assert dev["feats"].dtype == jnp.bfloat16
+
+
+@pytest.mark.slow
+def test_trainer_ships_int8_features(fixture_root, tmp_path):
+    """End-to-end training off a raw-int8 packed shard: features cross the
+    host->device boundary as int8 + per-image scales and dequantize on
+    device; the run must learn like the float path (quantization noise is
+    tiny relative to the fixture's signal)."""
+    import dataclasses
+    import json as _json
+    from rau_vqa_tpu.data.features import (
+        PackedFeatureStore,
+        pack_feature_dir,
+    )
+
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = _json.load(f)
+    imgs = sorted(set(info["unique_img_train"] + info["unique_img_test"]))
+    out = str(tmp_path / "packed8")
+    pack_feature_dir([os.path.join(fixture_root, "feat")], imgs,
+                     [1] * len(imgs), out, SPEC.feat_dim, SPEC.feat_w,
+                     SPEC.feat_h, dtype="int8")
+    src = PackedFeatureStore(out, raw_int8=True)
+    assert src.raw_int8
+
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, n_hops=2, cnn_dim=SPEC.feat_dim, cnn_w=SPEC.feat_w,
+            cnn_h=SPEC.feat_h, embed_dim=16, rnn_size=16, multfeat_dim=16,
+            attfeat_dim=8, att_rnn_size=16, embed_dropout=0.0,
+            rnn_dropout=0.0, mult_dropout=0.1),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, learning_rate=1e-2,
+            mult_learning_rate=1e-2, lr_decay=1.0, mult_lr_decay=1.0,
+            noisy_eta=0.0, grad_clip=10.0),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    tr = Trainer(exp, data, src, str(tmp_path / "run8"), gt_anno=gt)
+    recs = [tr.train_epoch() for _ in range(10)]
+    assert np.isfinite(recs[-1]["loss"])
+    assert recs[-1]["loss"] < recs[0]["loss"]
+    result = tr.evaluate(write_submissions=False)
+    assert max(result["testOEacc"]) > 0.3   # well above 20% chance
