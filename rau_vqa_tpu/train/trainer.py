@@ -359,7 +359,10 @@ class Trainer:
             tab_pred, tab_att = self.predict_step(
                 self.state.params, dev["tokens"], lengths_arg,
                 dev["feats"])
-            if self.exp.visatt and visatt_left > 0:
+            if (self.exp.visatt and visatt_left > 0
+                    and jax.process_count() == 1):
+                # (multi-process runs skip PNG dumps: tab_att is globally
+                # sharded and only partially addressable per process)
                 # attention PNG dumps (reference dumps EVERY test question
                 # per epoch, :926-932; visatt_batches=1 bounds the file
                 # count by default, -1 restores reference semantics)
@@ -378,8 +381,17 @@ class Trainer:
             if mc_ans is not None:
                 mc_chunks.append(mc_ans)
             qid_chunks.append(batch.qids)
-        oe_chunks = [np.asarray(x) for x in oe_chunks]
-        mc_chunks = [np.asarray(x) for x in mc_chunks]
+        if jax.process_count() > 1:
+            # sharded outputs are only partially addressable per process:
+            # assemble the global answer arrays across hosts
+            from jax.experimental import multihost_utils
+            oe_chunks = [np.asarray(multihost_utils.process_allgather(
+                x, tiled=True)) for x in oe_chunks]
+            mc_chunks = [np.asarray(multihost_utils.process_allgather(
+                x, tiled=True)) for x in mc_chunks]
+        else:
+            oe_chunks = [np.asarray(x) for x in oe_chunks]
+            mc_chunks = [np.asarray(x) for x in mc_chunks]
 
         # vectorized id->string mapping + row building (the reference builds
         # each row in a Lua loop, :903-913 — SURVEY.md hot-loop #4)
@@ -400,7 +412,8 @@ class Trainer:
         rows_oe = [make_rows(oe_strs[h]) for h in range(H2)]
         rows_mc = ([make_rows(mc_strs[h]) for h in range(H2)]
                    if mc_strs is not None else [[]] * H2)
-        if write_submissions:
+        if write_submissions and jax.process_index() == 0:
+            # one writer in multi-process runs (files are per-run artifacts)
             write_results(self.workdir, "OpenEnded", self.exp.data.split,
                           self.exp.alg_name, epoch_f, rows_oe)
             if rows_mc[0]:
@@ -421,11 +434,12 @@ class Trainer:
             if mc_strs is not None:
                 result["testMCacc"] = [float((mc_strs[h] == gt).mean())
                                        for h in range(H2)]
-            self.logger.log(
-                {"epoch": epoch_f,
-                 **per_hop_record({k: v for k, v in result.items()
-                                   if k != "epoch"})},
-                kind="test")
+            if jax.process_index() == 0:
+                self.logger.log(
+                    {"epoch": epoch_f,
+                     **per_hop_record({k: v for k, v in result.items()
+                                       if k != "epoch"})},
+                    kind="test")
         return result
 
     # ------------------------------------------------------------------

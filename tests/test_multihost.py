@@ -119,14 +119,25 @@ src = T7DirFeatureSource([os.path.join(root, "feat")], spec.feat_dim,
                          spec.feat_w, spec.feat_h)
 mesh = make_multihost_mesh(n_model=1)
 assert mesh.devices.size == 2 * n_procs
-trainer = Trainer(exp, data, src, os.path.join(root, "run"), mesh=mesh)
+from rau_vqa_tpu.data.loader import load_gt_annotations
+gt = load_gt_annotations(os.path.join(root, "vqa_prepro",
+                                      "gt_annotations.json"))
+trainer = Trainer(exp, data, src, os.path.join(root, "run"), mesh=mesh,
+                  gt_anno=gt)
 for _ in range(2):
     trainer.train_epoch()
+# multihost eval sweep: sharded predict + cross-process answer allgather;
+# only process 0 writes submission files
+result = trainer.evaluate()
+hop_dir = os.path.join(root, "run", "results", "hop_01")
+wrote = os.path.isdir(hop_dir) and bool(os.listdir(hop_dir))
+assert wrote == (proc_id == 0), f"proc {proc_id} wrote={wrote}"
 w = np.asarray(jax.device_get(trainer.state.params["mult"]["cls"]["b"]))
 if proc_id == 0:
     with open(out_path, "w") as f:
         json.dump({"b_head": w.reshape(-1)[:4].tolist(),
-                   "step": int(trainer.state.step)}, f)
+                   "step": int(trainer.state.step),
+                   "testOEacc": result["testOEacc"]}, f)
 """
 
 
@@ -196,13 +207,20 @@ def test_trainer_two_process_matches_single(tmp_path):
                          split="val2014", test_batch_size=8)
     src = T7DirFeatureSource([os.path.join(root, "feat")], spec.feat_dim,
                              spec.feat_w, spec.feat_h)
+    from rau_vqa_tpu.data.loader import load_gt_annotations
+    gt = load_gt_annotations(os.path.join(root, "vqa_prepro",
+                                          "gt_annotations.json"))
     trainer = Trainer(exp, data, src, os.path.join(root, "run"),
-                      mesh=make_mesh(n_data=4, n_model=1))
+                      mesh=make_mesh(n_data=4, n_model=1), gt_anno=gt)
     for _ in range(2):
         trainer.train_epoch()
     assert int(trainer.state.step) == multi["step"]
     b_head = np.asarray(trainer.state.params["mult"]["cls"]["b"])[:4]
     np.testing.assert_allclose(multi["b_head"], b_head, rtol=1e-4, atol=1e-6)
+    # the 2-process eval sweep must reproduce the single-process accuracy
+    single = trainer.evaluate(write_submissions=False)
+    np.testing.assert_allclose(multi["testOEacc"], single["testOEacc"],
+                               rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.skipif(os.environ.get("RAU_SKIP_MULTIPROC") == "1",
