@@ -5,8 +5,12 @@ features) or {"question": str, "image_b64": str} (raw image through the
 on-TPU backbone when one is configured); returns the top-k answers of the
 "select" aggregate plus per-hop answers.  GET /healthz for liveness.
 
-One process, one chip; a lock serializes device dispatches (fixed-shape,
-compile-once serving).
+One process, one chip.  Concurrent requests are DYNAMICALLY MICRO-BATCHED:
+a collector thread drains the request queue, pads the group to a fixed
+batch-size bucket (1/4/8/16 — bounded compile count), and runs ONE device
+dispatch for the whole group.  Combined with length-bucketed encoding this
+keeps tail latency near the single-request floor while throughput scales
+with concurrency; ``max_wait_ms`` bounds the artificial queueing delay.
 """
 
 from __future__ import annotations
@@ -63,6 +67,13 @@ class RAUService:
         from rau_vqa_tpu.cli import _make_feature_source
         self.source = _make_feature_source(list(feat_dirs), self.mcfg)
         self.lock = threading.Lock()
+        # dynamic micro-batcher state (started lazily by answer())
+        self._queue: "list" = []
+        self._qcond = threading.Condition()
+        self._batcher: Optional[threading.Thread] = None
+        self.max_batch = 16
+        self.max_wait_ms = 5.0
+        self._batch_sizes_served: "list[int]" = []   # for tests/metrics
 
     def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
         from PIL import Image
@@ -84,22 +95,77 @@ class RAUService:
         return np.asarray(
             extract_features(self.backbone, self.bb_params, arr))
 
-    def answer(self, question: str, *, feat_name: Optional[str] = None,
-               image_b64: Optional[str] = None, topk: int = 5) -> Dict:
+    # -- dynamic micro-batching ----------------------------------------
+
+    def _ensure_batcher(self):
+        if self._batcher is None or not self._batcher.is_alive():
+            self._batcher = threading.Thread(target=self._batch_loop,
+                                             daemon=True)
+            self._batcher.start()
+
+    def _batch_loop(self):
+        while True:
+            with self._qcond:
+                while not self._queue:
+                    self._qcond.wait()
+                # linger briefly so concurrent arrivals share the dispatch
+                deadline = self.max_wait_ms / 1e3
+                while len(self._queue) < self.max_batch and deadline > 0:
+                    import time
+                    t0 = time.monotonic()
+                    self._qcond.wait(timeout=deadline)
+                    deadline -= time.monotonic() - t0
+                group = self._queue[:self.max_batch]
+                del self._queue[:len(group)]
+            try:
+                self._run_group(group)
+            except Exception as e:  # noqa: BLE001 — fail the whole group
+                for item in group:
+                    item["error"] = e
+                    item["done"].set()
+
+    def _run_group(self, group):
         import jax.numpy as jnp
 
+        n = len(group)
+        # pad to a fixed bucket: bounded compile count, shared programs
+        bucket = next(b for b in (1, 4, 8, self.max_batch) if b >= n)
+        tokens = np.zeros((bucket, self.mcfg.seq_len), np.int32)
+        lengths = np.ones((bucket,), np.int32)
+        feats = np.zeros((bucket, self.mcfg.cnn_spat, self.mcfg.cnn_dim),
+                         np.float32)
+        for i, item in enumerate(group):
+            tokens[i] = item["tokens"]
+            lengths[i] = item["length"]
+            feats[i] = item["feats"]
+        with self.lock:
+            tab_pred, _ = self.predict(self.params, jnp.asarray(tokens),
+                                       lengths, jnp.asarray(feats))
+        tab = np.asarray(tab_pred)                 # [H+2, bucket, A]
+        self._batch_sizes_served.append(n)
+        for i, item in enumerate(group):
+            item["tab"] = tab[:, i]
+            item["done"].set()
+
+    def answer(self, question: str, *, feat_name: Optional[str] = None,
+               image_b64: Optional[str] = None, topk: int = 5) -> Dict:
         tokens, length = self.data.question_to_tokens(question)
         if feat_name is not None:
-            feats = self.source.get_batch([feat_name], [1])
+            feats = self.source.get_batch([feat_name], [1])[0]
         elif image_b64 is not None:
-            feats = self._featurize_image(base64.b64decode(image_b64))
+            feats = self._featurize_image(base64.b64decode(image_b64))[0]
         else:
             raise ValueError("need feat_name or image_b64")
-        with self.lock:  # one batch on device at a time
-            tab_pred, _ = self.predict(
-                self.params, jnp.asarray(tokens[None]),
-                jnp.asarray([length], np.int32), jnp.asarray(feats))
-        tab = np.asarray(tab_pred)[:, 0]          # [H+2, A]
+        self._ensure_batcher()
+        item = {"tokens": tokens, "length": length, "feats": feats,
+                "done": threading.Event()}
+        with self._qcond:
+            self._queue.append(item)
+            self._qcond.notify_all()
+        item["done"].wait()
+        if "error" in item:
+            raise item["error"]
+        tab = item["tab"]                          # [H+2, A]
         final = tab[-1]
         order = np.argsort(final)[::-1][:topk]
         return {

@@ -29,6 +29,7 @@ def served(tmp_path_factory):
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    served.svc = svc        # expose for batching assertions
     yield port
     server.shutdown()
 
@@ -145,3 +146,34 @@ def test_bucketed_predict_is_exact():
         got_p, got_a = bucketed(params, tokens, lengths, feats)
         np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
         np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+
+
+def test_concurrent_requests_micro_batch(served):
+    """Concurrent posts share device dispatches (dynamic micro-batching)
+    and every request still gets its own correct answer."""
+    import concurrent.futures
+
+    # sequential references first (each on its own dispatch)
+    feats = [f"COCO_train2014_{i:012d}.t7" for i in range(4)]
+    qs = [f"w01 w0{i + 2} w03" for i in range(4)]
+    seq = [_post(served, {"question": q, "feat_name": f, "topk": 1})
+           for q, f in zip(qs, feats)]
+
+    from tests import test_serve as _self
+    _svc = _self.served.svc
+    _svc.max_wait_ms = 50.0     # generous linger: guarantee group formation
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        futs = [ex.submit(_post, served,
+                          {"question": q, "feat_name": f, "topk": 1})
+                for q, f in zip(qs, feats) for _ in range(3)]
+        got = [f.result() for f in futs]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["question"], set()).add(
+            r["answers"][0]["answer"])
+    for ref in seq:
+        assert by_q[ref["question"]] == {ref["answers"][0]["answer"]}, (
+            "concurrent answer diverged from sequential")
+    assert max(_svc._batch_sizes_served) > 1, (
+        f"no request group formed: {_svc._batch_sizes_served}")
+    _svc.max_wait_ms = 5.0
