@@ -75,12 +75,19 @@ def deep_lstm_init(key: jax.Array, input_size: int, rnn_size: int,
 
 def deep_lstm_cell(params: Params, x: jax.Array, state: jax.Array, *,
                    rnn_size: int, dropout_rate: float = 0.0,
-                   train: bool = False, rng: jax.Array | None = None) -> jax.Array:
+                   train: bool = False, rng: jax.Array | None = None,
+                   l1_in_gates: jax.Array | None = None) -> jax.Array:
     """One timestep of the packed-state question LSTM.
 
     state layout per layer L (0-based): ``[c_L | h_L]`` at offset ``2*L*R``
     (DeepLSTM.lua:23-24); output packs ``(next_c, next_h)`` per layer in the
     same order (DeepLSTM.lua:63-68).
+
+    ``l1_in_gates``: optional precomputed ``x @ wi + bi`` for layer 1 [B, 4R].
+    Layer 1's input projection has no serial dependency, so the encoder
+    hoists it out of the scan as one [B*T, E] x [E, 4R] matmul — exact same
+    math, MXU-batched instead of 26 small serial matmuls (layer 1's input
+    is never dropout-ed: DeepLSTM.lua:39 drops layers >= 2 only).
     """
     R = rnn_size
     inp = x
@@ -90,7 +97,10 @@ def deep_lstm_cell(params: Params, x: jax.Array, state: jax.Array, *,
         h = state[:, (2 * L + 1) * R:(2 * L + 2) * R]
         if L > 0 and train and dropout_rate > 0.0:
             inp = dropout(inp, dropout_rate, jax.random.fold_in(rng, L), train)
-        gates = (inp @ lp["wi"] + lp["bi"]) + (h @ lp["wh"] + lp["bh"])
+        if L == 0 and l1_in_gates is not None:
+            gates = l1_in_gates + (h @ lp["wh"] + lp["bh"])
+        else:
+            gates = (inp @ lp["wi"] + lp["bi"]) + (h @ lp["wh"] + lp["bh"])
         # gate layout [in, forget, out, in_transform] (DeepLSTM.lua:47-54)
         sig = jax.nn.sigmoid(gates[:, :3 * R])
         i_g = sig[:, :R]

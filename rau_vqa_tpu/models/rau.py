@@ -119,16 +119,25 @@ def encode_question(params: Params, cfg: ModelConfig, tokens: jax.Array,
     init_state = jnp.zeros((B, cfg.rnnout_dim), emb.dtype)
     step_rng = jax.random.fold_in(rng, 1) if rng is not None else None
 
+    # layer 1's input projection has no serial dependency: hoist it out of
+    # the scan as ONE [B*T, E] x [E, 4R] MXU matmul (the scan then runs 2
+    # serial matmuls/step instead of 3 — the encoder is latency-bound)
+    l1 = params["rnn"]["layers"][0]
+    l1_gates = (emb.reshape(B * T, -1) @ l1["wi"]
+                + l1["bi"]).reshape(B, T, -1)
+
     def step(state, xs):
-        x_t, t = xs
+        x_t, g1_t, t = xs
         rng_t = jax.random.fold_in(step_rng, t) if step_rng is not None else None
         new_state = deep_lstm_cell(params["rnn"], x_t, state,
                                    rnn_size=cfg.rnn_size,
                                    dropout_rate=cfg.rnn_dropout,
-                                   train=train, rng=rng_t)
+                                   train=train, rng=rng_t,
+                                   l1_in_gates=g1_t)
         return new_state, new_state
 
-    xs = (jnp.swapaxes(emb, 0, 1), jnp.arange(T))
+    xs = (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(l1_gates, 0, 1),
+          jnp.arange(T))
     _, states = jax.lax.scan(step, init_state, xs)          # [T, B, D]
     rnn_out = states[lengths - 1, jnp.arange(B)]            # [B, D]
     return rnn_out
