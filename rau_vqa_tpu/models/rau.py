@@ -12,8 +12,9 @@ Reconstructs the behaviour of the reference nngraph model
 - image features are laid out ``[B, S, D]`` (spatial-major, feature in lanes)
   so every 1x1 "conv" in the reference becomes a lane-aligned matmul on the
   MXU;
-- at eval, the hop-invariant image embedding is hoisted out of the hop loop
-  (the reference recomputes it per clone).
+- at eval, the hop-invariant image embedding AND question projection are
+  hoisted out of the hop loop (the reference recomputes both per clone),
+  and the encoder's layer-1 input projection is hoisted out of the scan.
 
 Parameters are plain nested dicts in three groups — ``embed``, ``rnn``,
 ``mult`` — mirroring the reference's three flat param vectors
@@ -166,19 +167,27 @@ def embed_image(mp: Params, cfg: ModelConfig, feats: jax.Array, *,
 def answering_unit(mp: Params, cfg: ModelConfig, q: jax.Array,
                    ifeat: jax.Array, iatt: jax.Array, c: jax.Array,
                    h: jax.Array, *, train: bool = False,
-                   rng: Optional[jax.Array] = None):
+                   rng: Optional[jax.Array] = None,
+                   q_proj_pre: Optional[jax.Array] = None):
     """One recurrent answering unit (the `multimodal` gModule, reference :291-307).
 
     q [B, rnnout_dim], ifeat [B, S, M], iatt [B, S, F], c/h [B, att_state_dim].
     Returns (score [B, A], do_pred [B], attprob [B, S], next_c, next_h).
+
+    ``q_proj_pre``: optional precomputed ``q @ q_proj + b`` [B, M].  At eval
+    there is no q-dropout, so the projection is hop-invariant and the
+    caller hoists it out of the hop loop (same bits: addition order
+    unchanged).
     """
     k_q = jax.random.fold_in(rng, 0) if rng is not None else None
     k_lstm = jax.random.fold_in(rng, 1) if rng is not None else None
     k_merge = jax.random.fold_in(rng, 2) if rng is not None else None
 
     # [q_embed]: tanh(Wq·dropout(q) + Wh·prev_h) (reference :231-236)
-    q_in = dropout(q, cfg.mult_dropout, k_q, train) if train else q
-    qfeat = jnp.tanh(q_in @ mp["q_proj"]["w"] + mp["q_proj"]["b"]
+    if q_proj_pre is None:
+        q_in = dropout(q, cfg.mult_dropout, k_q, train) if train else q
+        q_proj_pre = q_in @ mp["q_proj"]["w"] + mp["q_proj"]["b"]
+    qfeat = jnp.tanh(q_proj_pre
                      + h @ mp["h_proj"]["w"] + mp["h_proj"]["b"])
 
     # [attbycontent]: per-cell score from tanh(iatt + qatt) (reference :244-252)
@@ -276,8 +285,10 @@ def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     h = jnp.zeros((B, cfg.att_state_dim), q.dtype)
 
     if not train:
-        # hop-invariant at eval: hoist out of the loop
+        # hop-invariant at eval: hoist out of the loop (image embedding AND
+        # the question projection — no dropout means both repeat verbatim)
         ifeat, iatt = embed_image(mp, cfg, feats, train=False)
+        q_pre = q @ mp["q_proj"]["w"] + mp["q_proj"]["b"]
 
     def hop_step(mp_, q_, feats_or_embeds, c_, h_, k_hop):
         if train:
@@ -285,10 +296,11 @@ def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             # the reference's per-hop clones draw independent dropout masks
             ifeat_, iatt_ = embed_image(mp_, cfg, feats_or_embeds,
                                         train=True, rng=k_img)
-        else:
-            ifeat_, iatt_ = feats_or_embeds
+            return answering_unit(mp_, cfg, q_, ifeat_, iatt_, c_, h_,
+                                  train=True, rng=k_hop)
+        ifeat_, iatt_ = feats_or_embeds
         return answering_unit(mp_, cfg, q_, ifeat_, iatt_, c_, h_,
-                              train=train, rng=k_hop)
+                              train=False, rng=k_hop, q_proj_pre=q_pre)
 
     if train and cfg.remat_hops:
         # recompute the hop forward in the backward pass instead of saving
