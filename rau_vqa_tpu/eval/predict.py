@@ -110,24 +110,23 @@ def make_predict_step(cfg: ModelConfig, *, fused: bool = False,
     if fused and interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 
-    def build(_T=None):
-        def run(p, t, l, f):
-            if fused:
-                return predict_fused(p, cfg, t, l, f, interpret=interpret)
-            return predict(p, cfg, t, l, f)
-        return jax.jit(run)
+    def run(p, t, l, f):
+        if fused:
+            return predict_fused(p, cfg, t, l, f, interpret=interpret)
+        return predict(p, cfg, t, l, f)
 
+    jitted = jax.jit(run)   # re-specializes per token shape (one executable
+                            # per bucket via jit's own cache)
     if not buckets:
-        return build()
+        return jitted
     import numpy as np
     ladder = sorted({int(b) for b in buckets if 0 < int(b) < cfg.seq_len})
     ladder.append(cfg.seq_len)
-    fns = {T: build(T) for T in ladder}
 
     def step(p, tokens, lengths, feats):
         max_len = int(np.max(np.asarray(lengths)))
         T = next(t for t in ladder if t >= max_len)
-        return fns[T](p, tokens[:, :T], lengths, feats)
+        return jitted(p, tokens[:, :T], lengths, feats)
 
     return step
 

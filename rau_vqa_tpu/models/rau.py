@@ -263,8 +263,10 @@ def _rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             rau_train_hops,
             rau_train_hops_reference,
         )
-        seed = jax.random.randint(k_hops, (), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
+        seed = (jax.random.randint(k_hops, (), 0,
+                                   jnp.iinfo(jnp.int32).max,
+                                   dtype=jnp.int32)
+                if k_hops is not None else jnp.int32(0))
         on_tpu = (jax.devices()[0].platform == "tpu"
                   and cfg.fused_train_impl == "pallas")
         if on_tpu:

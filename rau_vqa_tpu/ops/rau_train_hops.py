@@ -298,9 +298,19 @@ def _hop_bwd_core(mp, t, feats, dmerge_d, dc_in, dh_in, mm):
 # Pure-XLA reference (same masks) — CPU fallback and autodiff oracle
 # ---------------------------------------------------------------------------
 
+def check_fused_config(cfg: ModelConfig) -> None:
+    """Both fused implementations (kernel AND XLA reference) support the
+    reference configuration only: 1-layer ATTLSTM, no att_rnn_dropout."""
+    if cfg.att_rnn_layers != 1 or cfg.att_rnn_dropout > 0.0:
+        raise NotImplementedError(
+            "fused training path supports the reference configuration "
+            "(1-layer ATTLSTM, no att_rnn_dropout) — use the XLA path")
+
+
 def rau_train_hops_reference(mp: Dict, cfg: ModelConfig, q, feats, seed):
     """Training hop loop with the fused path's exact dropout realization,
     in ordinary XLA.  Differentiable by autodiff; the grad-parity oracle."""
+    check_fused_config(cfg)
     B = q.shape[0]
     S, Dc = feats.shape[1], feats.shape[2]
     Q, M = q.shape[1], cfg.multfeat_dim
@@ -684,10 +694,7 @@ def rau_train_hops(mp: Dict, cfg: ModelConfig, q, feats, seed, *,
 
     ``interpret=None`` auto-selects: compiled Pallas on TPU, interpreter
     elsewhere."""
-    if cfg.att_rnn_layers != 1 or cfg.att_rnn_dropout > 0.0:
-        raise NotImplementedError(
-            "fused training kernel supports the reference configuration "
-            "(1-layer ATTLSTM, no att_rnn_dropout) — use the XLA path")
+    check_fused_config(cfg)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     return _fused(cfg, block_b, bool(interpret), mp, q, feats, seed)

@@ -73,7 +73,8 @@ class RAUService:
         self._batcher: Optional[threading.Thread] = None
         self.max_batch = 16
         self.max_wait_ms = 5.0
-        self._batch_sizes_served: "list[int]" = []   # for tests/metrics
+        from collections import deque
+        self._batch_sizes_served = deque(maxlen=1000)  # for tests/metrics
 
     def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
         from PIL import Image
@@ -98,10 +99,11 @@ class RAUService:
     # -- dynamic micro-batching ----------------------------------------
 
     def _ensure_batcher(self):
-        if self._batcher is None or not self._batcher.is_alive():
-            self._batcher = threading.Thread(target=self._batch_loop,
-                                             daemon=True)
-            self._batcher.start()
+        with self._qcond:   # check-then-act must be atomic: ONE collector
+            if self._batcher is None or not self._batcher.is_alive():
+                self._batcher = threading.Thread(target=self._batch_loop,
+                                                 daemon=True)
+                self._batcher.start()
 
     def _batch_loop(self):
         while True:

@@ -151,6 +151,11 @@ class Trainer:
         if mesh is not None:
             # sharded serving for the eval sweep: params already live on the
             # mesh with TP/replicated shardings, the batch shards on 'data'
+            if exp.eval_buckets:
+                import warnings
+                warnings.warn(
+                    "eval_buckets is ignored on the mesh path (the sharded "
+                    "predict step is fixed-shape)", stacklevel=2)
             from rau_vqa_tpu.parallel.mesh import make_sharded_predict_fn
             self.predict_step = make_sharded_predict_fn(
                 self.mcfg, mesh, self.state.params,
@@ -291,7 +296,8 @@ class Trainer:
                   "grad_norm_embed", "grad_norm_rnn", "grad_norm_mult"):
             if k in out:
                 record[k] = out[k]
-        self.logger.log(record, kind="train")
+        if jax.process_index() == 0:   # one writer in multi-process runs
+            self.logger.log(record, kind="train")
 
         # exponential LR decay per epoch (reference :1211-1220)
         if (self.tcfg.lr_decay < 1.0
@@ -444,6 +450,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self) -> str:
+        if jax.process_index() != 0:
+            # one writer: replicated state is identical in every process
+            return ""
         step = int(self.state.step)
         return save_checkpoint(
             self.ckpt_dir, step, float(self.epoch), self.state._asdict(),

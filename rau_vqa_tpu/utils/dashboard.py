@@ -60,17 +60,23 @@ def _sparkline_block(rows, n_hops: int) -> str:
 
 
 def _attention_browser(workdir: str) -> str:
-    """Thumbnails of the visatt attention dumps (figures/), newest epoch
-    first (reference dumps per-question PNGs each epoch, :926-932)."""
+    """Thumbnails of the visatt attention dumps, newest epoch first.
+    visatt.dump_attention_maps writes figures/epoch_XXX/hop_XXX/<qid>.png
+    (per-question PNGs each epoch like the reference, :926-932), so this
+    walks the nested layout and links the relative paths."""
     fig_dir = os.path.join(workdir, "figures")
     if not os.path.isdir(fig_dir):
         return "<i>no attention dumps (run with --visatt)</i>"
-    names = sorted((n for n in os.listdir(fig_dir) if n.endswith(".png")),
-                   reverse=True)[:60]
+    rels = []
+    for root, _, files in os.walk(fig_dir):
+        for n in files:
+            if n.endswith(".png"):
+                rels.append(os.path.relpath(os.path.join(root, n), fig_dir))
+    rels = sorted(rels, reverse=True)[:60]
     return "".join(
-        f'<a href="/figures/{html.escape(n)}" title="{html.escape(n)}">'
-        f'<img src="/figures/{html.escape(n)}" width="120" '
-        f'style="margin:2px"></a>' for n in names)
+        f'<a href="/figures/{html.escape(r)}" title="{html.escape(r)}">'
+        f'<img src="/figures/{html.escape(r)}" width="120" '
+        f'style="margin:2px"></a>' for r in rels)
 
 
 def _page(workdir: str, n_hops: int) -> str:
@@ -111,8 +117,13 @@ def make_handler(workdir: str, n_hops: int):
             if self.path.startswith(("/graphs/", "/figures/")):
                 sub = "graphs" if self.path.startswith("/graphs/") else \
                     "figures"
-                name = os.path.basename(self.path)
-                path = os.path.join(workdir, sub, name)
+                # nested figure paths are legal; refuse directory escapes
+                base = os.path.realpath(os.path.join(workdir, sub))
+                rel = self.path.split("/", 2)[2]
+                path = os.path.realpath(os.path.join(base, rel))
+                if not path.startswith(base + os.sep):
+                    self.send_error(403)
+                    return
                 if os.path.exists(path):
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")

@@ -81,6 +81,20 @@ def test_dashboard_serves(tmp_path):
         raw = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/metrics.jsonl", timeout=10).read()
         assert b"trainacc_01" in raw
+        # nested visatt figures serve; directory escapes are refused
+        from rau_vqa_tpu.utils.visatt import dump_attention_maps
+        att = np.random.RandomState(0).rand(3, 1, 6).astype(np.float32)
+        dump_attention_maps(os.path.join(wd, "figures"), 1.0, att, [7], 3, 2)
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/figures/epoch_001/hop_001/7.png",
+            timeout=10).read()
+        assert png[:4] == b"\x89PNG"
+        import urllib.error
+        import pytest
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/figures/%2e%2e/training_log/"
+                f"metrics.jsonl", timeout=10)
     finally:
         server.shutdown()
 
@@ -110,8 +124,10 @@ def test_dashboard_sparklines_and_attention(tmp_path):
     # sparkline handles short/NaN series gracefully
     assert _sparkline([]) == "<i>n/a</i>"
     assert "<svg" in _sparkline([1.0, float("nan"), 2.0, 3.0])
-    # attention browser
-    os.makedirs(os.path.join(wd, "figures"))
-    open(os.path.join(wd, "figures", "ep1.00_q7.png"), "wb").write(b"png")
+    # attention browser: the REAL visatt layout is nested
+    # figures/epoch_XXX/hop_XXX/<qid>.png
+    from rau_vqa_tpu.utils.visatt import dump_attention_maps
+    att = np.random.RandomState(0).rand(3, 2, 6).astype(np.float32)
+    dump_attention_maps(os.path.join(wd, "figures"), 1.0, att, [7, 9], 3, 2)
     got = _attention_browser(wd)
-    assert "ep1.00_q7.png" in got
+    assert "epoch_001/hop_001/7.png" in got
