@@ -50,11 +50,11 @@ def predict_fused(params, cfg: ModelConfig, tokens, lengths, feats, *,
                   fuse_encoder: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Like ``predict`` but the hop loop (and optionally the question-LSTM
     scan) run in fused Pallas kernels (ops/rau_hops.py,
-    ops/lstm_encoder.py): 2-3x faster than the XLA hop loop on v5e for the
-    8-hop configs.  Batch must divide by ``block_b``; bf16 numerics
-    (>99.8% argmax agreement with the f32 path).  The encoder kernel is
-    off by default: measured at the dispatch-latency floor it adds compile
-    time without wall-clock benefit on a single chip."""
+    ops/lstm_encoder.py).  Measured verdict (BASELINE.md): XLA's own
+    fusion is FASTER at these model shapes (4.8 vs 7.1 ms/batch-512), so
+    this stays an optional tuned-path surface, not the default.  Batch
+    pads to ``block_b``; bf16 numerics (>99.8% argmax agreement with the
+    f32 path)."""
     from rau_vqa_tpu.models.rau import embed_image, encode_question
     from rau_vqa_tpu.ops.lstm_encoder import encode_question_fused
     from rau_vqa_tpu.ops.rau_hops import rau_hops_pallas

@@ -12,7 +12,8 @@ Variants:
   plain  — jax.value_and_grad over the unrolled hop loop (XLA saves every
            hop's [B, S, M] ifeat/iatt/addfeat for the backward pass)
   remat  — same, with jax.checkpoint around each hop (cfg.remat_hops)
-  fused  — Pallas fused training hop loop (ops/rau_train_hops.py), when built
+  fusedN — Pallas fused training hop loop at block_b=N (ops/rau_train_hops.py)
+  maskref — fused semantics entirely in XLA (isolates kernel vs mask cost)
 
 Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
 """
