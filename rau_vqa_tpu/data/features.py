@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, NamedTuple, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -86,15 +86,26 @@ class T7DirFeatureSource(FeatureSource):
         return out
 
 
-class QuantFeats(NamedTuple):
+class QuantFeats:
     """A quantized feature batch kept in its storage dtype: ``values``
     int8 [B, S, D] plus per-image ``scales`` [B].  Shipping this to the
     device and dequantizing there cuts host->device feature bytes 4x vs
     f32 (2x vs bf16) — the dominant per-step cost on PCIe-light hosts
-    (BASELINE.md tunnel-bound observation)."""
+    (BASELINE.md tunnel-bound observation).
 
-    values: np.ndarray
-    scales: np.ndarray
+    Deliberately NOT a NamedTuple: ``get_batch(...)[0]`` on a raw_int8
+    store must raise, not silently hand back int8 values without their
+    scales (a consumer that wants floats calls :meth:`dequantize`)."""
+
+    __slots__ = ("values", "scales")
+
+    def __init__(self, values: np.ndarray, scales: np.ndarray):
+        self.values = values
+        self.scales = scales
+
+    def dequantize(self) -> np.ndarray:
+        return (self.values.astype(np.float32)
+                * self.scales[:, None, None].astype(np.float32))
 
 
 class PackedFeatureStore(FeatureSource):

@@ -18,6 +18,26 @@ from typing import Sequence
 import numpy as np
 
 
+def decode_scale_center_crop(img, size: int) -> np.ndarray:
+    """PIL image -> uint8 [size, size, 3]: bicubic shorter-side resize +
+    center crop (the reference's Scale+CenterCrop eval transform,
+    transforms.lua:38-61 — Scale defaults to bicubic).  The single decode
+    path shared by the batch loader and the HTTP service, so the two never
+    drift in filter choice or crop arithmetic."""
+    from PIL import Image
+
+    img = img.convert("RGB")
+    w, h = img.size
+    scale = size / min(w, h)
+    img = img.resize((max(size, round(w * scale)),
+                      max(size, round(h * scale))),
+                     Image.BICUBIC)
+    w, h = img.size
+    x0, y0 = (w - size) // 2, (h - size) // 2
+    img = img.crop((x0, y0, x0 + size, y0 + size))
+    return np.asarray(img, np.uint8)
+
+
 class ImageDirSource:
     """Decodes images from a root directory into a uint8 [B, size, size, 3]
     batch (bicubic shorter-side resize + center crop, matching the
@@ -31,16 +51,8 @@ class ImageDirSource:
     def _load_one(self, rel_path: str) -> np.ndarray:
         from PIL import Image
 
-        img = Image.open(os.path.join(self.root, rel_path)).convert("RGB")
-        w, h = img.size
-        scale = self.size / min(w, h)
-        img = img.resize((max(self.size, round(w * scale)),
-                          max(self.size, round(h * scale))),
-                         Image.BICUBIC)
-        w, h = img.size
-        x0, y0 = (w - self.size) // 2, (h - self.size) // 2
-        img = img.crop((x0, y0, x0 + self.size, y0 + self.size))
-        return np.asarray(img, np.uint8)
+        with Image.open(os.path.join(self.root, rel_path)) as img:
+            return decode_scale_center_crop(img, self.size)
 
     def get_batch(self, rel_paths: Sequence[str]) -> np.ndarray:
         out = list(self.pool.map(self._load_one, rel_paths))

@@ -31,7 +31,8 @@ class RAUService:
     def __init__(self, checkpoint: str, vqa_dir: str, feat_dirs,
                  *, preset: str = "ours_ms",
                  backbone: Optional[str] = None, bb_params=None,
-                 fused: bool = False):
+                 fused: bool = False, buckets=(8, 16),
+                 max_batch: int = 16, max_wait_ms: float = 5.0):
         import dataclasses
         import jax
 
@@ -60,7 +61,7 @@ class RAUService:
         # length buckets cut single-question latency: a short question
         # encodes in 8 scan steps instead of seq_len (exact — predict.py)
         self.predict = make_predict_step(self.mcfg, fused=fused,
-                                         buckets=(8, 16))
+                                         buckets=tuple(buckets))
         self.backbone = backbone
         self.bb_params = bb_params
 
@@ -71,28 +72,23 @@ class RAUService:
         self._queue: "list" = []
         self._qcond = threading.Condition()
         self._batcher: Optional[threading.Thread] = None
-        self.max_batch = 16
-        self.max_wait_ms = 5.0
+        self.max_batch = int(max_batch)
+        # 0 disables lingering: a group dispatches as soon as it is drained
+        self.max_wait_ms = float(max_wait_ms)
         from collections import deque
         self._batch_sizes_served = deque(maxlen=1000)  # for tests/metrics
 
     def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
         from PIL import Image
 
+        from rau_vqa_tpu.data.images import decode_scale_center_crop
         from rau_vqa_tpu.models.pipeline import extract_features
 
         if self.backbone is None or self.bb_params is None:
             raise ValueError("no visual backbone configured; send feat_name")
-        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-        size = 448
-        w, h = img.size
-        scale = size / min(w, h)
-        img = img.resize((max(size, round(w * scale)),
-                          max(size, round(h * scale))))
-        w, h = img.size
-        img = img.crop(((w - size) // 2, (h - size) // 2,
-                        (w - size) // 2 + size, (h - size) // 2 + size))
-        arr = np.asarray(img, np.uint8)[None]
+        with Image.open(io.BytesIO(image_bytes)) as img:
+            # same decode path as the batch loader (explicit bicubic)
+            arr = decode_scale_center_crop(img, 448)[None]
         return np.asarray(
             extract_features(self.backbone, self.bb_params, arr))
 
@@ -121,10 +117,15 @@ class RAUService:
                 del self._queue[:len(group)]
             try:
                 self._run_group(group)
-            except Exception as e:  # noqa: BLE001 — fail the whole group
+            except BaseException as e:  # noqa: BLE001 — fail the whole group
+                # BaseException too (KeyboardInterrupt/SystemExit): the
+                # waiters must be released either way, or every in-flight
+                # answer() blocks forever on a dead batcher thread
                 for item in group:
                     item["error"] = e
                     item["done"].set()
+                if not isinstance(e, Exception):
+                    raise
 
     def _run_group(self, group):
         import jax.numpy as jnp
@@ -153,7 +154,13 @@ class RAUService:
                image_b64: Optional[str] = None, topk: int = 5) -> Dict:
         tokens, length = self.data.question_to_tokens(question)
         if feat_name is not None:
-            feats = self.source.get_batch([feat_name], [1])[0]
+            from rau_vqa_tpu.data.features import QuantFeats
+            feats = self.source.get_batch([feat_name], [1])
+            if isinstance(feats, QuantFeats):
+                # raw_int8 stores hand back values+scales; serving wants
+                # plain floats (single-question batches are tiny anyway)
+                feats = feats.dequantize()
+            feats = feats[0]
         elif image_b64 is not None:
             feats = self._featurize_image(base64.b64decode(image_b64))[0]
         else:
