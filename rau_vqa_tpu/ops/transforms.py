@@ -19,6 +19,7 @@ vqa_prepro_loader.lua:55-62, 1061-1067).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Callable
 
 import jax
@@ -71,15 +72,19 @@ def vgg_preprocess(img: jax.Array) -> jax.Array:
 
 
 def scale_shorter_side(img: jax.Array, size: int,
-                       method: str = "bilinear") -> jax.Array:
-    """Resize so the shorter side equals ``size`` (transforms.lua:38-52).
-    Output spatial dims are static: both sides scale by size/min(H, W)."""
+                       method: str = "cubic") -> jax.Array:
+    """Resize so the shorter side equals ``size`` (transforms.lua:38-52;
+    ``image.scale`` there defaults to 'bicubic', :39 — jax's 'cubic' is the
+    same Catmull-Rom a=-0.5 kernel).  Point sampling (no antialiasing),
+    matching torch image.scale.  Output spatial dims are static: both sides
+    scale by size/min(H, W)."""
     B, H, W, C = img.shape
     if H <= W:
         new_h, new_w = size, max(1, round(W * size / H))
     else:
         new_h, new_w = max(1, round(H * size / W)), size
-    return jax.image.resize(img, (B, new_h, new_w, C), method)
+    return jax.image.resize(img, (B, new_h, new_w, C), method,
+                            antialias=False)
 
 
 def resize(img: jax.Array, h: int, w: int,
@@ -163,6 +168,56 @@ def _bilinear_sample(img: jax.Array, ys: jax.Array,
     return top * (1 - wy) + bot * wy
 
 
+def _catmull_rom_weights(t: jax.Array):
+    """Cubic-convolution (a = -0.5, Catmull-Rom) weights for the 4 taps at
+    integer offsets -1, 0, 1, 2 around a sample with fractional part ``t``.
+
+    This is the kernel torch's ``image.scale(..., 'bicubic')`` evaluates
+    (cubicInterpolate in the torch/image C sources), which the reference
+    pins for Scale/RandomScale/RandomSizedCrop (transforms.lua:39,127,158).
+    """
+    t2 = t * t
+    t3 = t2 * t
+    return (0.5 * (-t + 2.0 * t2 - t3),
+            0.5 * (2.0 - 5.0 * t2 + 3.0 * t3),
+            0.5 * (t + 4.0 * t2 - 3.0 * t3),
+            0.5 * (-t2 + t3))
+
+
+def _cubic_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Per-example separable bicubic (Catmull-Rom) sampling at fractional
+    coordinates — the 4x4-tap analogue of ``_bilinear_sample`` with
+    edge-replicated taps.  img [B, H, W, C]; ys/xs [B, S] pixel-center
+    coords -> [B, S, S, C]."""
+    B, H, W, C = img.shape
+    ys = jnp.clip(ys, 0.0, H - 1.0)
+    xs = jnp.clip(xs, 0.0, W - 1.0)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = _catmull_rom_weights((ys - y0)[:, :, None, None])   # 4x [B, S, 1, 1]
+    wx = _catmull_rom_weights((xs - x0)[:, None, :, None])   # 4x [B, 1, S, 1]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    b = jnp.arange(B)[:, None, None]
+    xtaps = [jnp.clip(x0 + (i - 1), 0, W - 1) for i in range(4)]
+    out = jnp.zeros((B, ys.shape[1], xs.shape[1], C), img.dtype)
+    for j in range(4):
+        yy = jnp.clip(y0 + (j - 1), 0, H - 1)
+        row = jnp.zeros_like(out)
+        for i in range(4):
+            row = row + img[b, yy[:, :, None], xtaps[i][:, None, :], :] * wx[i]
+        out = out + row * wy[j]
+    return out
+
+
+def _randint_traced(key: jax.Array, shape, upper: jax.Array) -> jax.Array:
+    """Uniform integers in [0, upper] (inclusive) with a TRACED per-element
+    upper bound — torch.random(0, n) semantics for data-dependent n (the
+    reference's crop-origin draws, transforms.lua:80,153-154)."""
+    u = jax.random.uniform(key, shape)
+    return jnp.minimum(jnp.floor(u * (upper + 1.0)), upper).astype(jnp.int32)
+
+
 def random_scale(img: jax.Array, rng: jax.Array, minsize: int,
                  maxsize: int) -> jax.Array:
     """Scale shorter side to a random target (transforms.lua:114-129).
@@ -182,14 +237,15 @@ def random_scale_crop(img: jax.Array, rng: jax.Array, minsize: int,
     """Exact static-shape equivalent of reference ``RandomScale(min, max)``
     followed by ``RandomCrop(size)`` (transforms.lua:114-129 + :63-87).
 
-    Per example: draw the shorter-side target uniformly from
+    Per example: draw the shorter-side target uniformly over the INTEGERS
     [minsize, maxsize] (torch.random semantics, :118), derive the
-    aspect-preserving virtual dims (:119-124), draw a crop origin uniformly
-    over the valid range, and bilinear-sample the size x size window
-    directly from the source — one fused gather instead of a resize pass,
-    identical output distribution (interpolation kernel: bilinear here vs
-    bicubic in :127; requires minsize >= size, as the reference composition
-    does)."""
+    aspect-preserving virtual dims (:119-124), draw an INTEGER crop origin
+    uniformly over [0, virtual-size] inclusive (torch.random(0, n), :80),
+    and bicubic-sample the size x size window directly from the source —
+    one fused gather instead of a resize pass, same output distribution and
+    the reference's Catmull-Rom kernel (:127).  Requires minsize >= size,
+    as the reference composition does.  Remaining convention delta:
+    sampling uses the half-pixel mapping src = (dst+0.5)*(SRC/DST)-0.5."""
     if minsize < size:
         raise ValueError(f"minsize {minsize} < crop size {size}: the "
                          f"reference composition would crash too")
@@ -203,43 +259,72 @@ def random_scale_crop(img: jax.Array, rng: jax.Array, minsize: int,
     else:
         th = target
         tw = jnp.round(W / H * th)
-    # crop origin in the virtual rescaled image (inclusive upper bound)
-    y0 = jax.random.uniform(k2, (B,)) * (th - size)
-    x0 = jax.random.uniform(k3, (B,)) * (tw - size)
+    # integer crop origin in the virtual rescaled image (inclusive bound)
+    y0 = _randint_traced(k2, (B,), th - size).astype(jnp.float32)
+    x0 = _randint_traced(k3, (B,), tw - size).astype(jnp.float32)
     # map destination pixel centers back to source coordinates
-    # (half-pixel convention: src = (dst + 0.5) * (SRC / DST) - 0.5)
     i = jnp.arange(size, dtype=jnp.float32)
     ys = (y0[:, None] + i[None, :] + 0.5) * (H / th)[:, None] - 0.5
     xs = (x0[:, None] + i[None, :] + 0.5) * (W / tw)[:, None] - 0.5
-    return _bilinear_sample(img, ys, xs)
+    return _cubic_sample(img, ys, xs)
 
 
 def random_sized_crop(img: jax.Array, rng: jax.Array, size: int, *,
-                      min_area: float = 0.08) -> jax.Array:
+                      min_area: float = 0.08,
+                      attempts: int = 10) -> jax.Array:
     """Inception-style random area+aspect crop resized to ``size``
-    (transforms.lua:131-164).  Static-shape design: sample the crop window
-    per example (area in [min_area, 1], aspect in [3/4, 4/3], matching
-    :137-141) and bilinear-sample the size x size output grid directly from
-    the window — the crop and the ``Scale(size)`` resize fuse into one
-    gather (interpolation kernel: bilinear vs the reference's bicubic)."""
+    (transforms.lua:131-164), distribution-exact in static shapes.
+
+    Per example, mirrors the reference's rejection loop: up to ``attempts``
+    draws of (area in [min_area, 1] x source area, aspect UNIFORM in
+    [3/4, 4/3], 50% w/h swap, ROUNDED integer crop dims, INTEGER crop
+    origin over the inclusive valid range — :137-154); the first draw that
+    fits inside the image wins.  If none fits, the reference's fallback
+    ``Scale(size)`` + ``CenterCrop(size)`` window applies (:162-163).  All
+    candidate windows are computed vectorized and the winner selected by
+    mask — no data-dependent control flow — then the crop and the
+    ``Scale(size, 'bicubic')`` resize (:158) fuse into ONE Catmull-Rom
+    gather.  Remaining convention delta: half-pixel sampling grid."""
     B, H, W, C = img.shape
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    area = jax.random.uniform(k1, (B,), minval=min_area, maxval=1.0)
-    log_ratio = jax.random.uniform(k2, (B,), minval=jnp.log(3 / 4),
-                                   maxval=jnp.log(4 / 3))
-    ratio = jnp.exp(log_ratio)
-    target_h = jnp.sqrt(area * H * W / ratio)
-    target_w = target_h * ratio
-    target_h = jnp.clip(target_h, 8.0, float(H))
-    target_w = jnp.clip(target_w, 8.0, float(W))
-    y0 = jax.random.uniform(k3, (B,)) * (H - target_h)
-    x0 = jax.random.uniform(k4, (B,)) * (W - target_w)
+    A = int(attempts)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    area = jax.random.uniform(k1, (B, A), minval=min_area,
+                              maxval=1.0) * (H * W)
+    aspect = jax.random.uniform(k2, (B, A), minval=3 / 4, maxval=4 / 3)
+    w = jnp.round(jnp.sqrt(area * aspect))
+    h = jnp.round(jnp.sqrt(area / aspect))
+    swap = jax.random.uniform(k3, (B, A)) < 0.5        # :143-145
+    w, h = jnp.where(swap, h, w), jnp.where(swap, w, h)
+    valid = (h <= H) & (w <= W)
+    # integer origins over [0, H-h] x [0, W-w] inclusive (:153-154); the
+    # bound is clamped for invalid candidates (they are never selected)
+    y1 = _randint_traced(k4, (B, A), jnp.maximum(H - h, 0.0))
+    x1 = _randint_traced(k5, (B, A), jnp.maximum(W - w, 0.0))
+    first = jnp.argmax(valid, axis=1)                  # first fitting draw
+    has_valid = jnp.any(valid, axis=1)
+    pick = lambda v: jnp.take_along_axis(v, first[:, None], axis=1)[:, 0]
+    ch, cw = pick(h), pick(w)
+    cy, cx = pick(y1).astype(jnp.float32), pick(x1).astype(jnp.float32)
+
+    # fallback: Scale(size) + CenterCrop(size) (:162-163) expressed as a
+    # source-space window: virtual dims scale the shorter side to `size`,
+    # origin = ceil((virtual - size)/2) (CenterCrop, :56-57)
+    if H <= W:
+        vh, vw = float(size), float(max(1, round(W * size / H)))
+    else:
+        vh, vw = float(max(1, round(H * size / W))), float(size)
+    fy = math.ceil((vh - size) / 2) * (H / vh)
+    fx = math.ceil((vw - size) / 2) * (W / vw)
+
+    # unified sampling: ys = y0 + (i + 0.5) * step - 0.5 in source coords
+    y0 = jnp.where(has_valid, cy, fy)
+    x0 = jnp.where(has_valid, cx, fx)
+    sy = jnp.where(has_valid, ch / size, H / vh)
+    sx = jnp.where(has_valid, cw / size, W / vw)
     i = jnp.arange(size, dtype=jnp.float32)
-    ys = (y0[:, None] + (i[None, :] + 0.5) * (target_h[:, None] / size)
-          - 0.5)
-    xs = (x0[:, None] + (i[None, :] + 0.5) * (target_w[:, None] / size)
-          - 0.5)
-    return _bilinear_sample(img, ys, xs)
+    ys = y0[:, None] + (i[None, :] + 0.5) * sy[:, None] - 0.5
+    xs = x0[:, None] + (i[None, :] + 0.5) * sx[:, None] - 0.5
+    return _cubic_sample(img, ys, xs)
 
 
 def rotation(img: jax.Array, rng: jax.Array, deg: float) -> jax.Array:

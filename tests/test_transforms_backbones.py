@@ -256,17 +256,102 @@ def test_bilinear_sample_matches_numpy_oracle():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
+def _np_point_cubic(img, ys, xs):
+    """Independent numpy Catmull-Rom (a=-0.5) sampler with edge-replicated
+    taps — pins T._cubic_sample against the kernel torch image.scale
+    'bicubic' evaluates (the reference's pinned filter,
+    transforms.lua:39,127,158)."""
+    B, H, W, C = img.shape
+    out = np.zeros((B, ys.shape[1], xs.shape[1], C), np.float32)
+
+    def weights(t):
+        t2, t3 = t * t, t ** 3
+        return np.stack([0.5 * (-t + 2 * t2 - t3),
+                         0.5 * (2 - 5 * t2 + 3 * t3),
+                         0.5 * (t + 4 * t2 - 3 * t3),
+                         0.5 * (-t2 + t3)])
+
+    for b in range(B):
+        yy = np.clip(ys[b], 0, H - 1)
+        xx = np.clip(xs[b], 0, W - 1)
+        y0 = np.floor(yy).astype(int)
+        x0 = np.floor(xx).astype(int)
+        wy = weights(yy - y0)                      # [4, S]
+        wx = weights(xx - x0)
+        for j in range(4):
+            yt = np.clip(y0 + j - 1, 0, H - 1)
+            for i in range(4):
+                xt = np.clip(x0 + i - 1, 0, W - 1)
+                out[b] += (img[b][yt][:, xt]
+                           * wy[j][:, None, None] * wx[i][None, :, None])
+    return out
+
+
+def test_cubic_sample_matches_numpy_oracle():
+    rs = np.random.RandomState(7)
+    img = rs.rand(2, 19, 21, 3).astype(np.float32)
+    ys = rs.rand(2, 9).astype(np.float32) * 18.0
+    xs = rs.rand(2, 9).astype(np.float32) * 20.0
+    got = np.asarray(T._cubic_sample(jnp.asarray(img), jnp.asarray(ys),
+                                     jnp.asarray(xs)))
+    want = _np_point_cubic(img, ys, xs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cubic_upscale_matches_pil_bicubic():
+    """Independent golden cross-check: on an UPSCALE (where PIL applies no
+    antialias, so its BICUBIC is exactly point-sampled Catmull-Rom at the
+    half-pixel grid) our sampler must match PIL.Image BICUBIC on the
+    INTERIOR.  (Edge policies differ by design: PIL drops out-of-range taps
+    and renormalizes; we replicate the edge row/col like torch image.)"""
+    from PIL import Image
+
+    rs = np.random.RandomState(3)
+    src = rs.rand(12, 10).astype(np.float32)
+    out_h, out_w = 24, 20
+    want = np.asarray(Image.fromarray(src, mode="F").resize(
+        (out_w, out_h), Image.BICUBIC))
+    iy = np.arange(out_h, dtype=np.float32)
+    ix = np.arange(out_w, dtype=np.float32)
+    ys = ((iy + 0.5) * (12 / out_h) - 0.5)[None]
+    xs = ((ix + 0.5) * (10 / out_w) - 0.5)[None]
+    got = np.asarray(T._cubic_sample(
+        jnp.asarray(src[None, :, :, None]), jnp.asarray(ys),
+        jnp.asarray(xs)))[0, :, :, 0]
+    # interior = dst pixels whose 4x4 tap window stays in range
+    np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4],
+                               rtol=1e-3, atol=2e-4)
+
+
 def test_random_scale_crop_degenerate_is_resize():
     """minsize == maxsize == crop size on a square image leaves no crop
-    freedom: the result must equal a plain point-bilinear resize."""
+    freedom: the result must equal a plain point-bicubic resize."""
     rs = np.random.RandomState(1)
     img = rs.rand(3, 32, 32, 3).astype(np.float32)
     got = T.random_scale_crop(jnp.asarray(img), jax.random.PRNGKey(0),
                               16, 16, 16)
     i = np.arange(16, dtype=np.float32)
     grid = np.broadcast_to((i + 0.5) * 2.0 - 0.5, (3, 16))
-    want = _np_point_bilinear(img, grid, grid)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    want = _np_point_cubic(img, grid, grid)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_random_scale_crop_integer_origins():
+    """Crop origins are integers in the virtual image (torch.random(0, n),
+    transforms.lua:80): with min==max the sampled grid offset of every
+    example must be an integer multiple of the scale step."""
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.rand(8, 48, 48, 3), jnp.float32)
+    minsize = maxsize = 24
+    size = 16
+    # replicate the function's draws
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    y0 = np.asarray(T._randint_traced(k2, (8,),
+                                      jnp.full((8,), float(24 - size))))
+    assert y0.dtype == np.int32 and (y0 <= 24 - size).all() and (y0 >= 0).all()
+    out = T.random_scale_crop(img, jax.random.PRNGKey(9), minsize,
+                              maxsize, size)
+    assert out.shape == (8, size, size, 3)
 
 
 def test_random_scale_crop_shapes_and_scale_variation():
@@ -283,24 +368,77 @@ def test_random_scale_crop_shapes_and_scale_variation():
 
 
 def test_random_sized_crop_matches_window_oracle():
-    """Replicate the function's RNG draws to get each example's window,
-    then point-bilinear-sample that window in numpy and compare."""
+    """Replicate the function's RNG draws to get each example's first
+    fitting window (reference rejection-loop semantics,
+    transforms.lua:137-154), then point-bicubic-sample it in numpy."""
     rs = np.random.RandomState(3)
-    B, H, W, size = 2, 28, 24, 14
+    B, H, W, size, A = 4, 28, 24, 14, 10
     img = rs.rand(B, H, W, 3).astype(np.float32)
     rng = jax.random.PRNGKey(0)
     got = np.asarray(T.random_sized_crop(jnp.asarray(img), rng, size))
 
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    area = np.asarray(jax.random.uniform(k1, (B,), minval=0.08, maxval=1.0))
-    ratio = np.exp(np.asarray(jax.random.uniform(
-        k2, (B,), minval=np.log(3 / 4), maxval=np.log(4 / 3))))
-    th = np.clip(np.sqrt(area * H * W / ratio), 8.0, H)
-    tw = np.clip(np.sqrt(area * H * W / ratio) * ratio, 8.0, W)
-    y0 = np.asarray(jax.random.uniform(k3, (B,))) * (H - th)
-    x0 = np.asarray(jax.random.uniform(k4, (B,))) * (W - tw)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    area = np.asarray(jax.random.uniform(
+        k1, (B, A), minval=0.08, maxval=1.0)) * (H * W)
+    aspect = np.asarray(jax.random.uniform(
+        k2, (B, A), minval=3 / 4, maxval=4 / 3))
+    w = np.round(np.sqrt(area * aspect))
+    h = np.round(np.sqrt(area / aspect))
+    swap = np.asarray(jax.random.uniform(k3, (B, A))) < 0.5
+    w, h = np.where(swap, h, w), np.where(swap, w, h)
+    valid = (h <= H) & (w <= W)
+    uy = np.asarray(jax.random.uniform(k4, (B, A)))
+    ux = np.asarray(jax.random.uniform(k5, (B, A)))
+    y1 = np.minimum(np.floor(uy * (np.maximum(H - h, 0) + 1)),
+                    np.maximum(H - h, 0))
+    x1 = np.minimum(np.floor(ux * (np.maximum(W - w, 0) + 1)),
+                    np.maximum(W - w, 0))
+    assert valid.any(axis=1).all(), "fixture should avoid the fallback"
+    first = valid.argmax(axis=1)
+    sel = lambda v: v[np.arange(B), first]
+    ch, cw, cy, cx = sel(h), sel(w), sel(y1), sel(x1)
     i = np.arange(size, dtype=np.float32)
-    ys = y0[:, None] + (i[None, :] + 0.5) * (th[:, None] / size) - 0.5
-    xs = x0[:, None] + (i[None, :] + 0.5) * (tw[:, None] / size) - 0.5
-    want = _np_point_bilinear(img, ys, xs)
+    ys = cy[:, None] + (i[None, :] + 0.5) * (ch[:, None] / size) - 0.5
+    xs = cx[:, None] + (i[None, :] + 0.5) * (cw[:, None] / size) - 0.5
+    want = _np_point_cubic(img, ys, xs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # integer crop dims and origins, as the reference rounds/draws them
+    assert np.all(ch == np.round(ch)) and np.all(cy == np.round(cy))
+
+
+def test_random_sized_crop_fallback_is_scale_centercrop():
+    """A min_area floor of ~1.0 with extreme aspect draws can never fit?
+    No — force the fallback deterministically instead: attempts=0 is not
+    representable, so use a 1-attempt variant where the draw misses, by
+    picking an rng whose single candidate is invalid."""
+    rs = np.random.RandomState(11)
+    B, H, W, size = 3, 20, 36, 16
+    img = rs.rand(B, H, W, 3).astype(np.float32)
+    # find a key whose single attempt fails for every example
+    for seed in range(200):
+        rng = jax.random.PRNGKey(seed)
+        k1, k2, k3, _, _ = jax.random.split(rng, 5)
+        area = np.asarray(jax.random.uniform(
+            k1, (B, 1), minval=0.08, maxval=1.0)) * (H * W)
+        aspect = np.asarray(jax.random.uniform(
+            k2, (B, 1), minval=3 / 4, maxval=4 / 3))
+        w = np.round(np.sqrt(area * aspect))
+        h = np.round(np.sqrt(area / aspect))
+        swap = np.asarray(jax.random.uniform(k3, (B, 1))) < 0.5
+        w, h = np.where(swap, h, w), np.where(swap, w, h)
+        if not ((h <= H) & (w <= W)).any():
+            break
+    else:
+        pytest.skip("no all-invalid key found")
+    got = np.asarray(T.random_sized_crop(jnp.asarray(img), rng, size,
+                                         attempts=1))
+    # oracle: Scale(size) shorter-side + CenterCrop(size) window
+    vh, vw = float(size), float(round(W * size / H))
+    import math
+    fy = math.ceil((vh - size) / 2) * (H / vh)
+    fx = math.ceil((vw - size) / 2) * (W / vw)
+    i = np.arange(size, dtype=np.float32)
+    ys = np.broadcast_to(fy + (i + 0.5) * (H / vh) - 0.5, (B, size))
+    xs = np.broadcast_to(fx + (i + 0.5) * (W / vw) - 0.5, (B, size))
+    want = _np_point_cubic(img, ys, xs)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
