@@ -77,7 +77,12 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval-buckets", default=None,
                    help="comma-separated question-length buckets for eval "
                         "dispatch, e.g. 8,16 (exact; smallest covering "
-                        "bucket is used per batch)")
+                        "bucket is used per batch; composes with --mesh-*)")
+    p.add_argument("--train-buckets", default=None,
+                   help="comma-separated question-length buckets for the "
+                        "TRAIN step's token axis (exact truncation to the "
+                        "batch max, as the reference's forward loop does); "
+                        "default 8,16 — pass 'none' to disable")
     p.add_argument("--fused-train", action="store_true",
                    help="run the training hop loop through the fused Pallas "
                         "custom-VJP kernel pair (XLA reference path off-TPU)")
@@ -115,13 +120,20 @@ def _apply_overrides(exp, args):
     if getattr(args, "fused_train", False):
         m["fused_train"] = True
     if getattr(args, "fused_train_block", None) is not None:
-        m["fused_train"] = True
+        if not getattr(args, "fused_train", False):
+            raise SystemExit(
+                "--fused-train-block tunes the fused training path; pass "
+                "--fused-train explicitly to enable it")
         m["fused_train_block"] = args.fused_train_block
     if getattr(args, "fused_eval", False):
         exp = exp.replace(fused_eval=True)
     if getattr(args, "eval_buckets", None):
         exp = exp.replace(eval_buckets=tuple(
             int(x) for x in args.eval_buckets.split(",") if x))
+    if getattr(args, "train_buckets", None) is not None:
+        raw = args.train_buckets.strip().lower()
+        t["length_buckets"] = (() if raw in ("", "none", "off") else tuple(
+            int(x) for x in args.train_buckets.split(",") if x))
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:
@@ -606,6 +618,11 @@ def main(argv=None) -> int:
     p_serve = sub.add_parser("serve", help="HTTP inference service")
     p_serve.add_argument("--checkpoint", required=True)
     p_serve.add_argument("--port", type=int, default=8080)
+    p_serve.add_argument("--max-batch", type=int, default=16,
+                         help="micro-batching group cap")
+    p_serve.add_argument("--max-wait-ms", type=float, default=5.0,
+                         help="max artificial queueing delay; 0 disables "
+                              "micro-batch lingering")
     _add_train_flags(p_serve)
     _add_common_data_flags(p_serve)
 
@@ -624,7 +641,9 @@ def main(argv=None) -> int:
         from rau_vqa_tpu.serve import RAUService, serve
         svc = RAUService(args.checkpoint, args.vqa_dir,
                          args.feat_dir or [], preset=args.preset,
-                         fused=getattr(args, "fused_eval", False))
+                         fused=getattr(args, "fused_eval", False),
+                         max_batch=args.max_batch,
+                         max_wait_ms=args.max_wait_ms)
         serve(svc, args.port).serve_forever()
         return 0
     return {"train": cmd_train, "eval": cmd_eval,

@@ -121,6 +121,14 @@ class TrainConfig:
     # real loss-explosion guard (the reference declares -loss_explod_threshold
     # but never reads it, Ours_SS/...lua:29 — we wire it up for real)
     loss_explode_threshold: float = 3.0
+    # Sequence-length buckets for the TRAIN step: each batch's token axis is
+    # truncated to the smallest bucket covering its max question length —
+    # the reference's own forward runs only to torch.max(x_len)
+    # (Ours_SS/...lua:448-450).  EXACT: scan steps past every question's
+    # last token are discarded by the last-token gather and carry zero
+    # gradient (pinned by tests/test_train.py grad-parity).  One compiled
+    # executable per bucket (+ full seq_len); () disables truncation.
+    length_buckets: Tuple[int, ...] = (8, 16)
     test_interval: int = 1            # epochs between eval sweeps
     checkpoint_interval: int = 1      # epochs between checkpoints
     keep_last_checkpoints: int = 0    # 0 = keep all snapshots

@@ -114,7 +114,16 @@ def encode_question(params: Params, cfg: ModelConfig, tokens: jax.Array,
     B, T = tokens.shape
     emb = jnp.take(params["embed"]["lookup"], tokens, axis=0)  # [B, T, E]
     if train and cfg.embed_dropout > 0.0:
-        emb = dropout(emb, cfg.embed_dropout, jax.random.fold_in(rng, 0), train)
+        # position-indexed masks (one key per timestep, like the reference's
+        # per-clone dropout): drawing a single [B, T, E] mask would make the
+        # mask depend on T, breaking the exactness of train-time length
+        # truncation (TrainConfig.length_buckets)
+        k_emb = jax.random.fold_in(rng, 0)
+        keys_t = jax.vmap(lambda t: jax.random.fold_in(k_emb, t))(
+            jnp.arange(T))
+        emb = jax.vmap(
+            lambda k, x: dropout(x, cfg.embed_dropout, k, True),
+            in_axes=(0, 1), out_axes=1)(keys_t, emb)
     emb = jnp.tanh(emb)  # word_embed = LookupTable→Dropout→Tanh (reference :203-206)
 
     init_state = jnp.zeros((B, cfg.rnnout_dim), emb.dtype)

@@ -150,19 +150,23 @@ class Trainer:
                 make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
         if mesh is not None:
             # sharded serving for the eval sweep: params already live on the
-            # mesh with TP/replicated shardings, the batch shards on 'data'
-            if exp.eval_buckets:
-                import warnings
-                warnings.warn(
-                    "eval_buckets is ignored on the mesh path (the sharded "
-                    "predict step is fixed-shape)", stacklevel=2)
+            # mesh with TP/replicated shardings, the batch shards on 'data'.
+            # Length buckets compose: the sharding specs are shape-generic,
+            # so the Trainer truncates the token axis host-side (below) and
+            # jit caches one sharded executable per bucket.
             from rau_vqa_tpu.parallel.mesh import make_sharded_predict_fn
             self.predict_step = make_sharded_predict_fn(
                 self.mcfg, mesh, self.state.params,
                 tp=exp.mesh.shard_params_tp)
         else:
+            # buckets=() — the Trainer dispatches buckets itself so the
+            # mesh and non-mesh paths share one mechanism
             self.predict_step = make_predict_step(
-                self.mcfg, fused=exp.fused_eval, buckets=exp.eval_buckets)
+                self.mcfg, fused=exp.fused_eval)
+        # bucket ladders: smallest bucket covering a batch's max question
+        # length wins; the full seq_len is always the top rung
+        self._eval_ladder = self._make_ladder(exp.eval_buckets)
+        self._train_ladder = self._make_ladder(self.tcfg.length_buckets)
 
         self._dequant = None
         self.lr = self.tcfg.learning_rate
@@ -173,6 +177,22 @@ class Trainer:
         data.train_data.reorder()
 
     # ------------------------------------------------------------------
+    def _make_ladder(self, buckets):
+        ladder = sorted({int(b) for b in (buckets or ())
+                         if 0 < int(b) < self.mcfg.seq_len})
+        ladder.append(self.mcfg.seq_len)
+        return ladder
+
+    @staticmethod
+    def _bucket_t(ladder, lengths) -> int:
+        """Smallest ladder rung covering this batch's max GLOBAL length.
+        ``lengths`` is the pre-sharding host array, identical in every
+        process — so multi-process runs always agree on the compiled
+        shape."""
+        max_len = int(np.max(np.asarray(lengths)))
+        return next(t for t in ladder if t >= max_len)
+
+    # ------------------------------------------------------------------
     def _hop_scale(self, epoch_1based: int) -> jnp.ndarray:
         return hop_grad_scale(
             self.mcfg.n_hops,
@@ -180,7 +200,7 @@ class Trainer:
             stop_timing=self.tcfg.hop_stop_timing,
             epoch=epoch_1based)
 
-    def _put_batch(self, batch):
+    def _put_batch(self, batch, max_t: Optional[int] = None):
         # ship features in the compute dtype: halves host->device bytes in
         # bf16 mode (the model casts to compute_dtype on entry anyway)
         feat_dt = (np.float32 if self.mcfg.compute_dtype == "float32"
@@ -201,8 +221,14 @@ class Trainer:
                      * batch.feats.scales[:, None, None]).astype(feat_dt)
         else:
             feats = np.asarray(batch.feats).astype(feat_dt)
+        tokens = np.asarray(batch.tokens, np.int32)
+        if max_t is not None and max_t < tokens.shape[1]:
+            # length-bucket truncation (exact — scan steps past the last
+            # token are dead; the reference runs to torch.max(x_len),
+            # Ours_SS/...lua:448-450)
+            tokens = tokens[:, :max_t]
         arrays = {
-            "tokens": np.asarray(batch.tokens, np.int32),
+            "tokens": tokens,
             "lengths": np.asarray(batch.lengths, np.int32),
             "feats": feats,
         }
@@ -267,7 +293,9 @@ class Trainer:
 
         pending = None
         for batch in self.data.train_data.batches(self.source):
-            dev = self._put_batch(batch)
+            dev = self._put_batch(
+                batch, max_t=self._bucket_t(self._train_ladder,
+                                            batch.lengths))
             self.state, metrics = self.train_step(
                 self.state, dev["tokens"], dev["lengths"], dev["feats"],
                 dev["labels"], hop_scale,
@@ -354,29 +382,36 @@ class Trainer:
                        else test.iter_per_epoch)
         for batch in test.batches(self.source):
             # _put_batch ships features in compute_dtype (halving bytes in
-            # bf16 mode, same as the train path) and shards on the mesh
-            dev = self._put_batch(batch)
-            # bucketed dispatch reads max(lengths) on host: hand it the
-            # pre-placement numpy lengths so no device sync (the tunnel
-            # charges ~30 ms per readback) — jit re-places them for free
-            lengths_arg = (np.asarray(batch.lengths, np.int32)
-                           if self.mesh is None and self.exp.eval_buckets
-                           else dev["lengths"])
+            # bf16 mode, same as the train path), truncates the token axis
+            # to the batch's eval bucket (host-side: max over the GLOBAL
+            # pre-shard lengths, so no device sync and every process picks
+            # the same compiled shape), and shards on the mesh
+            dev = self._put_batch(
+                batch, max_t=self._bucket_t(self._eval_ladder,
+                                            batch.lengths))
             tab_pred, tab_att = self.predict_step(
-                self.state.params, dev["tokens"], lengths_arg,
+                self.state.params, dev["tokens"], dev["lengths"],
                 dev["feats"])
-            if (self.exp.visatt and visatt_left > 0
-                    and jax.process_count() == 1):
-                # (multi-process runs skip PNG dumps: tab_att is globally
-                # sharded and only partially addressable per process)
+            if self.exp.visatt and visatt_left > 0:
                 # attention PNG dumps (reference dumps EVERY test question
                 # per epoch, :926-932; visatt_batches=1 bounds the file
-                # count by default, -1 restores reference semantics)
-                from rau_vqa_tpu.utils.visatt import dump_attention_maps
-                dump_attention_maps(
-                    os.path.join(self.workdir, "figures"), float(self.epoch),
-                    np.asarray(tab_att), batch.qids.tolist(),
-                    self.mcfg.cnn_w, self.mcfg.cnn_h)
+                # count by default, -1 restores reference semantics).
+                # Multi-process: tab_att is globally sharded — gather the
+                # full array (process_allgather replicates non-fully-
+                # addressable inputs) and keep the single-writer rule.
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+                    att_np = np.asarray(
+                        multihost_utils.process_allgather(tab_att,
+                                                          tiled=True))
+                else:
+                    att_np = np.asarray(tab_att)
+                if jax.process_index() == 0:
+                    from rau_vqa_tpu.utils.visatt import dump_attention_maps
+                    dump_attention_maps(
+                        os.path.join(self.workdir, "figures"),
+                        float(self.epoch), att_np, batch.qids.tolist(),
+                        self.mcfg.cnn_w, self.mcfg.cnn_h)
                 visatt_left -= 1
             mc = (None if batch.mc_answers is None
                   else jnp.asarray(batch.mc_answers, jnp.int32))

@@ -129,6 +129,8 @@ def test_trainer_on_mesh(tmp_path):
             mult_learning_rate=1e-2, lr_decay=1.0, mult_lr_decay=1.0,
             noisy_eta=0.0, grad_clip=10.0),
         data=dataclasses.replace(exp.data, split="val2014"))
+    # buckets on the mesh path too (the eval sweep truncates host-side)
+    exp = exp.replace(eval_buckets=(8,))
     vqa_dir = os.path.join(root, "vqa_prepro")
     data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
                          test_batch_size=8)
@@ -141,6 +143,33 @@ def test_trainer_on_mesh(tmp_path):
     trainer.fit(epochs=15, eval_each=False)
     res = trainer.evaluate(write_submissions=False)
     assert max(res["testOEacc"]) > 0.3   # well above 20% chance by epoch 15
+
+
+@pytest.mark.parametrize("tp", [False, True])
+def test_sharded_predict_bucketed_matches_full(tp):
+    """Length buckets compose with the mesh (VERDICT r2 #4): the sharded
+    predict fn is shape-generic, so truncating the token axis to a bucket
+    covering the batch max re-jits a smaller executable with the SAME
+    shardings and yields identical predictions."""
+    from rau_vqa_tpu.parallel.mesh import make_sharded_predict
+
+    tokens, lengths, feats, _ = make_batch()
+    lengths = jnp.minimum(lengths, 5)               # bucket 5 < seq_len 7
+    tokens = jnp.where(jnp.arange(CFG.seq_len)[None] < lengths[:, None],
+                       tokens, 0)
+    mesh = make_mesh(n_data=4, n_model=2 if tp else 1)
+    fn, params = make_sharded_predict(CFG, mesh, state_params(), tp=tp)
+    tab_f, att_f = fn(params, *shard_batch(mesh, tokens, lengths, feats))
+    tab_b, att_b = fn(params, *shard_batch(mesh, tokens[:, :5], lengths,
+                                           feats))
+    np.testing.assert_allclose(np.asarray(tab_b), np.asarray(tab_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(att_b), np.asarray(att_f),
+                               rtol=1e-5, atol=1e-6)
+
+
+def state_params():
+    return init_train_state(jax.random.PRNGKey(0), CFG).params
 
 
 @pytest.mark.parametrize("n_data,n_model,tp", [(8, 1, False), (4, 2, True)])

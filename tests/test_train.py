@@ -217,6 +217,70 @@ def make_trainer(fixture_root, workdir, n_hops=2, **train_overrides):
     return Trainer(exp, data, src, workdir, gt_anno=gt)
 
 
+def test_truncated_train_grads_match_full():
+    """Truncating the token axis to >= the batch's max length leaves the
+    TRAINING gradients unchanged (VERDICT r2 #2): scan steps past every
+    question's last token are discarded by the last-token gather, so their
+    cotangents are zero, and the per-step dropout keys are position-indexed
+    (fold_in by t) so the surviving steps see identical masks.  The
+    reference's own forward runs only to torch.max(x_len)
+    (Ours_SS/...lua:448-450)."""
+    import dataclasses
+
+    from rau_vqa_tpu.models.rau import init_params, rau_forward
+
+    cfg = dataclasses.replace(
+        get_preset("ours_ms").model, vocab_size=50, answer_size=10,
+        seq_len=20, embed_dim=8, rnn_size=16, cnn_dim=8, cnn_w=2, cnn_h=2,
+        multfeat_dim=16, attfeat_dim=8, att_rnn_size=16, n_hops=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(1)
+    B, max_len = 8, 11
+    lengths = rs.randint(1, max_len + 1, B).astype(np.int32)
+    tokens = np.zeros((B, cfg.seq_len), np.int32)
+    for k in range(B):
+        tokens[k, :lengths[k]] = rs.randint(1, cfg.vocab_size, lengths[k])
+    labels = jnp.asarray(rs.randint(0, cfg.answer_size, B), jnp.int32)
+    feats = jnp.asarray(rs.randn(B, cfg.cnn_spat, cfg.cnn_dim)
+                        .astype(np.float32))
+    hop_scale = jnp.ones((cfg.n_hops,))
+    k_fwd = jax.random.PRNGKey(7)
+
+    def grads_at(T):
+        def loss_fn(p):
+            out = rau_forward(p, cfg, jnp.asarray(tokens[:, :T]),
+                              jnp.asarray(lengths), feats,
+                              train=True, rng=k_fwd)
+            loss, _ = joint_loss_and_metrics(out.scores, out.do_pred,
+                                             labels, hop_scale)
+            return loss
+        return jax.grad(loss_fn)(params)
+
+    g_full = grads_at(cfg.seq_len)
+    g_trunc = grads_at(max_len)       # exactly the batch max
+    g_bucket = grads_at(16)           # a covering bucket
+    for a, b in ((g_trunc, g_full), (g_bucket, g_full)):
+        jax.tree.map(lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7), a, b)
+
+
+def test_train_buckets_epoch_parity(fixture_root, tmp_path):
+    """One bucketed epoch produces the same parameters as an unbucketed
+    one (the Trainer-level counterpart of the grad-parity proof; the
+    fixture's lengths are 2..9 so bucket 8 really truncates some
+    batches)."""
+    a = make_trainer(fixture_root, str(tmp_path / "nobuckets"),
+                     length_buckets=())
+    b = make_trainer(fixture_root, str(tmp_path / "buckets"),
+                     length_buckets=(8,))
+    assert b._train_ladder == [8, SPEC.seq_len]
+    a.train_epoch()
+    b.train_epoch()
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6),
+        a.state.params, b.state.params)
+
+
 @pytest.mark.slow
 def test_trainer_learns_fixture(fixture_root, tmp_path):
     trainer = make_trainer(fixture_root, str(tmp_path / "run"))
