@@ -444,6 +444,74 @@ def cmd_diagnose_snapshot(args) -> int:
     return 0
 
 
+def cmd_verify_released(args) -> int:
+    """Released-checkpoint parity, one command (the golden-output pipeline
+    of SURVEY.md §4): extract the reference tarball, convert the snapshot,
+    run the eval sweep, diff against the result JSONs the tarball itself
+    ships.  See eval/released.py for the pipeline; exits non-zero when any
+    compared hop agrees below --min-agree."""
+    import tempfile
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.eval.released import extract_tarball, verify_released
+
+    exp = _apply_overrides(get_preset(args.preset), args)
+    if args.model_json:
+        from rau_vqa_tpu.config import ModelConfig
+        with open(args.model_json) as f:
+            cfg_dict = json.load(f)
+        exp = exp.replace(
+            model=ModelConfig(**cfg_dict.get("model", cfg_dict)))
+    workdir = args.save_dir or f"save_result_verify_{exp.data.split}"
+    os.makedirs(workdir, exist_ok=True)
+
+    if args.tarball:
+        root = extract_tarball(args.tarball,
+                               os.path.join(workdir, "released"))
+    else:
+        root = args.extracted
+    data = load_vqa_data(
+        exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
+        test_batch_size=exp.data.resolved_test_batch_size(),
+        seed=exp.train.seed)
+    source = _make_feature_source([exp.data.feat_dir], exp.model)
+    gt = None
+    if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
+        gt = load_gt_annotations(exp.data.gt_anno)
+
+    report = verify_released(root, exp, data, source, workdir,
+                             epoch=args.epoch, gt_anno=gt)
+    out_path = os.path.join(workdir, "verify_released_report.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    if report.get("error") == "layout":
+        print("LAYOUT MISMATCH — flat-vector sizes disagree with the "
+              "config:")
+        for g, s in report["sizes"].items():
+            print(f"  {g}: snapshot {s['snapshot']} vs config {s['config']}")
+        print(f"full segmentation report in {out_path}; run "
+              f"`rau-vqa diagnose-snapshot` for order recovery")
+        return 1
+    if report.get("error") == "no_result_jsons":
+        print(f"snapshot evaluated (epoch {report['epoch']}) but the "
+              f"tarball ships no result JSONs to diff against")
+        return 1
+    for h, hr in sorted(report["hops"].items(), key=lambda kv: int(kv[0])):
+        line = f"hop {int(h):02d}:"
+        for task in ("oe", "mc"):
+            if task in hr:
+                d = hr[task]
+                line += (f"  {task.upper()} agree "
+                         f"{d['agree'] * 100:.3f}% ({d['n_common']} qs"
+                         + (", QID SET MISMATCH" if d["qid_mismatch"]
+                            else "") + ")")
+        print(line)
+    print(f"min agreement {report['min_agree'] * 100:.3f}% "
+          f"(threshold {args.min_agree * 100:.1f}%); report: {out_path}")
+    return 0 if report["min_agree"] >= args.min_agree else 1
+
+
 def cmd_ask(args) -> int:
     """Answer one question about one image's features from a checkpoint —
     the smallest serving path (question string -> tokens via the dataset
@@ -600,6 +668,24 @@ def main(argv=None) -> int:
     _add_train_flags(p_diag)
     _add_common_data_flags(p_diag)
 
+    p_ver = sub.add_parser("verify-released",
+                           help="released-checkpoint parity: convert a "
+                                "reference tarball's snapshot, eval, diff "
+                                "against its own result JSONs")
+    group = p_ver.add_mutually_exclusive_group(required=True)
+    group.add_argument("--tarball", help="released .tar.gz "
+                       "(download_trained_model.sh artifact)")
+    group.add_argument("--extracted", help="already-extracted tarball root")
+    p_ver.add_argument("--epoch", type=float, default=None,
+                       help="snapshot epoch to verify (default: highest)")
+    p_ver.add_argument("--min-agree", type=float, default=0.999,
+                       help="per-hop answer agreement threshold for exit 0")
+    p_ver.add_argument("--model-json", default=None,
+                       help="model-config json overriding preset dims "
+                            "(dims the snapshot opt table doesn't carry)")
+    _add_train_flags(p_ver)
+    _add_common_data_flags(p_ver)
+
     p_dash = sub.add_parser("dashboard",
                             help="live HTTP dashboard over a run directory")
     p_dash.add_argument("--workdir", required=True)
@@ -651,6 +737,7 @@ def main(argv=None) -> int:
             "fixture": cmd_fixture,
             "convert-snapshot": cmd_convert_snapshot,
             "diagnose-snapshot": cmd_diagnose_snapshot,
+            "verify-released": cmd_verify_released,
             "ask": cmd_ask}[args.command](args)
 
 

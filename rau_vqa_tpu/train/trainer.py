@@ -364,7 +364,8 @@ class Trainer:
         return True
 
     # ------------------------------------------------------------------
-    def evaluate(self, *, write_submissions: bool = True) -> Dict[str, Any]:
+    def evaluate(self, *, write_submissions: bool = True,
+                 return_rows: bool = False) -> Dict[str, Any]:
         """Full test sweep producing the nHop+2 answer sets; writes OE/MC
         submission files and computes fast-val accuracy when GT is available
         (reference :851-1207)."""
@@ -481,6 +482,11 @@ class Trainer:
                      **per_hop_record({k: v for k, v in result.items()
                                        if k != "epoch"})},
                     kind="test")
+        if return_rows:
+            # the released-checkpoint parity harness diffs these against the
+            # result JSONs inside a reference tarball (eval/released.py)
+            result["rows_oe"] = rows_oe
+            result["rows_mc"] = rows_mc if mc_strs is not None else None
         return result
 
     # ------------------------------------------------------------------

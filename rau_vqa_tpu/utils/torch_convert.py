@@ -223,9 +223,13 @@ def convert_snapshot(t7_path: str, cfg: ModelConfig,
 
 
 def export_snapshot(t7_path: str, params: Dict, cfg: ModelConfig, *,
-                    it: int = 0, epoch: float = 0.0) -> None:
+                    it: int = 0, epoch: float = 0.0,
+                    opt: Dict = None) -> None:
     """Write our params as a reference-format snapshot (round-trip tests +
-    interop back toward the Torch implementation)."""
+    interop back toward the Torch implementation).  ``opt`` adds the
+    snapshot's self-describing option table — the reference stores its full
+    CmdLine opt and Eval.lua adopts ``snap.opt.nhop``/``alg_name`` from it
+    (reference :1192-1196, Eval.lua:116-118)."""
     from rau_vqa_tpu.data import t7
 
     snap = {
@@ -234,4 +238,6 @@ def export_snapshot(t7_path: str, params: Dict, cfg: ModelConfig, *,
         "params": [group_to_flat(params[g], cfg, g).astype(np.float32)
                    for g in ("embed", "rnn", "mult")],
     }
+    if opt is not None:
+        snap["opt"] = opt
     t7.save_t7(t7_path, snap)
