@@ -79,23 +79,33 @@ def main() -> None:
 
     np.asarray(serve_chain(params, tokens, lengths, feats, jnp.int32(5))[1])
 
-    n_rounds = 2
-    t0 = time.perf_counter()
+    # median-of-N with spread: single-point numbers were not comparable
+    # round-over-round on this rig (hour-scale variance ~15%, BASELINE.md)
+    n_rounds = 5
+    times = []
     for r in range(n_rounds):
+        t0 = time.perf_counter()
         out = serve_chain(params, tokens, lengths, feats, jnp.int32(100 + r))
         acc = np.asarray(out[1])     # forces the whole chain each round
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
 
     assert acc.shape == (cfg.n_hops + 2, 8)
-    total_q = n_rounds * K * B
-    qps = total_q / dt
-    log(f"bench: {dt / (n_rounds * K) * 1e3:.2f} ms/batch of {B}")
+    dt = float(np.median(times))
+    spread = (max(times) - min(times)) / dt
+    qps = K * B / dt
+    log(f"bench: {dt / K * 1e3:.2f} ms/batch of {B} (median of "
+        f"{n_rounds}, spread {spread * 100:.1f}%: "
+        + ", ".join(f"{t / K * 1e3:.2f}" for t in times) + " ms)")
 
     # MFU: XLA's own FLOP count for one serving step / v5e bf16 peak
-    # (197 TFLOP/s) at the measured step time.  This model is tiny and
-    # bandwidth-bound (~23 MB of bf16 params re-read per step), so MFU is
-    # expected to be low; it is recorded so future rounds judge kernels
-    # against silicon, not only the 5k-qps north star (VERDICT r1 #10).
+    # (197 TFLOP/s) at the measured step time.  MFU is low NOT because of
+    # HBM bandwidth (the ~23 MB of bf16 params re-read per step is ~28 us
+    # at 819 GB/s — 0.2% of the step): the measured ceiling is SERIAL
+    # LATENCY — 26 scan steps + 8 hop iterations = 34 dependent program
+    # segments whose non-feats matmuls are small ([B,512]-scale), each too
+    # short to fill the MXU pipeline.  Decomposition measured by
+    # scripts/profile_serving.py; summary in BASELINE.md "serving
+    # roofline".
     PEAK_FLOPS = 197e12
     mfu = None
     try:
@@ -105,7 +115,7 @@ def main() -> None:
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops_per_batch = float(cost["flops"])
-        sec_per_batch = dt / (n_rounds * K)
+        sec_per_batch = dt / K
         mfu = flops_per_batch / sec_per_batch / PEAK_FLOPS
         log(f"bench: {flops_per_batch / B / 1e6:.2f} MFLOP/question, "
             f"MFU {mfu * 100:.2f}%")
@@ -117,6 +127,7 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "questions/sec",
         "vs_baseline": round(qps / NORTH_STAR_QPS, 3),
+        "spread": round(spread, 4),
         **({"mfu": round(mfu, 4)} if mfu is not None else {}),
     }))
 

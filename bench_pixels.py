@@ -1,0 +1,152 @@
+"""From-pixels serving benchmark: images+questions -> answers, one program.
+
+BASELINE.json's north star is literally end-to-end image+question->answer
+(configs[3]: "Ours_ResNet run on-TPU end-to-end, features not
+precomputed").  The reference never runs this path on-line — it precomputes
+per-image features with separate scripts (data/get_resnet_101_448.sh,
+vqa_prepro_loader.lua:1045-1068) and amortizes them over the ~3 questions
+VQA v1 asks per image.  This bench measures the REAL fused serving
+pattern at that ratio: one jitted program takes a uint8 image batch +
+``qpi`` questions per image, runs normalize -> backbone -> feature repeat
+-> the full 8-hop RAU answer path, and K iterations are chained inside one
+dispatch with a data dependence between rounds (same tunnel-proof protocol
+as bench.py — per-dispatch timing would measure the ~30 ms RTT).
+
+Prints ONE JSON line: questions/sec/chip (at qpi questions/image),
+images/sec, backbone MFU, spread.  Baseline: the 5,000 q/s north star.
+
+Usage: python bench_pixels.py [--backbone resnet101|vgg16] [--batch 64]
+                              [--qpi 3] [--chain 10] [--rounds 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR_QPS = 5000.0
+PEAK_FLOPS = 197e12          # v5e bf16
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", default="resnet101",
+                    choices=["resnet101", "vgg16"])
+    ap.add_argument("--batch", type=int, default=64, help="images per step")
+    ap.add_argument("--qpi", type=int, default=3, help="questions per image")
+    ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--size", type=int, default=448)
+    ap.add_argument("--f32", action="store_true",
+                    help="keep f32 weights (default: bf16 end-to-end)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.models.backbones.resnet import resnet101_init
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.models.pipeline import extract_features
+    from rau_vqa_tpu.models.rau import init_params
+    from rau_vqa_tpu.eval.predict import predict
+
+    preset = "ours_resnet" if args.backbone == "resnet101" else "ours_ms"
+    wdtype = jnp.float32 if args.f32 else jnp.bfloat16
+    cfg = dataclasses.replace(
+        get_preset(preset).model,
+        cnn_w=args.size // 32, cnn_h=args.size // 32,
+        matmul_precision="default",
+        compute_dtype="float32" if args.f32 else "bfloat16")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.backbone == "resnet101":
+        bb = resnet101_init(jax.random.PRNGKey(1), dtype=wdtype)
+    else:
+        bb = vgg16_pool5_init(jax.random.PRNGKey(1), dtype=wdtype)
+
+    B, Q, K = args.batch, args.qpi, args.chain
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randint(0, 256, (B, args.size, args.size, 3))
+                         .astype(np.uint8))
+    tokens = jnp.asarray(rs.randint(1, cfg.vocab_size, (B * Q, cfg.seq_len))
+                         .astype(np.int32))
+    lengths = jnp.asarray(rs.randint(1, cfg.seq_len + 1, B * Q)
+                          .astype(np.int32))
+
+    def one_step(images_u8, toks):
+        feats = extract_features(args.backbone, bb, images_u8)
+        featsq = jnp.repeat(feats, Q, axis=0)       # qpi questions/image
+        tab_pred, _ = predict(params, cfg, toks, lengths,
+                              featsq.astype(jnp.float32))
+        return jnp.argmax(tab_pred, axis=-1)        # [H+2, B*Q]
+
+    @jax.jit
+    def serve_chain(images, tokens, salt0):
+        def body(k, carry):
+            salt, acc = carry
+            imgs = images + salt.astype(jnp.uint8)  # wraps mod 256
+            toks = jnp.where(tokens > 0,
+                             (tokens + salt) % cfg.vocab_size, 0)
+            ans = one_step(imgs, toks)
+            salt = salt + 1 + ans[0, 0].astype(jnp.int32) % 3
+            return salt, acc + ans[:, :4].astype(jnp.int32)
+        zero = jnp.zeros((cfg.n_hops + 2, 4), jnp.int32)
+        return jax.lax.fori_loop(0, K, body, (jnp.int32(salt0), zero))
+
+    log(f"bench_pixels: compiling {args.backbone} B={B} qpi={Q} "
+        f"{'f32' if args.f32 else 'bf16'}")
+    t0 = time.perf_counter()
+    np.asarray(serve_chain(images, tokens, jnp.int32(0))[1])
+    log(f"bench_pixels: compile+first {time.perf_counter() - t0:.1f}s")
+    np.asarray(serve_chain(images, tokens, jnp.int32(5))[1])
+
+    times = []
+    for r in range(args.rounds):
+        t0 = time.perf_counter()
+        acc = np.asarray(serve_chain(images, tokens, jnp.int32(100 + r))[1])
+        times.append(time.perf_counter() - t0)
+    assert acc.shape == (cfg.n_hops + 2, 4)
+    dt = float(np.median(times))
+    spread = (max(times) - min(times)) / dt
+    img_ps = K * B / dt
+    qps = img_ps * Q
+    log(f"bench_pixels: {dt / K * 1e3:.2f} ms/step of {B} images "
+        f"(median of {args.rounds}, spread {spread * 100:.1f}%)")
+
+    mfu = None
+    try:
+        compiled = jax.jit(one_step).lower(images, tokens).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost["flops"])
+        mfu = flops / (dt / K) / PEAK_FLOPS
+        log(f"bench_pixels: {flops / B / 1e9:.2f} GFLOP/image(+{Q}q), "
+            f"MFU {mfu * 100:.2f}%")
+    except Exception as e:  # noqa: BLE001 — cost_analysis isn't stable API
+        log(f"bench_pixels: cost_analysis unavailable ({e})")
+
+    print(json.dumps({
+        "metric": "pixels_questions_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "questions/sec",
+        "vs_baseline": round(qps / NORTH_STAR_QPS, 3),
+        "images_per_sec": round(img_ps, 1),
+        "questions_per_image": Q,
+        "backbone": args.backbone,
+        "batch": B,
+        "spread": round(spread, 4),
+        **({"mfu": round(mfu, 4)} if mfu is not None else {}),
+    }))
+
+
+if __name__ == "__main__":
+    main()
