@@ -48,6 +48,8 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=448)
     ap.add_argument("--f32", action="store_true",
                     help="keep f32 weights (default: bf16 end-to-end)")
+    ap.add_argument("--no-fold-bn", action="store_true",
+                    help="keep separate BN ops (default: fold into convs)")
     args = ap.parse_args()
 
     import jax
@@ -68,10 +70,36 @@ def main() -> None:
         matmul_precision="default",
         compute_dtype="float32" if args.f32 else "bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
+    def np_params_like(init_fn, seed):
+        """Host-side random params with the init fn's exact structure.
+        jax.random init would run ~60 tiny device programs through the
+        tunnel (~5 min of remote compiles measured); throughput doesn't
+        depend on weight values, so fill shapes with numpy."""
+        shapes = jax.eval_shape(lambda k: init_fn(k, dtype=wdtype),
+                                jax.random.PRNGKey(seed))
+        rs_ = np.random.RandomState(seed)
+
+        def fill(path, s):
+            name = getattr(path[-1], "key", None)
+            if name == "var":
+                arr = rs_.uniform(0.5, 1.5, s.shape)
+            elif name == "scale":
+                arr = 1.0 + 0.1 * rs_.standard_normal(s.shape)
+            elif name in ("mean", "offset", "b"):
+                arr = 0.1 * rs_.standard_normal(s.shape)
+            else:
+                arr = 0.05 * rs_.standard_normal(s.shape)
+            return arr.astype(np.dtype(s.dtype))
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
     if args.backbone == "resnet101":
-        bb = resnet101_init(jax.random.PRNGKey(1), dtype=wdtype)
+        bb = np_params_like(resnet101_init, 1)
+        if not args.no_fold_bn:
+            from rau_vqa_tpu.models.backbones.resnet import fold_batchnorm
+            bb = fold_batchnorm(bb)
     else:
-        bb = vgg16_pool5_init(jax.random.PRNGKey(1), dtype=wdtype)
+        bb = np_params_like(vgg16_pool5_init, 1)
 
     B, Q, K = args.batch, args.qpi, args.chain
     rs = np.random.RandomState(0)

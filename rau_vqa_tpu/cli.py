@@ -206,7 +206,10 @@ def _fixture_setup(exp, workdir):
         train=dataclasses.replace(
             exp.train, batch_size=16, learning_rate=1e-2,
             mult_learning_rate=1e-2, lr_decay=1.0, mult_lr_decay=1.0,
-            noisy_eta=0.0, grad_clip=10.0, max_epochs=40),
+            noisy_eta=0.0, grad_clip=10.0, max_epochs=40,
+            # fixture questions are <= 9 tokens: a second bucketed
+            # executable only doubles CPU-test compile time
+            length_buckets=()),
         data=dataclasses.replace(
             exp.data, split="val2014", vqa_dir=vqa_dir,
             feat_dir=os.path.join(fix_root, "feat"), test_batch_size=8,
@@ -725,10 +728,12 @@ def main(argv=None) -> int:
         return 0
     if args.command == "serve":
         from rau_vqa_tpu.serve import RAUService, serve
+        buckets = (tuple(int(x) for x in args.eval_buckets.split(",") if x)
+                   if getattr(args, "eval_buckets", None) else (8, 16))
         svc = RAUService(args.checkpoint, args.vqa_dir,
                          args.feat_dir or [], preset=args.preset,
                          fused=getattr(args, "fused_eval", False),
-                         max_batch=args.max_batch,
+                         buckets=buckets, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms)
         serve(svc, args.port).serve_forever()
         return 0

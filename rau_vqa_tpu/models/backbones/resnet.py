@@ -94,19 +94,77 @@ def _bottleneck(x, blk, stride):
     return jax.nn.relu(x + y)
 
 
+def _fold_conv_bn(conv: Dict, bn: Dict) -> Dict:
+    """conv{w [kh,kw,ci,co]} + inference BN -> conv{w', b'} with
+    w' = w * g, b' = offset - mean * g, g = scale / sqrt(var + eps):
+    numerically the same affine map, one op instead of two."""
+    g = np.asarray(bn["scale"], np.float32) / np.sqrt(
+        np.asarray(bn["var"], np.float32) + BN_EPS)
+    w = np.asarray(conv["w"], np.float32) * g[None, None, None, :]
+    b = (np.asarray(bn["offset"], np.float32)
+         - np.asarray(bn["mean"], np.float32) * g)
+    dtype = jnp.asarray(conv["w"]).dtype
+    return {"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)}
+
+
+def fold_batchnorm(params: Dict) -> Dict:
+    """Fold every inference-mode BN into its preceding conv (serving-path
+    optimization: ~104 normalize chains become conv bias adds, guaranteeing
+    the epilogue fusion and dropping the 4x per-channel BN tensors).  The
+    fold happens in f32 then casts back to the conv dtype; use the unfolded
+    tree for torch-parity tests."""
+    out: Dict = {
+        "conv1": _fold_conv_bn(params["conv1"], params["bn1"]),
+        "stages": [],
+        "folded": True,
+    }
+    for blocks in params["stages"]:
+        fb = []
+        for blk in blocks:
+            nb = {
+                "conv1": _fold_conv_bn(blk["conv1"], blk["bn1"]),
+                "conv2": _fold_conv_bn(blk["conv2"], blk["bn2"]),
+                "conv3": _fold_conv_bn(blk["conv3"], blk["bn3"]),
+            }
+            if "down" in blk:
+                nb["down"] = _fold_conv_bn(blk["down"], blk["down_bn"])
+            fb.append(nb)
+        out["stages"].append(fb)
+    return out
+
+
+def _conv_b(x, p, stride=1):
+    return _conv(x, p["w"], stride) + p["b"]
+
+
+def _bottleneck_folded(x, blk, stride):
+    y = jax.nn.relu(_conv_b(x, blk["conv1"]))
+    y = jax.nn.relu(_conv_b(y, blk["conv2"], stride))
+    y = _conv_b(y, blk["conv3"])
+    if "down" in blk:
+        x = _conv_b(x, blk["down"], stride)
+    return jax.nn.relu(x + y)
+
+
 def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
     """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
-    [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout."""
+    [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout.  Accepts the
+    plain (conv+BN) tree or a ``fold_batchnorm`` tree."""
+    folded = params.get("folded", False)
     x = x.astype(params["conv1"]["w"].dtype)  # follow param dtype (bf16 ok)
-    x = _conv(x, params["conv1"]["w"], stride=2)
-    x = jax.nn.relu(_bn(x, params["bn1"]))
+    if folded:
+        x = jax.nn.relu(_conv_b(x, params["conv1"], stride=2))
+    else:
+        x = jax.nn.relu(_bn(_conv(x, params["conv1"]["w"], stride=2),
+                            params["bn1"]))
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+    block_fn = _bottleneck_folded if folded else _bottleneck
     for stage, blocks in enumerate(params["stages"]):
         for b, blk in enumerate(blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
-            x = _bottleneck(x, blk, stride)
+            x = block_fn(x, blk, stride)
     B, h, w, c = x.shape
     return x.reshape(B, h * w, c)
 

@@ -14,6 +14,8 @@ Variants:
   remat  — same, with jax.checkpoint around each hop (cfg.remat_hops)
   fusedN — Pallas fused training hop loop at block_b=N (ops/rau_train_hops.py)
   maskref — fused semantics entirely in XLA (isolates kernel vs mask cost)
+  truncN — plain with the token axis truncated to N (the Trainer's
+           length-bucket path; exact — tests/test_train.py grad parity)
 
 Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
 """
@@ -65,12 +67,15 @@ def main() -> None:
             # variant "fusedN" = fused training kernel with block_b=N;
             # "maskref" = fused semantics entirely in XLA (counter-hash
             # masks, plain autodiff) — isolates kernel cost from mask cost
+            trunc_T = None
             if variant == "maskref":
                 numerics.update(fused_train=True,
                                 fused_train_impl="reference")
             elif variant.startswith("fused"):
                 numerics.update(fused_train=True,
                                 fused_train_block=int(variant[5:] or 16))
+            elif variant.startswith("trunc"):
+                trunc_T = int(variant[5:])
             mcfg = dataclasses.replace(
                 preset.model, remat_hops=(variant == "remat"), **numerics)
             tcfg = preset.train
@@ -81,6 +86,10 @@ def main() -> None:
                 1, mcfg.vocab_size, (B, mcfg.seq_len)).astype(np.int32))
             lengths = jnp.asarray(
                 rs.randint(1, mcfg.seq_len + 1, B).astype(np.int32))
+            if trunc_T is not None:
+                # the Trainer's bucket path: token axis sliced host-side
+                tokens = tokens[:, :trunc_T]
+                lengths = jnp.minimum(lengths, trunc_T)
             feats = jnp.asarray(rs.randn(
                 B, mcfg.cnn_spat, mcfg.cnn_dim).astype(np.float32))
             labels = jnp.asarray(

@@ -211,6 +211,7 @@ def test_data_script_syntax():
     assert r.returncode == 0
 
 
+@pytest.mark.slow
 def test_fused_train_flag(tmp_path):
     """--fused-train trains the fixture through the fused-semantics hop loop
     (pure-XLA reference path off-TPU) and still learns/evaluates."""

@@ -194,6 +194,7 @@ def test_preset_shapes_compile():
         assert out.attprob.shape == (cfg.n_hops, 4, cfg.cnn_spat), name
 
 
+@pytest.mark.slow
 def test_remat_hops_matches_plain_grads(params):
     """cfg.remat_hops must change memory behavior only: identical forward
     outputs and identical gradients to the plain unrolled hop loop."""

@@ -127,7 +127,7 @@ def _loss(scores, labels, n_hops):
 
 
 @pytest.mark.parametrize("block_b,bwd", [
-    (4, "kernel"),
+    pytest.param(4, "kernel", marks=pytest.mark.slow),
     pytest.param(8, "kernel", marks=pytest.mark.slow),
     pytest.param(4, "xla", marks=pytest.mark.slow)])
 def test_fused_grads_match_reference(data, block_b, bwd):

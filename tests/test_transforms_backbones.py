@@ -224,6 +224,40 @@ def test_resnet_bottleneck_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_fold_batchnorm_matches_unfolded():
+    """fold_batchnorm is the same affine map: a tiny ResNet with randomized
+    BN statistics must produce identical features folded vs not."""
+    from rau_vqa_tpu.models.backbones import resnet as R
+
+    rs = np.random.RandomState(0)
+    params = R.resnet101_init(jax.random.PRNGKey(2))
+    # shrink: keep only 1 block per stage for speed, randomize BN stats
+    params["stages"] = [blocks[:1] for blocks in params["stages"]]
+
+    def randomize_bn(bn):
+        bn["mean"] = jnp.asarray(rs.normal(0, 0.5, bn["mean"].shape),
+                                 jnp.float32)
+        bn["var"] = jnp.asarray(rs.uniform(0.5, 1.5, bn["var"].shape),
+                                jnp.float32)
+        bn["scale"] = jnp.asarray(rs.normal(1, 0.2, bn["scale"].shape),
+                                  jnp.float32)
+        bn["offset"] = jnp.asarray(rs.normal(0, 0.2, bn["offset"].shape),
+                                   jnp.float32)
+
+    randomize_bn(params["bn1"])
+    for blocks in params["stages"]:
+        for blk in blocks:
+            for k in list(blk):
+                if k.startswith("bn") or k == "down_bn":
+                    randomize_bn(blk[k])
+
+    x = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    want = np.asarray(R.resnet101_apply(params, x))
+    got = np.asarray(R.resnet101_apply(R.fold_batchnorm(params), x))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def _np_point_bilinear(img, ys, xs):
     """Plain (non-antialiased) bilinear point sampling — torch image.scale
     semantics, unlike jax.image.resize which low-pass-filters downscales."""
