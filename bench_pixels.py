@@ -50,6 +50,8 @@ def main() -> None:
                     help="keep f32 weights (default: bf16 end-to-end)")
     ap.add_argument("--no-fold-bn", action="store_true",
                     help="keep separate BN ops (default: fold into convs)")
+    ap.add_argument("--no-s2d", action="store_true",
+                    help="keep the 7x7/2 stem (default: space-to-depth)")
     args = ap.parse_args()
 
     import jax
@@ -96,8 +98,13 @@ def main() -> None:
     if args.backbone == "resnet101":
         bb = np_params_like(resnet101_init, 1)
         if not args.no_fold_bn:
-            from rau_vqa_tpu.models.backbones.resnet import fold_batchnorm
+            from rau_vqa_tpu.models.backbones.resnet import (
+                fold_batchnorm,
+                space_to_depth_stem,
+            )
             bb = fold_batchnorm(bb)
+            if not args.no_s2d:
+                bb = space_to_depth_stem(bb)
     else:
         bb = np_params_like(vgg16_pool5_init, 1)
 
@@ -110,11 +117,15 @@ def main() -> None:
     lengths = jnp.asarray(rs.randint(1, cfg.seq_len + 1, B * Q)
                           .astype(np.int32))
 
+    feat_dt = jnp.float32 if args.f32 else jnp.bfloat16
+
     def one_step(images_u8, toks):
         feats = extract_features(args.backbone, bb, images_u8)
         featsq = jnp.repeat(feats, Q, axis=0)       # qpi questions/image
+        # hand the head its compute dtype directly — an f32 detour would
+        # double the HBM traffic of the biggest activation
         tab_pred, _ = predict(params, cfg, toks, lengths,
-                              featsq.astype(jnp.float32))
+                              featsq.astype(feat_dt))
         return jnp.argmax(tab_pred, axis=-1)        # [H+2, B*Q]
 
     @jax.jit

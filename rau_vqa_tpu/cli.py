@@ -191,6 +191,31 @@ def _make_feature_source(feat_dirs, mcfg, *, ship_int8: bool = False):
     return T7DirFeatureSource(feat_dirs, mcfg.cnn_dim, mcfg.cnn_w, mcfg.cnn_h)
 
 
+def _load_backbone_state(backbone: str, state_path: str):
+    """torchvision state_dict (.pth) -> serving-optimized backbone params
+    (ResNet: BN folded + space-to-depth stem — both exact rewrites)."""
+    if not state_path:
+        raise SystemExit("--backbone requires --backbone-state (a "
+                         "torchvision state_dict .pth)")
+    import torch
+
+    state = torch.load(state_path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    state = {k: v.numpy() if hasattr(v, "numpy") else v
+             for k, v in state.items()}
+    if backbone == "resnet101":
+        from rau_vqa_tpu.models.backbones.resnet import (
+            fold_batchnorm,
+            resnet_from_torch_state,
+            space_to_depth_stem,
+        )
+        return space_to_depth_stem(fold_batchnorm(
+            resnet_from_torch_state(state)))
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_from_torch_state
+    return vgg16_from_torch_state(state)
+
+
 def _fixture_setup(exp, workdir):
     """Generate the tiny fixture and shrink the experiment onto it."""
     from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
@@ -712,6 +737,14 @@ def main(argv=None) -> int:
     p_serve.add_argument("--max-wait-ms", type=float, default=5.0,
                          help="max artificial queueing delay; 0 disables "
                               "micro-batch lingering")
+    p_serve.add_argument("--backbone", default=None,
+                         choices=["vgg16", "resnet101"],
+                         help="serve raw images (image_b64 requests) "
+                              "through an on-TPU backbone")
+    p_serve.add_argument("--backbone-state", default=None,
+                         help="torchvision state_dict (.pth) with the "
+                              "backbone weights (no egress here: weights "
+                              "ship with the user)")
     _add_train_flags(p_serve)
     _add_common_data_flags(p_serve)
 
@@ -730,9 +763,14 @@ def main(argv=None) -> int:
         from rau_vqa_tpu.serve import RAUService, serve
         buckets = (tuple(int(x) for x in args.eval_buckets.split(",") if x)
                    if getattr(args, "eval_buckets", None) else (8, 16))
+        bb_params = None
+        if args.backbone:
+            bb_params = _load_backbone_state(args.backbone,
+                                             args.backbone_state)
         svc = RAUService(args.checkpoint, args.vqa_dir,
                          args.feat_dir or [], preset=args.preset,
                          fused=getattr(args, "fused_eval", False),
+                         backbone=args.backbone, bb_params=bb_params,
                          buckets=buckets, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms)
         serve(svc, args.port).serve_forever()

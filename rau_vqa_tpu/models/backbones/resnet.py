@@ -137,6 +137,45 @@ def _conv_b(x, p, stride=1):
     return _conv(x, p["w"], stride) + p["b"]
 
 
+def space_to_depth_stem(params: Dict) -> Dict:
+    """Rewrite conv1 (7x7/2 on 3 channels — MXU-hostile: the reduction dim
+    is 3*49=147 laid out over C=3) as an EXACTLY equivalent 4x4/1 conv on a
+    2x2 space-to-depth input (C=12), the standard TPU ResNet stem
+    transform.  Derivation: pad the 7-tap kernel to 8 taps (zero at offset
+    -4, the symmetric pad-3 layout), split the tap index ky = 2a + dy - 4;
+    then out(i) = sum_a w8[2a+dy] x[2(i+a-2)+dy] is a 4-tap stride-1 conv
+    over the s2d grid with spatial padding (2, 1).  Apply to a FOLDED tree
+    (fold_batchnorm) — conv1 must carry its bias."""
+    conv1 = params["conv1"]
+    w = np.asarray(conv1["w"], np.float32)          # [7, 7, 3, 64]
+    assert w.shape[:2] == (7, 7), "stem transform expects the 7x7 conv1"
+    w8 = np.zeros((8, 8) + w.shape[2:], np.float32)
+    w8[1:, 1:] = w                                   # offset -4 row/col = 0
+    # s2d channel layout: idx = dy*6 + dx*3 + c  (matches _s2d's reshape)
+    ws = np.zeros((4, 4, 12, w.shape[3]), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for a in range(4):
+                for b in range(4):
+                    ws[a, b, dy * 6 + dx * 3:dy * 6 + dx * 3 + 3] = \
+                        w8[2 * a + dy, 2 * b + dx]
+    dtype = jnp.asarray(conv1["w"]).dtype
+    out = dict(params)
+    out["conv1"] = {"w": jnp.asarray(ws, dtype),
+                    "b": jnp.asarray(np.asarray(conv1["b"], np.float32),
+                                     dtype),
+                    "s2d": True}
+    return out
+
+
+def _s2d(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with channel = (dy, dx, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
 def _bottleneck_folded(x, blk, stride):
     y = jax.nn.relu(_conv_b(x, blk["conv1"]))
     y = jax.nn.relu(_conv_b(y, blk["conv2"], stride))
@@ -152,7 +191,16 @@ def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
     plain (conv+BN) tree or a ``fold_batchnorm`` tree."""
     folded = params.get("folded", False)
     x = x.astype(params["conv1"]["w"].dtype)  # follow param dtype (bf16 ok)
-    if folded:
+    if folded and params["conv1"].get("s2d"):
+        # space-to-depth stem: 4x4/1 conv on the 2x2-s2d grid, asymmetric
+        # (2, 1) padding — exact equivalent of conv1 7x7/2 pad 3
+        xs = _s2d(x)
+        y = jax.lax.conv_general_dilated(
+            xs, params["conv1"]["w"], window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(y + params["conv1"]["b"])
+    elif folded:
         x = jax.nn.relu(_conv_b(x, params["conv1"], stride=2))
     else:
         x = jax.nn.relu(_bn(_conv(x, params["conv1"]["w"], stride=2),

@@ -258,6 +258,25 @@ def test_fold_batchnorm_matches_unfolded():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_space_to_depth_stem_matches_conv1():
+    """The s2d stem rewrite (4x4/1 conv on a 2x2-s2d grid, pad (2,1)) is
+    EXACTLY the 7x7/2 pad-3 conv1 — the MXU-friendly ResNet stem."""
+    from rau_vqa_tpu.models.backbones import resnet as R
+
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(7, 7, 3, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(16).astype(np.float32) * 0.1)
+    x = jnp.asarray(rs.randn(2, 32, 32, 3).astype(np.float32))
+    ref = jax.nn.relu(R._conv(x, w, stride=2) + b)
+    p2 = R.space_to_depth_stem({"conv1": {"w": w, "b": b}, "folded": True})
+    y = jax.lax.conv_general_dilated(
+        R._s2d(x), p2["conv1"]["w"], (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.nn.relu(y + p2["conv1"]["b"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def _np_point_bilinear(img, ys, xs):
     """Plain (non-antialiased) bilinear point sampling — torch image.scale
     semantics, unlike jax.image.resize which low-pass-filters downscales."""
