@@ -230,3 +230,28 @@ def test_fused_train_flag(tmp_path):
         rows = [json.loads(l) for l in f if l.strip()]
     losses = [r["loss"] for r in rows if r.get("kind") == "train"]
     assert len(losses) == 2 and losses[-1] < losses[0]
+
+
+def test_load_backbone_state_vgg(tmp_path):
+    """rau-vqa serve --backbone vgg16 --backbone-state: a torchvision-format
+    state_dict converts into the serving param tree."""
+    import numpy as np
+    import torch
+
+    from rau_vqa_tpu.cli import _load_backbone_state
+
+    conv_indices = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    widths = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    state, c_in = {}, 3
+    for idx, c_out in zip(conv_indices, widths):
+        state[f"features.{idx}.weight"] = torch.zeros(c_out, c_in, 3, 3)
+        state[f"features.{idx}.bias"] = torch.zeros(c_out)
+        c_in = c_out
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(state, path)
+    params = _load_backbone_state("vgg16", path)
+    assert len(params["convs"]) == 13
+    assert params["convs"][0]["w"].shape == (3, 3, 3, 64)
+    assert params["convs"][-1]["w"].shape == (3, 3, 512, 512)
+    with pytest.raises(SystemExit):
+        _load_backbone_state("vgg16", "")
