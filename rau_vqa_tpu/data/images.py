@@ -41,11 +41,19 @@ def decode_scale_center_crop(img, size: int) -> np.ndarray:
 class ImageDirSource:
     """Decodes images from a root directory into a uint8 [B, size, size, 3]
     batch (bicubic shorter-side resize + center crop, matching the
-    reference's Scale+CenterCrop eval transform)."""
+    reference's Scale+CenterCrop eval transform).
 
-    def __init__(self, root: str, size: int = 448, *, n_threads: int = 8):
+    ``backend='native'`` routes JPEGs through the C++ decode pool
+    (native/image_decode.cpp: libjpeg + fused Catmull-Rom resample — the
+    torch-image role, with the on-device transforms' sampling semantics);
+    non-JPEG files and build failures fall back to PIL per batch."""
+
+    def __init__(self, root: str, size: int = 448, *, n_threads: int = 8,
+                 backend: str = "pil"):
         self.root = root
         self.size = size
+        self.n_threads = n_threads
+        self.backend = backend
         self.pool = ThreadPoolExecutor(max_workers=n_threads)
 
     def _load_one(self, rel_path: str) -> np.ndarray:
@@ -55,5 +63,15 @@ class ImageDirSource:
             return decode_scale_center_crop(img, self.size)
 
     def get_batch(self, rel_paths: Sequence[str]) -> np.ndarray:
+        if self.backend == "native":
+            import subprocess
+
+            from rau_vqa_tpu.data.native import decode_image_batch
+            try:
+                return decode_image_batch(
+                    [os.path.join(self.root, p) for p in rel_paths],
+                    self.size, n_threads=self.n_threads)
+            except (OSError, subprocess.CalledProcessError):
+                pass  # non-JPEG in the batch (or no toolchain): PIL path
         out = list(self.pool.map(self._load_one, rel_paths))
         return np.stack(out)

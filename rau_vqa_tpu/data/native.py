@@ -154,6 +154,54 @@ class NativePackedFeatureStore(FeatureSource):
         except Exception:
             pass
 
+# ---------------------------------------------------------------------------
+# Native image decode (the torch-image role, vqa_prepro_loader.lua:1045-1068)
+# ---------------------------------------------------------------------------
+
+_IMG_LIB_PATH = os.path.join(_NATIVE_DIR, "libimage_decode.so")
+_img_lib = None
+
+
+def load_image_library(build: bool = True) -> ctypes.CDLL:
+    """Load (building if needed) the native JPEG decode library."""
+    global _img_lib
+    if _img_lib is not None:
+        return _img_lib
+    src = os.path.join(_NATIVE_DIR, "image_decode.cpp")
+    needs_build = (not os.path.exists(_IMG_LIB_PATH)
+                   or (os.path.exists(src) and os.path.getmtime(src)
+                       > os.path.getmtime(_IMG_LIB_PATH)))
+    if needs_build and build:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "libimage_decode.so"],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_IMG_LIB_PATH)
+    lib.id_decode_batch.restype = ctypes.c_int64
+    lib.id_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+    _img_lib = lib
+    return lib
+
+
+def decode_image_batch(paths: Sequence[str], size: int, *,
+                       n_threads: int = 8) -> np.ndarray:
+    """JPEG paths -> uint8 [N, size, size, 3] via the C++ pool: libjpeg
+    decode + fused Catmull-Rom shorter-side resize + center crop (the same
+    sampling kernel as ops/transforms._cubic_sample, so host and device
+    resizes share one semantics).  Raises on the first undecodable file.
+    """
+    lib = load_image_library()
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.id_decode_batch(
+        arr, n, size, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise OSError(f"native decode failed for {paths[rc - 1]!r}")
+    return out
+
+
 # Concurrency contract: one NativePackedFeatureStore instance serves one
 # consumer stream — ring slots are recycled strictly in sequence order
 # (submit(seq) may overwrite slot seq % n_slots only after wait(seq -

@@ -64,3 +64,82 @@ def test_native_in_split_iteration(packed):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     native.close()
+
+
+# ---------------------------------------------------------------------------
+# native image decode (the torch-image role)
+# ---------------------------------------------------------------------------
+
+def _cr_taps(out_size, origin, sc, n):
+    i = np.arange(out_size)
+    pos = np.clip((origin + i + 0.5) * sc - 0.5, 0, n - 1)
+    base = np.floor(pos).astype(int)
+    t = (pos - base)[:, None]
+    w4 = np.concatenate([0.5 * (-t + 2 * t * t - t ** 3),
+                         0.5 * (2 - 5 * t * t + 3 * t ** 3),
+                         0.5 * (t + 4 * t * t - 3 * t ** 3),
+                         0.5 * (-t * t + t ** 3)], axis=1)
+    idx = np.clip(base[:, None] + np.arange(-1, 3)[None], 0, n - 1)
+    return idx, w4
+
+
+def test_native_decode_matches_oracle(tmp_path):
+    """C++ decode+resample == PIL decode (same libjpeg) followed by the
+    numpy Catmull-Rom fused-window oracle — and byte-exact when the source
+    is already at target size (no resample)."""
+    from PIL import Image
+
+    from rau_vqa_tpu.data.native import decode_image_batch
+
+    rs = np.random.RandomState(0)
+    size = 64
+    exact = rs.randint(0, 256, (size, size, 3)).astype(np.uint8)
+    p1 = str(tmp_path / "exact.jpg")
+    Image.fromarray(exact).save(p1, quality=95)
+    scaled = rs.randint(0, 256, (96, 130, 3)).astype(np.uint8)
+    p2 = str(tmp_path / "scaled.jpg")
+    Image.fromarray(scaled).save(p2, quality=95)
+
+    out = decode_image_batch([p1, p2], size, n_threads=2)
+    np.testing.assert_array_equal(out[0], np.asarray(Image.open(p1)))
+
+    src = np.asarray(Image.open(p2)).astype(np.float32)
+    h, w = src.shape[:2]
+    scale = size / min(w, h)
+    new_w = max(size, round(w * scale))
+    new_h = max(size, round(h * scale))
+    yi, yw = _cr_taps(size, (new_h - size) // 2, h / new_h, h)
+    xi, xw = _cr_taps(size, (new_w - size) // 2, w / new_w, w)
+    tmp = np.einsum("ik,ikwc->iwc", yw, src[yi])
+    want = np.clip(np.rint(np.einsum("jm,ijmc->ijc", xw, tmp[:, xi])),
+                   0, 255)
+    np.testing.assert_array_equal(out[1].astype(np.float64), want)
+
+
+def test_native_decode_reports_bad_file(tmp_path):
+    from rau_vqa_tpu.data.native import decode_image_batch
+
+    bad = str(tmp_path / "not_a.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"definitely not a jpeg")
+    with pytest.raises(OSError):
+        decode_image_batch([bad], 32)
+
+
+def test_image_dir_source_native_backend_and_fallback(tmp_path):
+    """backend='native' decodes JPEGs in C++; a PNG in the batch falls the
+    whole batch back to the PIL path (same Scale+CenterCrop semantics)."""
+    from PIL import Image
+
+    from rau_vqa_tpu.data.images import ImageDirSource
+
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 256, (80, 80, 3)).astype(np.uint8)
+    Image.fromarray(img).save(str(tmp_path / "a.jpg"), quality=95)
+    src = ImageDirSource(str(tmp_path), size=48, backend="native")
+    batch = src.get_batch(["a.jpg"])
+    assert batch.shape == (1, 48, 48, 3) and batch.dtype == np.uint8
+
+    Image.fromarray(img).save(str(tmp_path / "b.png"))
+    batch2 = src.get_batch(["a.jpg", "b.png"])   # PIL fallback
+    assert batch2.shape == (2, 48, 48, 3)
