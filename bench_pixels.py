@@ -40,7 +40,7 @@ def log(msg: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="resnet101",
-                    choices=["resnet101", "vgg16"])
+                    choices=["resnet101", "vgg16", "vit"])
     ap.add_argument("--batch", type=int, default=64, help="images per step")
     ap.add_argument("--qpi", type=int, default=3, help="questions per image")
     ap.add_argument("--chain", type=int, default=10)
@@ -50,8 +50,13 @@ def main() -> None:
                     help="keep f32 weights (default: bf16 end-to-end)")
     ap.add_argument("--no-fold-bn", action="store_true",
                     help="keep separate BN ops (default: fold into convs)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem rewrite — measured SLOWER on "
+                         "this toolchain (59.8 vs 53.9 ms/step B=64: XLA "
+                         "already handles the C=3 stem; the manual shuffle "
+                         "only adds traffic), kept for A/B")
     ap.add_argument("--no-s2d", action="store_true",
-                    help="keep the 7x7/2 stem (default: space-to-depth)")
+                    help="(default; kept for compatibility)")
     args = ap.parse_args()
 
     import jax
@@ -64,11 +69,18 @@ def main() -> None:
     from rau_vqa_tpu.models.rau import init_params
     from rau_vqa_tpu.eval.predict import predict
 
-    preset = "ours_resnet" if args.backbone == "resnet101" else "ours_ms"
+    preset = {"resnet101": "ours_resnet", "vgg16": "ours_ms",
+              "vit": "ours_vit"}[args.backbone]
     wdtype = jnp.float32 if args.f32 else jnp.bfloat16
+    if args.backbone == "vit":
+        from rau_vqa_tpu.models.backbones.vit import VIT_L14
+        args.size = VIT_L14.image_size        # 224, 16x16 patch grid
+        grid = VIT_L14.grid
+    else:
+        grid = args.size // 32
     cfg = dataclasses.replace(
         get_preset(preset).model,
-        cnn_w=args.size // 32, cnn_h=args.size // 32,
+        cnn_w=grid, cnn_h=grid,
         matmul_precision="default",
         compute_dtype="float32" if args.f32 else "bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -103,8 +115,12 @@ def main() -> None:
                 space_to_depth_stem,
             )
             bb = fold_batchnorm(bb)
-            if not args.no_s2d:
+            if args.s2d:
                 bb = space_to_depth_stem(bb)
+    elif args.backbone == "vit":
+        from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_init
+        bb = np_params_like(
+            lambda k, dtype: vit_init(k, VIT_L14, dtype=dtype), 1)
     else:
         bb = np_params_like(vgg16_pool5_init, 1)
 

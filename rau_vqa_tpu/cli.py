@@ -205,13 +205,13 @@ def _load_backbone_state(backbone: str, state_path: str):
     state = {k: v.numpy() if hasattr(v, "numpy") else v
              for k, v in state.items()}
     if backbone == "resnet101":
+        # BN folding is a measured win; the s2d stem rewrite measured
+        # SLOWER on this toolchain (BASELINE.md) so it stays opt-in
         from rau_vqa_tpu.models.backbones.resnet import (
             fold_batchnorm,
             resnet_from_torch_state,
-            space_to_depth_stem,
         )
-        return space_to_depth_stem(fold_batchnorm(
-            resnet_from_torch_state(state)))
+        return fold_batchnorm(resnet_from_torch_state(state))
     from rau_vqa_tpu.models.backbones.vgg import vgg16_from_torch_state
     return vgg16_from_torch_state(state)
 
