@@ -94,6 +94,19 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--visatt-batches", type=int, default=None,
                    help="eval batches to dump per epoch; -1 = every test "
                         "question (reference semantics)")
+    p.add_argument("--image-root", default=None,
+                   help="train/eval from RAW images under this root (paths "
+                        "from the json unique_img lists) through an on-TPU "
+                        "backbone instead of precomputed features — the "
+                        "path the reference's next_batch_image sketches")
+    p.add_argument("--image-size", type=int, default=448)
+    p.add_argument("--backbone", default=None,
+                   choices=["vgg16", "resnet101"],
+                   help="on-TPU visual backbone (with --image-root, or for "
+                        "serve image_b64 requests)")
+    p.add_argument("--backbone-state", default=None,
+                   help="torchvision state_dict (.pth) with backbone "
+                        "weights (weights ship with the user; no egress)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="size of the 'data' (DP) mesh axis; -1 = all "
                         "available devices")
@@ -216,6 +229,25 @@ def _load_backbone_state(backbone: str, state_path: str):
     return vgg16_from_torch_state(state)
 
 
+def _make_source_and_backbone(args, exp):
+    """(source, backbone, bb_params) for cmd_train/cmd_eval: precomputed
+    features by default, or raw images + on-TPU backbone with
+    --image-root."""
+    if getattr(args, "image_root", None):
+        if not args.backbone:
+            raise SystemExit(
+                "--image-root needs --backbone (+ --backbone-state)")
+        from rau_vqa_tpu.data.images import ImageDirSource
+        source = ImageDirSource(args.image_root, size=args.image_size,
+                                backend="native")
+        bb_params = _load_backbone_state(args.backbone, args.backbone_state)
+        return source, args.backbone, bb_params
+    source = _make_feature_source(
+        [exp.data.feat_dir], exp.model,
+        ship_int8=bool(getattr(args, "ship_int8", False)))
+    return source, None, None
+
+
 def _fixture_setup(exp, workdir):
     """Generate the tiny fixture and shrink the experiment onto it."""
     from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
@@ -258,9 +290,7 @@ def cmd_train(args) -> int:
         test_batch_size=exp.data.resolved_test_batch_size()
         if not args.fixture else 8,
         valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
-    source = _make_feature_source(
-        [exp.data.feat_dir], exp.model,
-        ship_int8=bool(getattr(args, "ship_int8", False)))
+    source, backbone, bb_params = _make_source_and_backbone(args, exp)
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)
@@ -271,7 +301,8 @@ def cmd_train(args) -> int:
         mesh = mesh_from_config(exp.mesh)
         print(f"mesh: {dict(mesh.shape)}"
               + (" (TP weight sharding)" if exp.mesh.shard_params_tp else ""))
-    trainer = Trainer(exp, data, source, workdir, gt_anno=gt, mesh=mesh)
+    trainer = Trainer(exp, data, source, workdir, gt_anno=gt, mesh=mesh,
+                      backbone=backbone, bb_params=bb_params)
     if args.init_from:
         trainer.restore(args.init_from)
         print(f"resumed from {args.init_from} at epoch {trainer.epoch}")
@@ -320,14 +351,13 @@ def cmd_eval(args) -> int:
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),
         seed=exp.train.seed)
-    source = _make_feature_source(
-        [exp.data.feat_dir], exp.model,
-        ship_int8=bool(getattr(args, "ship_int8", False)))
+    source, backbone, bb_params = _make_source_and_backbone(args, exp)
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)
 
-    trainer = Trainer(exp, data, source, workdir, gt_anno=gt)
+    trainer = Trainer(exp, data, source, workdir, gt_anno=gt,
+                      backbone=backbone, bb_params=bb_params)
     trainer.restore(args.checkpoint)
     print(f"evaluating snapshot at epoch {trainer.epoch} "
           f"({trainer.mcfg.n_hops} hops) on {exp.data.split}")
@@ -658,6 +688,10 @@ def main(argv=None) -> int:
                         choices=["float32", "float16", "int8"])
 
     sub.add_parser("bench", help="serving throughput benchmark (one JSON line)")
+    sub.add_parser("bench-pixels",
+                   help="from-pixels (images+questions->answers) benchmark; "
+                        "flags pass through to bench_pixels.py",
+                   add_help=False)
 
     p_prof = sub.add_parser("profile",
                             help="trace N train steps with jax.profiler")
@@ -737,17 +771,16 @@ def main(argv=None) -> int:
     p_serve.add_argument("--max-wait-ms", type=float, default=5.0,
                          help="max artificial queueing delay; 0 disables "
                               "micro-batch lingering")
-    p_serve.add_argument("--backbone", default=None,
-                         choices=["vgg16", "resnet101"],
-                         help="serve raw images (image_b64 requests) "
-                              "through an on-TPU backbone")
-    p_serve.add_argument("--backbone-state", default=None,
-                         help="torchvision state_dict (.pth) with the "
-                              "backbone weights (no egress here: weights "
-                              "ship with the user)")
     _add_train_flags(p_serve)
     _add_common_data_flags(p_serve)
 
+    raw = sys.argv[1:] if argv is None else list(argv)
+    if raw and raw[0] == "bench-pixels":
+        # passthrough: bench_pixels owns its own argparse surface
+        import bench_pixels
+        sys.argv = ["bench_pixels"] + raw[1:]
+        bench_pixels.main()
+        return 0
     args = parser.parse_args(argv)
     if args.command == "bench":
         import bench as _bench

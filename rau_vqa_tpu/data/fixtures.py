@@ -39,8 +39,14 @@ class FixtureSpec:
     seed: int = 7
 
 
-def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec()) -> str:
-    """Write the fixture bundle under ``root``; returns the vqa_dir."""
+def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
+                     images: bool = False, image_size: int = 64) -> str:
+    """Write the fixture bundle under ``root``; returns the vqa_dir.
+
+    ``images=True`` additionally writes tiny deterministic JPEGs under
+    ``root/images/<split>/COCO_*.jpg`` (the paths the json's unique_img
+    lists carry) so the from-pixels path — ImageDirSource → on-device
+    backbone → RAU — can be exercised end-to-end offline."""
     rng = np.random.default_rng(spec.seed)
     vqa_dir = os.path.join(root, "vqa_prepro")
     feat_dir = os.path.join(root, "feat")
@@ -130,5 +136,14 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec()) -> str:
     gt = {str(int(q)): answer_words[int(a)] for q, a in zip(te[3], te[4])}
     with open(os.path.join(vqa_dir, "gt_annotations.json"), "w") as f:
         json.dump(gt, f)
+
+    if images:
+        from PIL import Image
+        img_root = os.path.join(root, "images")
+        for rel in train_imgs + test_imgs:
+            path = os.path.join(img_root, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pix = rng.integers(0, 256, (image_size, image_size, 3))
+            Image.fromarray(pix.astype(np.uint8)).save(path, quality=92)
 
     return vqa_dir

@@ -170,9 +170,18 @@ class SplitData:
         with ThreadPoolExecutor(max_workers=1) as pool:
             def submit():
                 idx = self._batch_indices()
-                names = [self.img_names[i] for i in idx]
-                dts = self.datatypes[idx]
-                return idx, pool.submit(source.get_batch, names, dts)
+                if hasattr(source, "dim"):      # feature source
+                    names = [self.img_names[i] for i in idx]
+                    dts = self.datatypes[idx]
+                    return idx, pool.submit(source.get_batch, names, dts)
+                # image source (duck-typed like _fetch_source): decode the
+                # raw images in the prefetch worker, as the reference's
+                # next_batch_image does (vqa_prepro_loader.lua:1012-1068)
+                if self.img_paths is None:
+                    raise ValueError(
+                        "split has no image paths for an image source")
+                paths = [self.img_paths[i] for i in idx]
+                return idx, pool.submit(source.get_batch, paths)
 
             pending = submit()
             for i in range(n):

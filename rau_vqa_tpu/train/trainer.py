@@ -109,7 +109,8 @@ class Trainer:
     def __init__(self, exp: ExperimentConfig, data: VQAData,
                  source: FeatureSource, workdir: str, *,
                  gt_anno: Optional[Dict[int, str]] = None,
-                 jit_step=None, mesh=None):
+                 jit_step=None, mesh=None,
+                 backbone: Optional[str] = None, bb_params=None):
         # model dims come from the dataset (reference reads vocab/answer size
         # from the loader, :204,:222)
         self.mcfg = dataclasses.replace(
@@ -169,6 +170,14 @@ class Trainer:
         self._train_ladder = self._make_ladder(self.tcfg.length_buckets)
 
         self._dequant = None
+        # from-pixels training/eval: when the data source yields uint8
+        # image batches, a frozen on-device backbone computes the [B, S, D]
+        # features inline (the capability behind the reference's unused
+        # next_batch_image path, vqa_prepro_loader.lua:1012-1068 — there
+        # the features would be extracted on the host per batch)
+        self.backbone = backbone
+        self.bb_params = bb_params
+        self._featurize = None
         self.lr = self.tcfg.learning_rate
         self.mult_lr = self.tcfg.mult_learning_rate
         self.epoch = 0                  # completed epochs
@@ -219,6 +228,11 @@ class Trainer:
             # mesh path shards one feats array: dequantize on host
             feats = (batch.feats.values.astype(np.float32)
                      * batch.feats.scales[:, None, None]).astype(feat_dt)
+        elif (np.asarray(batch.feats).dtype == np.uint8
+              and np.asarray(batch.feats).ndim == 4):
+            # raw images: ship uint8 (3 bytes/pixel over the wire) and
+            # featurize on device after placement (below)
+            feats = np.asarray(batch.feats)
         else:
             feats = np.asarray(batch.feats).astype(feat_dt)
         tokens = np.asarray(batch.tokens, np.int32)
@@ -234,6 +248,22 @@ class Trainer:
         }
         if batch.labels is not None:
             arrays["labels"] = np.asarray(batch.labels, np.int32)
+        is_images = arrays["feats"].dtype == np.uint8
+
+        def featurize(feats_dev):
+            if not is_images:
+                return feats_dev
+            if self.backbone is None or self.bb_params is None:
+                raise ValueError(
+                    "image batches need a visual backbone: pass "
+                    "Trainer(backbone=..., bb_params=...)")
+            if self._featurize is None:
+                from rau_vqa_tpu.models.pipeline import extract_features
+                self._featurize = jax.jit(
+                    lambda imgs, _dt=feat_dt: extract_features(
+                        self.backbone, self.bb_params, imgs).astype(_dt))
+            return self._featurize(feats_dev)
+
         if self.mesh is not None:
             from rau_vqa_tpu.parallel.mesh import shard_batch
             if jax.process_count() > 1:
@@ -251,8 +281,12 @@ class Trainer:
                 arrays = {k: v[pid * loc:(pid + 1) * loc]
                           for k, v in arrays.items()}
             vals = shard_batch(self.mesh, *arrays.values())
-            return dict(zip(arrays.keys(), vals))
-        return {k: jnp.asarray(v) for k, v in arrays.items()}
+            out = dict(zip(arrays.keys(), vals))
+            out["feats"] = featurize(out["feats"])
+            return out
+        out = {k: jnp.asarray(v) for k, v in arrays.items()}
+        out["feats"] = featurize(out["feats"])
+        return out
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:

@@ -51,3 +51,48 @@ def test_pixels_to_answers(tmp_path):
     assert np.all(np.asarray(ans) >= 0) and np.all(np.asarray(ans) < 9)
     np.testing.assert_allclose(np.asarray(att[0]).sum(-1), np.ones(B),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_from_pixels_end_to_end(tmp_path):
+    """The Trainer drives training AND the eval sweep from raw JPEGs: the
+    loader's image-source path decodes in the prefetch worker (native
+    backend), the frozen on-device backbone computes features inline, and
+    the train step consumes them — the capability behind the reference's
+    unused next_batch_image path (vqa_prepro_loader.lua:1012-1068)."""
+    import dataclasses
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, spec, images=True, image_size=64)
+
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            # vgg16 at 64px input -> 2x2x512 pool5 grid
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.1),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+            length_buckets=()),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"), size=64,
+                         backend="native")
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    bb = vgg16_pool5_init(jax.random.PRNGKey(3))
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"), gt_anno=gt,
+                      backbone="vgg16", bb_params=bb)
+    rec = trainer.train_epoch()
+    assert np.isfinite(rec["loss"])
+    res = trainer.evaluate(write_submissions=False)
+    assert len(res["testOEacc"]) == exp.model.n_hops + 2
+    assert all(np.isfinite(a) for a in res["testOEacc"])
