@@ -75,10 +75,16 @@ class RAUService:
         self.max_batch = int(max_batch)
         # 0 disables lingering: a group dispatches as soon as it is drained
         self.max_wait_ms = float(max_wait_ms)
-        from collections import deque
+        from collections import OrderedDict, deque
         self._batch_sizes_served = deque(maxlen=1000)  # for tests/metrics
+        # LRU image-feature cache (see _featurize_image)
+        self.feat_cache_size = 256
+        self._feat_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._feat_cache_lock = threading.Lock()
 
     def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
+        import hashlib
+
         from PIL import Image
 
         from rau_vqa_tpu.data.images import decode_scale_center_crop
@@ -86,11 +92,23 @@ class RAUService:
 
         if self.backbone is None or self.bb_params is None:
             raise ValueError("no visual backbone configured; send feat_name")
+        # VQA asks ~3 questions per image: cache features by content hash
+        # so repeat questions about one image pay the backbone once
+        key = hashlib.sha256(image_bytes).hexdigest()
+        with self._feat_cache_lock:
+            if key in self._feat_cache:
+                self._feat_cache.move_to_end(key)
+                return self._feat_cache[key]
         with Image.open(io.BytesIO(image_bytes)) as img:
             # same decode path as the batch loader (explicit bicubic)
             arr = decode_scale_center_crop(img, 448)[None]
-        return np.asarray(
+        feats = np.asarray(
             extract_features(self.backbone, self.bb_params, arr))
+        with self._feat_cache_lock:
+            self._feat_cache[key] = feats
+            while len(self._feat_cache) > self.feat_cache_size:
+                self._feat_cache.popitem(last=False)
+        return feats
 
     # -- dynamic micro-batching ----------------------------------------
 

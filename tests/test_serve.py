@@ -177,3 +177,41 @@ def test_concurrent_requests_micro_batch(served):
     assert max(_svc._batch_sizes_served) > 1, (
         f"no request group formed: {_svc._batch_sizes_served}")
     _svc.max_wait_ms = 5.0
+
+
+def test_image_feature_cache(served, monkeypatch):
+    """Repeat image_b64 requests for one image hit the LRU feature cache:
+    the backbone runs once per distinct image (VQA asks ~3 questions per
+    image)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    svc = globals()["served"].svc     # fixture exposes the service object
+    calls = {"n": 0}
+    S, D = svc.mcfg.cnn_spat, svc.mcfg.cnn_dim
+
+    def fake_extract(backbone, bb_params, arr, vit_cfg=None):
+        calls["n"] += 1
+        return np.zeros((arr.shape[0], S, D), np.float32)
+
+    import rau_vqa_tpu.models.pipeline as pl
+    monkeypatch.setattr(pl, "extract_features", fake_extract)
+    monkeypatch.setattr(svc, "backbone", "vgg16")
+    monkeypatch.setattr(svc, "bb_params", {})
+
+    buf = _io.BytesIO()
+    rs = np.random.RandomState(0)
+    Image.fromarray(rs.randint(0, 256, (64, 64, 3), dtype=np.uint8)).save(
+        buf, format="JPEG")
+    img_bytes = buf.getvalue()
+    for _ in range(3):
+        svc._featurize_image(img_bytes)
+    assert calls["n"] == 1
+    # a different image misses the cache
+    buf2 = _io.BytesIO()
+    Image.fromarray(rs.randint(0, 256, (64, 64, 3), dtype=np.uint8)).save(
+        buf2, format="JPEG")
+    svc._featurize_image(buf2.getvalue())
+    assert calls["n"] == 2
