@@ -114,8 +114,9 @@ bool decode_one(const char* path, int size, uint8_t* out) {
   const double scale = double(size) / std::min(w, h);
   const int new_w = std::max(size, int(std::lround(w * scale)));
   const int new_h = std::max(size, int(std::lround(h * scale)));
-  const int x0 = (new_w - size) / 2;
-  const int y0 = (new_h - size) / 2;
+  // ceil origin, like the reference CenterCrop (transforms.lua:56-57)
+  const int x0 = (new_w - size + 1) / 2;
+  const int y0 = (new_h - size + 1) / 2;
   const Taps ty = make_taps(size, y0, double(h) / new_h, h);
   const Taps tx = make_taps(size, x0, double(w) / new_w, w);
 

@@ -117,6 +117,17 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                         "the 'model' axis (implies --mesh-model 2 unless set)")
 
 
+def _parse_buckets(raw):
+    """Bucket-flag grammar shared by --eval-buckets/--train-buckets and
+    serve: None = not given; ''/'none'/'off' = disabled; else int list."""
+    if raw is None:
+        return None
+    s = raw.strip().lower()
+    if s in ("", "none", "off"):
+        return ()
+    return tuple(int(x) for x in raw.split(",") if x.strip())
+
+
 def _apply_overrides(exp, args):
     m, t, d = {}, {}, {}
     if args.nhop is not None:
@@ -140,13 +151,12 @@ def _apply_overrides(exp, args):
         m["fused_train_block"] = args.fused_train_block
     if getattr(args, "fused_eval", False):
         exp = exp.replace(fused_eval=True)
-    if getattr(args, "eval_buckets", None):
-        exp = exp.replace(eval_buckets=tuple(
-            int(x) for x in args.eval_buckets.split(",") if x))
-    if getattr(args, "train_buckets", None) is not None:
-        raw = args.train_buckets.strip().lower()
-        t["length_buckets"] = (() if raw in ("", "none", "off") else tuple(
-            int(x) for x in args.train_buckets.split(",") if x))
+    eb = _parse_buckets(getattr(args, "eval_buckets", None))
+    if eb is not None:
+        exp = exp.replace(eval_buckets=eb)
+    tb = _parse_buckets(getattr(args, "train_buckets", None))
+    if tb is not None:
+        t["length_buckets"] = tb
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:
@@ -529,6 +539,15 @@ def cmd_verify_released(args) -> int:
                                os.path.join(workdir, "released"))
     else:
         root = args.extracted
+    # adopt the snapshot's self-describing dims BEFORE building the feature
+    # source — an Ours_ResNet tarball must flip cnn_dim to 2048 here, not
+    # only inside verify_released (whose re-adoption is then a no-op)
+    from rau_vqa_tpu.data import t7
+    from rau_vqa_tpu.eval.released import adopt_snapshot_opt, pick_snapshot
+    _, snap_path = pick_snapshot(root, args.epoch)
+    snap = t7.load_t7(snap_path)
+    if isinstance(snap, dict) and "opt" in snap:
+        exp = adopt_snapshot_opt(exp, snap["opt"])
     data = load_vqa_data(
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),
@@ -771,6 +790,9 @@ def main(argv=None) -> int:
     p_serve.add_argument("--max-wait-ms", type=float, default=5.0,
                          help="max artificial queueing delay; 0 disables "
                               "micro-batch lingering")
+    p_serve.add_argument("--feat-cache", type=int, default=256,
+                         help="LRU image-feature cache entries (a ResNet "
+                              "entry is ~1.6 MB); 0 effectively disables")
     _add_train_flags(p_serve)
     _add_common_data_flags(p_serve)
 
@@ -794,8 +816,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "serve":
         from rau_vqa_tpu.serve import RAUService, serve
-        buckets = (tuple(int(x) for x in args.eval_buckets.split(",") if x)
-                   if getattr(args, "eval_buckets", None) else (8, 16))
+        buckets = _parse_buckets(getattr(args, "eval_buckets", None))
+        if buckets is None:
+            buckets = (8, 16)     # 'none' disables, absent = default
         bb_params = None
         if args.backbone:
             bb_params = _load_backbone_state(args.backbone,
@@ -805,7 +828,8 @@ def main(argv=None) -> int:
                          fused=getattr(args, "fused_eval", False),
                          backbone=args.backbone, bb_params=bb_params,
                          buckets=buckets, max_batch=args.max_batch,
-                         max_wait_ms=args.max_wait_ms)
+                         max_wait_ms=args.max_wait_ms,
+                         feat_cache_size=args.feat_cache)
         serve(svc, args.port).serve_forever()
         return 0
     return {"train": cmd_train, "eval": cmd_eval,

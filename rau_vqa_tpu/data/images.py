@@ -33,7 +33,8 @@ def decode_scale_center_crop(img, size: int) -> np.ndarray:
                       max(size, round(h * scale))),
                      Image.BICUBIC)
     w, h = img.size
-    x0, y0 = (w - size) // 2, (h - size) // 2
+    # ceil origin, like the reference CenterCrop (transforms.lua:56-57)
+    x0, y0 = (w - size + 1) // 2, (h - size + 1) // 2
     img = img.crop((x0, y0, x0 + size, y0 + size))
     return np.asarray(img, np.uint8)
 
@@ -67,11 +68,24 @@ class ImageDirSource:
             import subprocess
 
             from rau_vqa_tpu.data.native import decode_image_batch
+            full = [os.path.join(self.root, p) for p in rel_paths]
             try:
-                return decode_image_batch(
-                    [os.path.join(self.root, p) for p in rel_paths],
-                    self.size, n_threads=self.n_threads)
-            except (OSError, subprocess.CalledProcessError):
-                pass  # non-JPEG in the batch (or no toolchain): PIL path
+                return decode_image_batch(full, self.size,
+                                          n_threads=self.n_threads)
+            except subprocess.CalledProcessError:
+                pass  # no toolchain: PIL for the whole batch
+            except OSError:
+                # mixed batch (a non-JPEG among JPEGs): keep the native
+                # decode for every decodable file — falling the WHOLE
+                # batch back would make a JPEG's pixels depend on its
+                # batch-mates — and PIL only the failures
+                out = []
+                for rel, path in zip(rel_paths, full):
+                    try:
+                        out.append(decode_image_batch([path], self.size,
+                                                      n_threads=1)[0])
+                    except OSError:
+                        out.append(self._load_one(rel))
+                return np.stack(out)
         out = list(self.pool.map(self._load_one, rel_paths))
         return np.stack(out)

@@ -169,19 +169,11 @@ class SplitData:
             return
         with ThreadPoolExecutor(max_workers=1) as pool:
             def submit():
+                # indices advance synchronously; the fetch itself (feature
+                # gather or image decode — _fetch_source's dispatch) runs
+                # in the worker, like the reference's prefetch thread
                 idx = self._batch_indices()
-                if hasattr(source, "dim"):      # feature source
-                    names = [self.img_names[i] for i in idx]
-                    dts = self.datatypes[idx]
-                    return idx, pool.submit(source.get_batch, names, dts)
-                # image source (duck-typed like _fetch_source): decode the
-                # raw images in the prefetch worker, as the reference's
-                # next_batch_image does (vqa_prepro_loader.lua:1012-1068)
-                if self.img_paths is None:
-                    raise ValueError(
-                        "split has no image paths for an image source")
-                paths = [self.img_paths[i] for i in idx]
-                return idx, pool.submit(source.get_batch, paths)
+                return idx, pool.submit(self._fetch_source, source, idx)
 
             pending = submit()
             for i in range(n):

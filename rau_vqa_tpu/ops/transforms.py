@@ -210,6 +210,13 @@ def _cubic_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return out
 
 
+def _torch_round(x: jax.Array) -> jax.Array:
+    """floor(x + 0.5): torch.round's half-away-from-zero for positive x.
+    jnp.round is half-to-even, which shifts the virtual crop dims by 1 on
+    exact-.5 products (common for rational aspect ratios like 3:2)."""
+    return jnp.floor(x + 0.5)
+
+
 def _randint_traced(key: jax.Array, shape, upper: jax.Array) -> jax.Array:
     """Uniform integers in [0, upper] (inclusive) with a TRACED per-element
     upper bound — torch.random(0, n) semantics for data-dependent n (the
@@ -255,10 +262,10 @@ def random_scale_crop(img: jax.Array, rng: jax.Array, minsize: int,
     target = target.astype(jnp.float32)
     if W < H:
         tw = target
-        th = jnp.round(H / W * tw)
+        th = _torch_round(H / W * tw)
     else:
         th = target
-        tw = jnp.round(W / H * th)
+        tw = _torch_round(W / H * th)
     # integer crop origin in the virtual rescaled image (inclusive bound)
     y0 = _randint_traced(k2, (B,), th - size).astype(jnp.float32)
     x0 = _randint_traced(k3, (B,), tw - size).astype(jnp.float32)
@@ -291,8 +298,8 @@ def random_sized_crop(img: jax.Array, rng: jax.Array, size: int, *,
     area = jax.random.uniform(k1, (B, A), minval=min_area,
                               maxval=1.0) * (H * W)
     aspect = jax.random.uniform(k2, (B, A), minval=3 / 4, maxval=4 / 3)
-    w = jnp.round(jnp.sqrt(area * aspect))
-    h = jnp.round(jnp.sqrt(area / aspect))
+    w = _torch_round(jnp.sqrt(area * aspect))
+    h = _torch_round(jnp.sqrt(area / aspect))
     swap = jax.random.uniform(k3, (B, A)) < 0.5        # :143-145
     w, h = jnp.where(swap, h, w), jnp.where(swap, w, h)
     valid = (h <= H) & (w <= W)

@@ -32,7 +32,8 @@ class RAUService:
                  *, preset: str = "ours_ms",
                  backbone: Optional[str] = None, bb_params=None,
                  fused: bool = False, buckets=(8, 16),
-                 max_batch: int = 16, max_wait_ms: float = 5.0):
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 feat_cache_size: int = 256):
         import dataclasses
         import jax
 
@@ -77,8 +78,9 @@ class RAUService:
         self.max_wait_ms = float(max_wait_ms)
         from collections import OrderedDict, deque
         self._batch_sizes_served = deque(maxlen=1000)  # for tests/metrics
-        # LRU image-feature cache (see _featurize_image)
-        self.feat_cache_size = 256
+        # LRU image-feature cache (see _featurize_image); size it to RAM —
+        # a ResNet entry is [1, 196, 2048] f32 ≈ 1.6 MB
+        self.feat_cache_size = int(feat_cache_size)
         self._feat_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._feat_cache_lock = threading.Lock()
 
@@ -99,9 +101,21 @@ class RAUService:
             if key in self._feat_cache:
                 self._feat_cache.move_to_end(key)
                 return self._feat_cache[key]
-        with Image.open(io.BytesIO(image_bytes)) as img:
-            # same decode path as the batch loader (explicit bicubic)
-            arr = decode_scale_center_crop(img, 448)[None]
+        # decode through the SAME native path as the train/eval loader
+        # (point-sampled Catmull-Rom) so serve-time features match
+        # eval-sweep features bit-for-bit; PIL only as last resort
+        arr = None
+        try:
+            import tempfile
+
+            from rau_vqa_tpu.data.native import decode_image_batch
+            with tempfile.NamedTemporaryFile(suffix=".img") as f:
+                f.write(image_bytes)
+                f.flush()
+                arr = decode_image_batch([f.name], 448, n_threads=1)
+        except Exception:  # noqa: BLE001 — non-JPEG or no toolchain
+            with Image.open(io.BytesIO(image_bytes)) as img:
+                arr = decode_scale_center_crop(img, 448)[None]
         feats = np.asarray(
             extract_features(self.backbone, self.bb_params, arr))
         with self._feat_cache_lock:

@@ -108,8 +108,8 @@ def test_native_decode_matches_oracle(tmp_path):
     scale = size / min(w, h)
     new_w = max(size, round(w * scale))
     new_h = max(size, round(h * scale))
-    yi, yw = _cr_taps(size, (new_h - size) // 2, h / new_h, h)
-    xi, xw = _cr_taps(size, (new_w - size) // 2, w / new_w, w)
+    yi, yw = _cr_taps(size, (new_h - size + 1) // 2, h / new_h, h)
+    xi, xw = _cr_taps(size, (new_w - size + 1) // 2, w / new_w, w)
     tmp = np.einsum("ik,ikwc->iwc", yw, src[yi])
     want = np.clip(np.rint(np.einsum("jm,ijmc->ijc", xw, tmp[:, xi])),
                    0, 255)

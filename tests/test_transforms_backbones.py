@@ -435,8 +435,8 @@ def test_random_sized_crop_matches_window_oracle():
         k1, (B, A), minval=0.08, maxval=1.0)) * (H * W)
     aspect = np.asarray(jax.random.uniform(
         k2, (B, A), minval=3 / 4, maxval=4 / 3))
-    w = np.round(np.sqrt(area * aspect))
-    h = np.round(np.sqrt(area / aspect))
+    w = np.floor(np.sqrt(area * aspect) + 0.5)      # torch.round semantics
+    h = np.floor(np.sqrt(area / aspect) + 0.5)
     swap = np.asarray(jax.random.uniform(k3, (B, A))) < 0.5
     w, h = np.where(swap, h, w), np.where(swap, w, h)
     valid = (h <= H) & (w <= W)
