@@ -57,6 +57,9 @@ def main() -> None:
                          "only adds traffic), kept for A/B")
     ap.add_argument("--no-s2d", action="store_true",
                     help="(default; kept for compatibility)")
+    ap.add_argument("--int8", action="store_true",
+                    help="experimental int8 backbone (s8s8s32 convs, "
+                         "dynamic activation quant; resnet101 only)")
     args = ap.parse_args()
 
     import jax
@@ -107,15 +110,23 @@ def main() -> None:
 
         return jax.tree_util.tree_map_with_path(fill, shapes)
 
+    apply_override = None
     if args.backbone == "resnet101":
         bb = np_params_like(resnet101_init, 1)
-        if not args.no_fold_bn:
+        if args.int8 or not args.no_fold_bn:
             from rau_vqa_tpu.models.backbones.resnet import (
                 fold_batchnorm,
                 space_to_depth_stem,
             )
             bb = fold_batchnorm(bb)
-            if args.s2d:
+            if args.int8:
+                from rau_vqa_tpu.models.backbones.resnet import (
+                    quantize_resnet,
+                    resnet101_apply_int8,
+                )
+                bb = quantize_resnet(bb)
+                apply_override = resnet101_apply_int8
+            elif args.s2d:
                 bb = space_to_depth_stem(bb)
     elif args.backbone == "vit":
         from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_init
@@ -136,7 +147,12 @@ def main() -> None:
     feat_dt = jnp.float32 if args.f32 else jnp.bfloat16
 
     def one_step(images_u8, toks):
-        feats = extract_features(args.backbone, bb, images_u8)
+        if apply_override is not None:
+            from rau_vqa_tpu.ops import transforms as T
+            x = images_u8.astype(jnp.float32) / 255.0
+            feats = apply_override(bb, T.color_normalize(x))
+        else:
+            feats = extract_features(args.backbone, bb, images_u8)
         featsq = jnp.repeat(feats, Q, axis=0)       # qpi questions/image
         # hand the head its compute dtype directly — an f32 detour would
         # double the HBM traffic of the biggest activation

@@ -217,6 +217,77 @@ def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
     return x.reshape(B, h * w, c)
 
 
+# ---------------------------------------------------------------------------
+# int8 serving mode (experimental): v5e's int8 MXU peaks at ~394 TOPS, 2x
+# bf16 — weights quantize per-output-channel, activations dynamically
+# per-tensor, convs accumulate in int32 (s8s8s32), dequant fuses into the
+# bias/ReLU epilogue.  Residual adds stay float.  Measured verdict in
+# BASELINE.md decides whether this is a win on this toolchain.
+# ---------------------------------------------------------------------------
+
+def quantize_resnet(folded: Dict) -> Dict:
+    """fold_batchnorm tree -> int8 tree: per-output-channel symmetric
+    weight quantization (w_q int8, w_scale f32 [co]); biases stay f32."""
+    if not folded.get("folded"):
+        raise ValueError("quantize_resnet expects a fold_batchnorm tree")
+
+    def q(conv):
+        w = np.asarray(conv["w"], np.float32)
+        absmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        wq = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        return {"wq": jnp.asarray(wq), "wscale": jnp.asarray(scale),
+                "b": jnp.asarray(np.asarray(conv["b"], np.float32))}
+
+    out: Dict = {"conv1": q(folded["conv1"]), "stages": [], "int8": True}
+    for blocks in folded["stages"]:
+        out["stages"].append([
+            {k: q(blk[k]) for k in ("conv1", "conv2", "conv3", "down")
+             if k in blk} for blk in blocks])
+    return out
+
+
+def _conv_int8(x: jax.Array, p: Dict, stride: int = 1) -> jax.Array:
+    """f32 activations -> dynamic per-tensor int8 -> s8s8s32 conv ->
+    fused dequant + bias.  Returns f32."""
+    ax = jnp.max(jnp.abs(x))
+    xscale = jnp.maximum(ax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x / xscale), -127, 127).astype(jnp.int8)
+    kh, kw = p["wq"].shape[0], p["wq"].shape[1]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
+    acc = jax.lax.conv_general_dilated(
+        xq, p["wq"], window_strides=(stride, stride), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (xscale * p["wscale"])
+            + p["b"].astype(jnp.float32))
+
+
+def _bottleneck_int8(x, blk, stride):
+    y = jax.nn.relu(_conv_int8(x, blk["conv1"]))
+    y = jax.nn.relu(_conv_int8(y, blk["conv2"], stride))
+    y = _conv_int8(y, blk["conv3"])
+    if "down" in blk:
+        x = _conv_int8(x, blk["down"], stride)
+    return jax.nn.relu(x + y)
+
+
+def resnet101_apply_int8(params: Dict, x: jax.Array) -> jax.Array:
+    """int8 twin of resnet101_apply over a quantize_resnet tree."""
+    x = jax.nn.relu(_conv_int8(x.astype(jnp.float32), params["conv1"],
+                               stride=2))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                              (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+    for stage, blocks in enumerate(params["stages"]):
+        for b, blk in enumerate(blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            x = _bottleneck_int8(x, blk, stride)
+    B, h, w, c = x.shape
+    return x.reshape(B, h * w, c)
+
+
 def _bn_from_torch(state, prefix):
     return {"scale": jnp.asarray(np.asarray(state[f"{prefix}.weight"])),
             "offset": jnp.asarray(np.asarray(state[f"{prefix}.bias"])),

@@ -258,6 +258,26 @@ def test_fold_batchnorm_matches_unfolded():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_int8_resnet_tracks_f32():
+    """The experimental int8 serving mode (per-channel weights, dynamic
+    per-tensor activations, s8s8s32 convs) must track the f32 features
+    closely on a shrunk net — quantization noise, not wrong math."""
+    from rau_vqa_tpu.models.backbones import resnet as R
+
+    rs = np.random.RandomState(4)
+    params = R.resnet101_init(jax.random.PRNGKey(5))
+    params["stages"] = [blocks[:1] for blocks in params["stages"]]
+    folded = R.fold_batchnorm(params)
+    x = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    ref = np.asarray(R.resnet101_apply(folded, x)).ravel()
+    got = np.asarray(R.resnet101_apply_int8(R.quantize_resnet(folded),
+                                            x)).ravel()
+    corr = np.corrcoef(ref, got)[0, 1]
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert corr > 0.995 and rel < 0.1, (corr, rel)
+
+
 def test_space_to_depth_stem_matches_conv1():
     """The s2d stem rewrite (4x4/1 conv on a 2x2-s2d grid, pad (2,1)) is
     EXACTLY the 7x7/2 pad-3 conv1 — the MXU-friendly ResNet stem."""
