@@ -131,3 +131,11 @@ def test_dashboard_sparklines_and_attention(tmp_path):
     dump_attention_maps(os.path.join(wd, "figures"), 1.0, att, [7, 9], 3, 2)
     got = _attention_browser(wd)
     assert "epoch_001/hop_001/7.png" in got
+
+
+def test_file_utils_roundtrip(tmp_path):
+    from rau_vqa_tpu.utils.file_utils import text_read, write_text
+
+    path = str(tmp_path / "lines.txt")
+    write_text(path, ["alpha", "beta", ""])
+    assert text_read(path) == ["alpha", "beta", ""]
