@@ -27,6 +27,7 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -77,16 +78,14 @@ Taps make_taps(int out_size, int origin, double scale, int src_size) {
   return t;
 }
 
-bool decode_one(const char* path, int size, uint8_t* out) {
+bool decode_jpeg(const char* path, std::vector<uint8_t>& pixels,
+                 int& w, int& h) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
-
   jpeg_decompress_struct cinfo;
   JpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
   err.mgr.error_exit = jpeg_err_exit;
-  std::vector<uint8_t> pixels;
-  int w = 0, h = 0;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -107,7 +106,46 @@ bool decode_one(const char* path, int size, uint8_t* out) {
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
-  if (w < 1 || h < 1) return false;
+  return w > 0 && h > 0;
+}
+
+bool decode_png_file(const char* path, std::vector<uint8_t>& pixels,
+                     int& w, int& h) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return false;
+  image.format = PNG_FORMAT_RGB;     // palette/alpha/gray -> RGB
+  w = int(image.width);
+  h = int(image.height);
+  pixels.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, pixels.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  return w > 0 && h > 0;
+}
+
+bool decode_one(const char* path, int size, uint8_t* out) {
+  // format sniff by magic bytes: JPEG FF D8, PNG 89 'P' 'N' 'G'
+  uint8_t magic[4] = {0, 0, 0, 0};
+  if (FILE* f = std::fopen(path, "rb")) {
+    size_t got = std::fread(magic, 1, 4, f);
+    std::fclose(f);
+    if (got < 2) return false;
+  } else {
+    return false;
+  }
+  std::vector<uint8_t> pixels;
+  int w = 0, h = 0;
+  bool ok = false;
+  if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(path, pixels, w, h);
+  } else if (magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N'
+             && magic[3] == 'G') {
+    ok = decode_png_file(path, pixels, w, h);
+  }
+  if (!ok) return false;
 
   // shorter-side resize target (matches data/images.decode_scale_center_crop:
   // scale = size/min(w,h); new = max(size, round(dim * scale)))

@@ -126,9 +126,28 @@ def test_native_decode_reports_bad_file(tmp_path):
         decode_image_batch([bad], 32)
 
 
+def test_native_decode_png_lossless(tmp_path):
+    """PNG decodes in-pool (libpng) — byte-exact at target size since PNG
+    is lossless; palette/alpha variants convert to RGB."""
+    from PIL import Image
+
+    from rau_vqa_tpu.data.native import decode_image_batch
+
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    p = str(tmp_path / "a.png")
+    Image.fromarray(img).save(p)
+    out = decode_image_batch([p], 64)
+    np.testing.assert_array_equal(out[0], img)
+    p2 = str(tmp_path / "pal.png")
+    Image.fromarray(img).convert("P").save(p2)
+    assert decode_image_batch([p2], 64).shape == (1, 64, 64, 3)
+
+
 def test_image_dir_source_native_backend_and_fallback(tmp_path):
-    """backend='native' decodes JPEGs in C++; a PNG in the batch falls the
-    whole batch back to the PIL path (same Scale+CenterCrop semantics)."""
+    """backend='native' decodes JPEG+PNG in C++; an unsupported format in
+    the batch falls back to PIL PER ITEM — the native-decodable files keep
+    their native pixels."""
     from PIL import Image
 
     from rau_vqa_tpu.data.images import ImageDirSource
@@ -140,6 +159,8 @@ def test_image_dir_source_native_backend_and_fallback(tmp_path):
     batch = src.get_batch(["a.jpg"])
     assert batch.shape == (1, 48, 48, 3) and batch.dtype == np.uint8
 
-    Image.fromarray(img).save(str(tmp_path / "b.png"))
-    batch2 = src.get_batch(["a.jpg", "b.png"])   # PIL fallback
+    Image.fromarray(img).save(str(tmp_path / "b.bmp"))   # not in the pool
+    batch2 = src.get_batch(["a.jpg", "b.bmp"])           # per-item fallback
     assert batch2.shape == (2, 48, 48, 3)
+    # the JPEG's pixels must NOT depend on its batch-mates
+    np.testing.assert_array_equal(batch2[0], batch[0])
