@@ -3,7 +3,11 @@
 POST /answer with JSON {"question": str, "feat_name": str} (precomputed
 features) or {"question": str, "image_b64": str} (raw image through the
 on-TPU backbone when one is configured); returns the top-k answers of the
-"select" aggregate plus per-hop answers.  GET /healthz for liveness.
+"select" aggregate plus per-hop answers.  POST /answer_many with
+{"questions": [str, ...], "feat_name"|"image_b64"} answers several
+questions about ONE image — features are fetched once and the questions
+share a micro-batch dispatch (the VQA ~3-questions-per-image pattern).
+GET /healthz for liveness.
 
 One process, one chip.  Concurrent requests are DYNAMICALLY MICRO-BATCHED:
 a collector thread drains the request queue, pads the group to a fixed
@@ -182,9 +186,8 @@ class RAUService:
             item["tab"] = tab[:, i]
             item["done"].set()
 
-    def answer(self, question: str, *, feat_name: Optional[str] = None,
-               image_b64: Optional[str] = None, topk: int = 5) -> Dict:
-        tokens, length = self.data.question_to_tokens(question)
+    def _feats_for(self, feat_name: Optional[str],
+                   image_b64: Optional[str]) -> np.ndarray:
         if feat_name is not None:
             from rau_vqa_tpu.data.features import QuantFeats
             feats = self.source.get_batch([feat_name], [1])
@@ -192,11 +195,53 @@ class RAUService:
                 # raw_int8 stores hand back values+scales; serving wants
                 # plain floats (single-question batches are tiny anyway)
                 feats = feats.dequantize()
-            feats = feats[0]
-        elif image_b64 is not None:
-            feats = self._featurize_image(base64.b64decode(image_b64))[0]
-        else:
-            raise ValueError("need feat_name or image_b64")
+            return feats[0]
+        if image_b64 is not None:
+            return self._featurize_image(base64.b64decode(image_b64))[0]
+        raise ValueError("need feat_name or image_b64")
+
+    def answer_many(self, questions, *, feat_name: Optional[str] = None,
+                    image_b64: Optional[str] = None, topk: int = 5):
+        """Several questions about ONE image — the VQA pattern (~3
+        questions/image).  Features are fetched/computed once; the
+        questions ride the micro-batcher as one arrival burst (typically
+        one device dispatch)."""
+        feats = self._feats_for(feat_name, image_b64)
+        self._ensure_batcher()
+        items = []
+        with self._qcond:
+            for q in questions:
+                tokens, length = self.data.question_to_tokens(q)
+                item = {"tokens": tokens, "length": length, "feats": feats,
+                        "done": threading.Event(), "question": q}
+                items.append(item)
+                self._queue.append(item)
+            self._qcond.notify_all()
+        out = []
+        for item in items:
+            item["done"].wait()
+            if "error" in item:
+                raise item["error"]
+            out.append(self._format_answer(item["question"], item["tab"],
+                                           topk))
+        return out
+
+    def _format_answer(self, question: str, tab: np.ndarray,
+                       topk: int) -> Dict:
+        final = tab[-1]                            # "select" aggregate
+        order = np.argsort(final)[::-1][:topk]
+        return {
+            "question": question,
+            "answers": [{"answer": self.data.answers[int(i)],
+                         "score": float(final[i])} for i in order],
+            "per_hop": [self.data.answers[int(tab[h].argmax())]
+                        for h in range(tab.shape[0] - 2)],
+        }
+
+    def answer(self, question: str, *, feat_name: Optional[str] = None,
+               image_b64: Optional[str] = None, topk: int = 5) -> Dict:
+        tokens, length = self.data.question_to_tokens(question)
+        feats = self._feats_for(feat_name, image_b64)
         self._ensure_batcher()
         item = {"tokens": tokens, "length": length, "feats": feats,
                 "done": threading.Event()}
@@ -206,16 +251,7 @@ class RAUService:
         item["done"].wait()
         if "error" in item:
             raise item["error"]
-        tab = item["tab"]                          # [H+2, A]
-        final = tab[-1]
-        order = np.argsort(final)[::-1][:topk]
-        return {
-            "question": question,
-            "answers": [{"answer": self.data.answers[int(i)],
-                         "score": float(final[i])} for i in order],
-            "per_hop": [self.data.answers[int(tab[h].argmax())]
-                        for h in range(tab.shape[0] - 2)],
-        }
+        return self._format_answer(question, item["tab"], topk)
 
 
 def make_handler(service: RAUService):
@@ -238,17 +274,26 @@ def make_handler(service: RAUService):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/answer":
+            if self.path not in ("/answer", "/answer_many"):
                 self._send(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                result = service.answer(
-                    req["question"],
-                    feat_name=req.get("feat_name"),
-                    image_b64=req.get("image_b64"),
-                    topk=int(req.get("topk", 5)))
+                if self.path == "/answer_many":
+                    # several questions about ONE image (~3/image in VQA):
+                    # features once, one micro-batch dispatch
+                    result = {"results": service.answer_many(
+                        req["questions"],
+                        feat_name=req.get("feat_name"),
+                        image_b64=req.get("image_b64"),
+                        topk=int(req.get("topk", 5)))}
+                else:
+                    result = service.answer(
+                        req["question"],
+                        feat_name=req.get("feat_name"),
+                        image_b64=req.get("image_b64"),
+                        topk=int(req.get("topk", 5)))
                 self._send(200, result)
             except Exception as e:  # noqa: BLE001 — service boundary
                 self._send(400, {"error": str(e)})

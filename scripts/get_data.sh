@@ -35,10 +35,19 @@ do_resnet() {
 }
 
 do_snapshots() {
-  # reference trained models (golden outputs for checkpoint-parity tests)
-  for exp in Ours_SS Ours_MS Ours_Full; do
-    fetch_targz "http://cvlab.postech.ac.kr/~hyeonwoonoh/research/imageqa/2016_NIPS/${exp}/save_result_vqa_448_test-dev2015.tar.gz" || true
-  done
+  # reference trained models (golden outputs for checkpoint-parity tests);
+  # per-experiment tarball names exactly as published
+  # (experiments/*/download_trained_model.sh)
+  BASE="http://cvlab.postech.ac.kr/~hyeonwoonoh/research/imageqa/2016_NIPS"
+  # one subdir per experiment: SS and MS share a tarball basename
+  fetch_snapshot() {
+    mkdir -p "snapshots/$1"
+    (cd "snapshots/$1" && fetch_targz "$BASE/$1/$2")
+  }
+  fetch_snapshot Ours_SS save_result_vqa_448_test-dev2015.tar.gz || true
+  fetch_snapshot Ours_MS save_result_vqa_448_test-dev2015.tar.gz || true
+  fetch_snapshot Ours_Full save_result_vqa_test-dev2015.tar.gz || true
+  fetch_snapshot Ours_ResNet save_result_vqa_resnet101_448_test-dev2015.tar.gz || true
 }
 
 do_pack() {

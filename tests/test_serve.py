@@ -34,9 +34,9 @@ def served(tmp_path_factory):
     server.shutdown()
 
 
-def _post(port, payload):
+def _post(port, payload, path="/answer"):
     req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/answer",
+        f"http://127.0.0.1:{port}{path}",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=60) as r:
@@ -215,3 +215,16 @@ def test_image_feature_cache(served, monkeypatch):
         buf2, format="JPEG")
     svc._featurize_image(buf2.getvalue())
     assert calls["n"] == 2
+
+
+def test_answer_many_endpoint(served):
+    """Several questions about one image: features once, answers for all."""
+    svc = globals()["served"].svc
+    out = _post(served, {"questions": ["w01 w02", "w03", "w04 w05 w06"],
+                         "feat_name": "COCO_train2014_000000000000.t7"},
+                path="/answer_many")
+    assert len(out["results"]) == 3
+    for i, r in enumerate(out["results"]):
+        assert r["answers"] and "question" in r
+    # the burst rode the micro-batcher (some group had >= 2 requests)
+    assert max(svc._batch_sizes_served) >= 2
