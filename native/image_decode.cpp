@@ -149,25 +149,27 @@ bool decode_one(const char* path, int size, uint8_t* out) {
 
   // shorter-side resize target (matches data/images.decode_scale_center_crop:
   // scale = size/min(w,h); new = max(size, round(dim * scale)))
+  // half-to-even rounding, matching Python round() in
+  // data/images.decode_scale_center_crop (lround would disagree on
+  // exact-.5 products and shift the virtual dims by one)
   const double scale = double(size) / std::min(w, h);
-  const int new_w = std::max(size, int(std::lround(w * scale)));
-  const int new_h = std::max(size, int(std::lround(h * scale)));
+  const int new_w = std::max(size, int(std::nearbyint(w * scale)));
+  const int new_h = std::max(size, int(std::nearbyint(h * scale)));
   // ceil origin, like the reference CenterCrop (transforms.lua:56-57)
   const int x0 = (new_w - size + 1) / 2;
   const int y0 = (new_h - size + 1) / 2;
   const Taps ty = make_taps(size, y0, double(h) / new_h, h);
   const Taps tx = make_taps(size, x0, double(w) / new_w, w);
 
-  // separable resample: rows first into a 4-row float band per output row
-  std::vector<float> band(size_t(size) * 3);  // one horizontally-resampled row
-  std::vector<float> acc(size_t(size) * 3);
-  for (int i = 0; i < size; ++i) {
-    std::fill(acc.begin(), acc.end(), 0.f);
-    for (int k = 0; k < 4; ++k) {
-      const uint8_t* src_row =
-          pixels.data() + size_t(ty.idx[i * 4 + k]) * w * 3;
-      const float wy = ty.w[i * 4 + k];
-      // horizontal pass for this source row
+  // separable resample with a lazy horizontal-pass cache: adjacent output
+  // rows share up to 3 of their 4 vertical-tap source rows, so each source
+  // row is horizontally resampled ONCE (vs 4x redundant work)
+  std::vector<std::vector<float>> hcache(h);
+  auto hrow = [&](int sr) -> const std::vector<float>& {
+    std::vector<float>& band = hcache[sr];
+    if (band.empty()) {
+      band.resize(size_t(size) * 3);
+      const uint8_t* src_row = pixels.data() + size_t(sr) * w * 3;
       for (int j = 0; j < size; ++j) {
         float r = 0.f, g = 0.f, b = 0.f;
         for (int m = 0; m < 4; ++m) {
@@ -181,6 +183,15 @@ bool decode_one(const char* path, int size, uint8_t* out) {
         band[size_t(j) * 3 + 1] = g;
         band[size_t(j) * 3 + 2] = b;
       }
+    }
+    return band;
+  };
+  std::vector<float> acc(size_t(size) * 3);
+  for (int i = 0; i < size; ++i) {
+    std::fill(acc.begin(), acc.end(), 0.f);
+    for (int k = 0; k < 4; ++k) {
+      const std::vector<float>& band = hrow(ty.idx[i * 4 + k]);
+      const float wy = ty.w[i * 4 + k];
       for (int j = 0; j < size * 3; ++j) acc[j] += wy * band[j];
     }
     uint8_t* dst = out + size_t(i) * size * 3;

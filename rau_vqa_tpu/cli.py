@@ -544,8 +544,8 @@ def cmd_verify_released(args) -> int:
     # only inside verify_released (whose re-adoption is then a no-op)
     from rau_vqa_tpu.data import t7
     from rau_vqa_tpu.eval.released import adopt_snapshot_opt, pick_snapshot
-    _, snap_path = pick_snapshot(root, args.epoch)
-    snap = t7.load_t7(snap_path)
+    snap_epoch, snap_path = pick_snapshot(root, args.epoch)
+    snap = t7.load_t7(snap_path)     # parsed ONCE; handed to the harness
     if isinstance(snap, dict) and "opt" in snap:
         exp = adopt_snapshot_opt(exp, snap["opt"])
     data = load_vqa_data(
@@ -558,7 +558,8 @@ def cmd_verify_released(args) -> int:
         gt = load_gt_annotations(exp.data.gt_anno)
 
     report = verify_released(root, exp, data, source, workdir,
-                             epoch=args.epoch, gt_anno=gt)
+                             epoch=args.epoch, gt_anno=gt,
+                             snapshot=(snap_epoch, snap_path, snap))
     out_path = os.path.join(workdir, "verify_released_report.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
@@ -798,7 +799,13 @@ def main(argv=None) -> int:
 
     raw = sys.argv[1:] if argv is None else list(argv)
     if raw and raw[0] == "bench-pixels":
-        # passthrough: bench_pixels owns its own argparse surface
+        # passthrough: bench_pixels owns its own argparse surface.  It
+        # lives at the repo root (outside the package), so resolve it from
+        # this file's location — a bare import only works from the root.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__)))
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         import bench_pixels
         sys.argv = ["bench_pixels"] + raw[1:]
         bench_pixels.main()

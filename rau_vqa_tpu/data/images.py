@@ -65,15 +65,19 @@ class ImageDirSource:
 
     def get_batch(self, rel_paths: Sequence[str]) -> np.ndarray:
         if self.backend == "native":
-            import subprocess
-
-            from rau_vqa_tpu.data.native import decode_image_batch
+            from rau_vqa_tpu.data.native import (
+                NativeUnavailable,
+                decode_image_batch,
+            )
             full = [os.path.join(self.root, p) for p in rel_paths]
             try:
                 return decode_image_batch(full, self.size,
                                           n_threads=self.n_threads)
-            except subprocess.CalledProcessError:
-                pass  # no toolchain: PIL for the whole batch
+            except NativeUnavailable:
+                # no toolchain / missing shared deps on this host: switch
+                # this source to PIL permanently (the library loader also
+                # memoizes the failure, so nothing retries `make`)
+                self.backend = "pil"
             except OSError:
                 # mixed batch (a non-JPEG among JPEGs): keep the native
                 # decode for every decodable file — falling the WHOLE

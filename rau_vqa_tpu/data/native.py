@@ -27,20 +27,36 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfeature_loader.so")
 _lib = None
 
+import threading
+
+_load_lock = threading.Lock()   # one builder: concurrent `make` runs would
+                                # rewrite the .so under a CDLL mmap
+
+
+class NativeUnavailable(RuntimeError):
+    """The native library cannot be built/loaded on this host (no
+    toolchain, missing shared deps).  Callers fall back to pure Python —
+    and should REMEMBER the failure rather than re-running `make` per
+    batch."""
+
 
 def load_library(build: bool = True) -> ctypes.CDLL:
     """Load (building if needed) the native loader library."""
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_NATIVE_DIR, "feature_loader.cpp")
-    needs_build = (not os.path.exists(_LIB_PATH)
-                   or (os.path.exists(src)
-                       and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
-    if needs_build and build:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(_LIB_PATH)
+    with _load_lock:
+        if _lib is not None:
+            return _lib
+        src = os.path.join(_NATIVE_DIR, "feature_loader.cpp")
+        needs_build = (not os.path.exists(_LIB_PATH)
+                       or (os.path.exists(src)
+                           and os.path.getmtime(src)
+                           > os.path.getmtime(_LIB_PATH)))
+        if needs_build and build:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
     lib.fl_open.restype = ctypes.c_void_p
     lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                             ctypes.c_uint64, ctypes.c_uint64]
@@ -160,27 +176,40 @@ class NativePackedFeatureStore(FeatureSource):
 
 _IMG_LIB_PATH = os.path.join(_NATIVE_DIR, "libimage_decode.so")
 _img_lib = None
+_img_lib_error: "Exception | None" = None
 
 
 def load_image_library(build: bool = True) -> ctypes.CDLL:
-    """Load (building if needed) the native JPEG decode library."""
-    global _img_lib
+    """Load (building if needed) the native image decode library.  Raises
+    :class:`NativeUnavailable` — and keeps raising it WITHOUT re-running
+    `make` — when this host cannot build/load it."""
+    global _img_lib, _img_lib_error
     if _img_lib is not None:
         return _img_lib
-    src = os.path.join(_NATIVE_DIR, "image_decode.cpp")
-    needs_build = (not os.path.exists(_IMG_LIB_PATH)
-                   or (os.path.exists(src) and os.path.getmtime(src)
-                       > os.path.getmtime(_IMG_LIB_PATH)))
-    if needs_build and build:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "libimage_decode.so"],
-                       check=True, capture_output=True)
-    lib = ctypes.CDLL(_IMG_LIB_PATH)
-    lib.id_decode_batch.restype = ctypes.c_int64
-    lib.id_decode_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
-    _img_lib = lib
-    return lib
+    with _load_lock:
+        if _img_lib is not None:
+            return _img_lib
+        if _img_lib_error is not None:
+            raise NativeUnavailable(str(_img_lib_error))
+        try:
+            src = os.path.join(_NATIVE_DIR, "image_decode.cpp")
+            needs_build = (not os.path.exists(_IMG_LIB_PATH)
+                           or (os.path.exists(src) and os.path.getmtime(src)
+                               > os.path.getmtime(_IMG_LIB_PATH)))
+            if needs_build and build:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "libimage_decode.so"],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_IMG_LIB_PATH)
+        except Exception as e:  # noqa: BLE001 — toolchain/deps absent
+            _img_lib_error = e
+            raise NativeUnavailable(str(e)) from e
+        lib.id_decode_batch.restype = ctypes.c_int64
+        lib.id_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        _img_lib = lib
+        return lib
 
 
 def decode_image_batch(paths: Sequence[str], size: int, *,

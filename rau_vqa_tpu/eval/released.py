@@ -130,7 +130,8 @@ def adopt_snapshot_opt(exp, snap_opt: Dict) -> Any:
 
 def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
                     epoch: Optional[float] = None,
-                    gt_anno: Optional[Dict[int, str]] = None
+                    gt_anno: Optional[Dict[int, str]] = None,
+                    snapshot: Optional[Tuple[float, str, Dict]] = None
                     ) -> Dict[str, Any]:
     """Run the full parity pipeline against an extracted released tarball.
 
@@ -145,15 +146,19 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
     from rau_vqa_tpu.train.trainer import Trainer
     from rau_vqa_tpu.utils import torch_convert as tc
 
-    snap_epoch, snap_path = pick_snapshot(extracted_root, epoch)
-    snap = t7.load_t7(snap_path)
+    if snapshot is not None:
+        # caller already picked + parsed it (large t7 blobs parse once)
+        snap_epoch, snap_path, snap = snapshot
+    else:
+        snap_epoch, snap_path = pick_snapshot(extracted_root, epoch)
+        snap = t7.load_t7(snap_path)
     snap_opt = snap.get("opt", {}) if isinstance(snap, dict) else {}
     exp = adopt_snapshot_opt(exp, snap_opt)
 
     trainer = Trainer(exp, data, source, workdir, gt_anno=gt_anno)
     mcfg = trainer.mcfg
 
-    flats = tc.snapshot_flats(snap_path)
+    flats = tc.flats_from_snapshot(snap)
     sizes_ok = all(f.size == tc.group_size(mcfg, g)
                    for f, g in zip(flats, ("embed", "rnn", "mult")))
     if not sizes_ok:
@@ -167,7 +172,8 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
             "report": layout_report(mcfg),
         }
 
-    params = tc.convert_snapshot(snap_path, mcfg)
+    params = {g: tc.flat_to_group(f, mcfg, g)
+              for f, g in zip(flats, ("embed", "rnn", "mult"))}
     params = jax.tree.map(
         lambda t_, s: np.asarray(s, dtype=np.asarray(t_).dtype),
         trainer.state.params, params)

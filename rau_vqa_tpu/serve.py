@@ -69,6 +69,10 @@ class RAUService:
                                          buckets=tuple(buckets))
         self.backbone = backbone
         self.bb_params = bb_params
+        # decode size follows the checkpoint's feature grid: stride-32
+        # conv backbones give cnn_w = size/32; ViT-L/14 gives size/14
+        patch = 14 if backbone == "vit" else 32
+        self.image_size = self.mcfg.cnn_w * patch
 
         from rau_vqa_tpu.cli import _make_feature_source
         self.source = _make_feature_source(list(feat_dirs), self.mcfg)
@@ -86,6 +90,7 @@ class RAUService:
         # a ResNet entry is [1, 196, 2048] f32 ≈ 1.6 MB
         self.feat_cache_size = int(feat_cache_size)
         self._feat_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._feat_inflight: Dict[str, threading.Event] = {}
         self._feat_cache_lock = threading.Lock()
 
     def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
@@ -101,13 +106,23 @@ class RAUService:
         # VQA asks ~3 questions per image: cache features by content hash
         # so repeat questions about one image pay the backbone once
         key = hashlib.sha256(image_bytes).hexdigest()
-        with self._feat_cache_lock:
-            if key in self._feat_cache:
-                self._feat_cache.move_to_end(key)
-                return self._feat_cache[key]
+        while True:
+            with self._feat_cache_lock:
+                if key in self._feat_cache:
+                    self._feat_cache.move_to_end(key)
+                    return self._feat_cache[key]
+                inflight = self._feat_inflight.get(key)
+                if inflight is None:
+                    # this thread computes; concurrent same-image requests
+                    # (the ~3-questions pattern) wait instead of each
+                    # running the backbone
+                    self._feat_inflight[key] = threading.Event()
+                    break
+            inflight.wait()
         # decode through the SAME native path as the train/eval loader
         # (point-sampled Catmull-Rom) so serve-time features match
         # eval-sweep features bit-for-bit; PIL only as last resort
+        size = self.image_size
         arr = None
         try:
             import tempfile
@@ -116,16 +131,22 @@ class RAUService:
             with tempfile.NamedTemporaryFile(suffix=".img") as f:
                 f.write(image_bytes)
                 f.flush()
-                arr = decode_image_batch([f.name], 448, n_threads=1)
+                arr = decode_image_batch([f.name], size, n_threads=1)
         except Exception:  # noqa: BLE001 — non-JPEG or no toolchain
             with Image.open(io.BytesIO(image_bytes)) as img:
-                arr = decode_scale_center_crop(img, 448)[None]
-        feats = np.asarray(
-            extract_features(self.backbone, self.bb_params, arr))
-        with self._feat_cache_lock:
-            self._feat_cache[key] = feats
-            while len(self._feat_cache) > self.feat_cache_size:
-                self._feat_cache.popitem(last=False)
+                arr = decode_scale_center_crop(img, size)[None]
+        try:
+            feats = np.asarray(
+                extract_features(self.backbone, self.bb_params, arr))
+            with self._feat_cache_lock:
+                self._feat_cache[key] = feats
+                while len(self._feat_cache) > self.feat_cache_size:
+                    self._feat_cache.popitem(last=False)
+        finally:
+            with self._feat_cache_lock:
+                ev = self._feat_inflight.pop(key, None)
+            if ev is not None:
+                ev.set()
         return feats
 
     # -- dynamic micro-batching ----------------------------------------

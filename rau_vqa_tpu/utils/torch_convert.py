@@ -192,18 +192,23 @@ def group_to_flat(params: Dict, cfg: ModelConfig, group: str,
     return np.concatenate(chunks)
 
 
+def flats_from_snapshot(snap) -> List[np.ndarray]:
+    """The three flat parameter vectors of an already-parsed snapshot
+    table (large t7 blobs should parse once per run)."""
+    if isinstance(snap, dict):
+        flats = snap["params"]
+    else:
+        raise ValueError("expected a snapshot table")
+    if isinstance(flats, dict):   # lua 1-based table -> dict
+        flats = [flats[float(i)] for i in (1, 2, 3)]
+    return [np.asarray(f).reshape(-1) for f in flats]
+
+
 def snapshot_flats(t7_path: str) -> List[np.ndarray]:
     """Load the three flat parameter vectors from a reference snapshot."""
     from rau_vqa_tpu.data import t7
 
-    snap = t7.load_t7(t7_path)
-    if isinstance(snap, dict):
-        flats = snap["params"]
-    else:
-        raise ValueError(f"{t7_path}: expected a snapshot table")
-    if isinstance(flats, dict):   # lua 1-based table -> dict
-        flats = [flats[float(i)] for i in (1, 2, 3)]
-    return [np.asarray(f).reshape(-1) for f in flats]
+    return flats_from_snapshot(t7.load_t7(t7_path))
 
 
 def convert_snapshot(t7_path: str, cfg: ModelConfig,
