@@ -228,3 +228,42 @@ def test_answer_many_endpoint(served):
         assert r["answers"] and "question" in r
     # the burst rode the micro-batcher (some group had >= 2 requests)
     assert max(svc._batch_sizes_served) >= 2
+
+
+def test_image_feature_cache_coalesces_concurrent(served, monkeypatch):
+    """Concurrent requests for ONE image run the backbone once: later
+    arrivals wait on the in-flight computation instead of racing it."""
+    import io as _io
+    import threading as _t
+    import time as _time
+
+    import numpy as np
+    from PIL import Image
+
+    svc = globals()["served"].svc
+    calls = {"n": 0}
+    S, D = svc.mcfg.cnn_spat, svc.mcfg.cnn_dim
+
+    def fake_extract(backbone, bb_params, arr, vit_cfg=None):
+        calls["n"] += 1
+        _time.sleep(0.2)        # widen the race window
+        return np.zeros((arr.shape[0], S, D), np.float32)
+
+    import rau_vqa_tpu.models.pipeline as pl
+    monkeypatch.setattr(pl, "extract_features", fake_extract)
+    monkeypatch.setattr(svc, "backbone", "vgg16")
+    monkeypatch.setattr(svc, "bb_params", {})
+
+    buf = _io.BytesIO()
+    rs = np.random.RandomState(9)
+    Image.fromarray(rs.randint(0, 256, (64, 64, 3), dtype=np.uint8)).save(
+        buf, format="JPEG")
+    img_bytes = buf.getvalue()
+    results = []
+    threads = [_t.Thread(target=lambda: results.append(
+        svc._featurize_image(img_bytes))) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4 and calls["n"] == 1
