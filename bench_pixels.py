@@ -111,6 +111,9 @@ def main() -> None:
         return jax.tree_util.tree_map_with_path(fill, shapes)
 
     apply_override = None
+    if args.s2d and (args.no_fold_bn or args.int8):
+        raise SystemExit("--s2d needs the folded f32/bf16 tree: it cannot "
+                         "combine with --no-fold-bn or --int8")
     if args.backbone == "resnet101":
         bb = np_params_like(resnet101_init, 1)
         if args.int8 or not args.no_fold_bn:

@@ -9,10 +9,13 @@
 // pixels share one semantics.
 //
 // C ABI (ctypes-friendly):
-//   id_decode_batch(paths, n, size, n_threads, out) -> 0 on success, or
-//     the 1-based index of the first image that failed to decode/open.
-//     paths: array of n NUL-terminated file paths (JPEG).
-//     out:   n * size * size * 3 bytes, RGB row-major.
+//   id_decode_batch(paths, n, size, n_threads, out, status) -> 0 on
+//     success, or the 1-based index of the first image that failed.
+//     paths:  array of n NUL-terminated file paths (JPEG or PNG).
+//     out:    n * size * size * 3 bytes, RGB row-major.
+//     status: optional (nullable) n bytes — per-item 1=decoded 0=failed;
+//             successes keep their pixels in `out` even when others fail,
+//             so callers re-decode ONLY the failures.
 //
 // Build: make -C native   (produces libimage_decode.so, links -ljpeg)
 
@@ -196,7 +199,9 @@ bool decode_one(const char* path, int size, uint8_t* out) {
     }
     uint8_t* dst = out + size_t(i) * size * 3;
     for (int j = 0; j < size * 3; ++j) {
-      dst[j] = uint8_t(std::min(std::max(int(std::lround(acc[j])), 0), 255));
+      // half-to-even, like np.rint in the pinned byte-exact oracle
+      dst[j] = uint8_t(std::min(std::max(int(std::nearbyint(acc[j])), 0),
+                                255));
     }
   }
   return true;
@@ -207,7 +212,7 @@ bool decode_one(const char* path, int size, uint8_t* out) {
 extern "C" {
 
 int64_t id_decode_batch(const char** paths, int64_t n, int32_t size,
-                        int32_t n_threads, uint8_t* out) {
+                        int32_t n_threads, uint8_t* out, uint8_t* status) {
   std::atomic<int64_t> failed{0};   // first 1-based failing index, 0 = ok
   const int threads =
       std::max(1, std::min<int>(n_threads, int(std::min<int64_t>(n, 64))));
@@ -217,7 +222,10 @@ int64_t id_decode_batch(const char** paths, int64_t n, int32_t size,
     for (;;) {
       const int64_t i = next.fetch_add(1);
       if (i >= n) return;
-      if (!decode_one(paths[i], size, out + size_t(i) * img_bytes)) {
+      const bool ok = decode_one(paths[i], size,
+                                 out + size_t(i) * img_bytes);
+      if (status) status[i] = ok ? 1 : 0;
+      if (!ok) {
         int64_t expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
       }

@@ -67,29 +67,24 @@ class ImageDirSource:
         if self.backend == "native":
             from rau_vqa_tpu.data.native import (
                 NativeUnavailable,
-                decode_image_batch,
+                decode_image_batch_status,
             )
             full = [os.path.join(self.root, p) for p in rel_paths]
             try:
-                return decode_image_batch(full, self.size,
-                                          n_threads=self.n_threads)
+                out, ok = decode_image_batch_status(
+                    full, self.size, n_threads=self.n_threads)
             except NativeUnavailable:
                 # no toolchain / missing shared deps on this host: switch
                 # this source to PIL permanently (the library loader also
                 # memoizes the failure, so nothing retries `make`)
                 self.backend = "pil"
-            except OSError:
-                # mixed batch (a non-JPEG among JPEGs): keep the native
-                # decode for every decodable file — falling the WHOLE
-                # batch back would make a JPEG's pixels depend on its
-                # batch-mates — and PIL only the failures
-                out = []
-                for rel, path in zip(rel_paths, full):
-                    try:
-                        out.append(decode_image_batch([path], self.size,
-                                                      n_threads=1)[0])
-                    except OSError:
-                        out.append(self._load_one(rel))
-                return np.stack(out)
+            else:
+                # mixed batch (an unsupported format among JPEG/PNGs):
+                # native pixels are kept for every decodable file — a
+                # file's pixels never depend on its batch-mates — and PIL
+                # decodes ONLY the failures
+                for i in np.flatnonzero(~ok):
+                    out[i] = self._load_one(rel_paths[i])
+                return out
         out = list(self.pool.map(self._load_one, rel_paths))
         return np.stack(out)

@@ -207,27 +207,39 @@ def load_image_library(build: bool = True) -> ctypes.CDLL:
         lib.id_decode_batch.restype = ctypes.c_int64
         lib.id_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8)]
         _img_lib = lib
         return lib
 
 
-def decode_image_batch(paths: Sequence[str], size: int, *,
-                       n_threads: int = 8) -> np.ndarray:
-    """JPEG paths -> uint8 [N, size, size, 3] via the C++ pool: libjpeg
-    decode + fused Catmull-Rom shorter-side resize + center crop (the same
-    sampling kernel as ops/transforms._cubic_sample, so host and device
-    resizes share one semantics).  Raises on the first undecodable file.
-    """
+def decode_image_batch_status(paths: Sequence[str], size: int, *,
+                              n_threads: int = 8):
+    """JPEG/PNG paths -> (uint8 [N, size, size, 3], ok [N] bool) via the
+    C++ pool: decode + fused Catmull-Rom shorter-side resize + center crop
+    (the same sampling kernel as ops/transforms._cubic_sample, so host and
+    device resizes share one semantics).  Successes keep their pixels even
+    when other items fail — callers re-decode only the failures."""
     lib = load_image_library()
     n = len(paths)
     out = np.empty((n, size, size, 3), np.uint8)
+    status = np.zeros((n,), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    rc = lib.id_decode_batch(
+    lib.id_decode_batch(
         arr, n, size, n_threads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    if rc != 0:
-        raise OSError(f"native decode failed for {paths[rc - 1]!r}")
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, status.astype(bool)
+
+
+def decode_image_batch(paths: Sequence[str], size: int, *,
+                       n_threads: int = 8) -> np.ndarray:
+    """Like :func:`decode_image_batch_status` but raises on the first
+    undecodable file."""
+    out, ok = decode_image_batch_status(paths, size, n_threads=n_threads)
+    if not ok.all():
+        bad = int(np.argmin(ok))
+        raise OSError(f"native decode failed for {paths[bad]!r}")
     return out
 
 

@@ -80,14 +80,16 @@ def pick_snapshot(root: str, epoch: Optional[float] = None) -> Tuple[float, str]
     return e, p
 
 
-def load_result_rows(root: str, task: str, hop: int,
-                     epoch: float) -> Optional[Dict[int, str]]:
+def load_result_rows(root: str, task: str, hop: int, epoch: float,
+                     split: str = "*") -> Optional[Dict[int, str]]:
     """qid -> answer map from the tarball's own result JSON for one hop
-    (naming: reference :1171-1177; located under results/hop_XX)."""
+    (naming: reference :1171-1177; located under results/hop_XX).  Pin
+    ``split`` — a tarball shipping more than one split's results would
+    otherwise diff against an arbitrary glob hit."""
     pat = os.path.join(root, "**", f"hop_{hop:02d}",
-                       f"vqa_{task}_mscoco_*{hop:02d}hop-{epoch:.2f}"
-                       f"_results.json")
-    paths = glob.glob(pat, recursive=True)
+                       f"vqa_{task}_mscoco_{split}_*{hop:02d}"
+                       f"hop-{epoch:.2f}_results.json")
+    paths = sorted(glob.glob(pat, recursive=True))
     if not paths:
         return None
     with open(paths[0]) as f:
@@ -195,12 +197,13 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
     for h in range(mcfg.n_hops + 2):
         hop_report = {}
         released_oe = load_result_rows(extracted_root, "OpenEnded", h + 1,
-                                       snap_epoch)
+                                       snap_epoch, split=exp.data.split)
         if released_oe is not None:
             hop_report["oe"] = _diff_rows(result["rows_oe"][h], released_oe)
             agrees.append(hop_report["oe"]["agree"])
         released_mc = load_result_rows(extracted_root, "MultipleChoice",
-                                       h + 1, snap_epoch)
+                                       h + 1, snap_epoch,
+                                       split=exp.data.split)
         if released_mc is not None and result["rows_mc"] is not None:
             hop_report["mc"] = _diff_rows(result["rows_mc"][h], released_mc)
             agrees.append(hop_report["mc"]["agree"])

@@ -119,23 +119,25 @@ class RAUService:
                     self._feat_inflight[key] = threading.Event()
                     break
             inflight.wait()
-        # decode through the SAME native path as the train/eval loader
-        # (point-sampled Catmull-Rom) so serve-time features match
-        # eval-sweep features bit-for-bit; PIL only as last resort
-        size = self.image_size
-        arr = None
+        # EVERYTHING from here runs under the in-flight guard: a decode
+        # failure must release the waiters too, or a retried corrupt image
+        # would deadlock every later request with the same bytes
         try:
-            import tempfile
+            # decode through the SAME native path as the train/eval loader
+            # (point-sampled Catmull-Rom) so serve-time features match
+            # eval-sweep features bit-for-bit; PIL only as last resort
+            size = self.image_size
+            try:
+                import tempfile
 
-            from rau_vqa_tpu.data.native import decode_image_batch
-            with tempfile.NamedTemporaryFile(suffix=".img") as f:
-                f.write(image_bytes)
-                f.flush()
-                arr = decode_image_batch([f.name], size, n_threads=1)
-        except Exception:  # noqa: BLE001 — non-JPEG or no toolchain
-            with Image.open(io.BytesIO(image_bytes)) as img:
-                arr = decode_scale_center_crop(img, size)[None]
-        try:
+                from rau_vqa_tpu.data.native import decode_image_batch
+                with tempfile.NamedTemporaryFile(suffix=".img") as f:
+                    f.write(image_bytes)
+                    f.flush()
+                    arr = decode_image_batch([f.name], size, n_threads=1)
+            except Exception:  # noqa: BLE001 — non-JPEG or no toolchain
+                with Image.open(io.BytesIO(image_bytes)) as img:
+                    arr = decode_scale_center_crop(img, size)[None]
             feats = np.asarray(
                 extract_features(self.backbone, self.bb_params, arr))
             with self._feat_cache_lock:
