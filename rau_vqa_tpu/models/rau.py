@@ -113,7 +113,9 @@ def encode_question(params: Params, cfg: ModelConfig, tokens: jax.Array,
     """
     B, T = tokens.shape
     emb = jnp.take(params["embed"]["lookup"], tokens, axis=0)  # [B, T, E]
-    if train and cfg.embed_dropout > 0.0:
+    if train and cfg.embed_dropout > 0.0 and rng is not None:
+        # rng=None degrades to no-dropout like every other dropout site
+        # (deep_lstm_cell / answering_unit guard their keys the same way)
         # position-indexed masks (one key per timestep, like the reference's
         # per-clone dropout): drawing a single [B, T, E] mask would make the
         # mask depend on T, breaking the exactness of train-time length

@@ -141,8 +141,15 @@ def shard_batch(mesh: Mesh, *arrays):
     pipeline the multi-host mesh requires (no process ever materializes the
     global batch)."""
     multiproc = jax.process_count() > 1
+    n_data = int(mesh.shape.get("data", 1))
     out = []
     for a in arrays:
+        if a.shape[0] % n_data:
+            raise ValueError(
+                f"leading dim {a.shape[0]} not divisible by the 'data' "
+                f"axis ({n_data}) — this JAX build rejects uneven "
+                f"shardings; pad the batch (Trainer._pad_batch_for_mesh) "
+                f"or pick a divisible batch size")
         spec = P("data", *([None] * (a.ndim - 1)))
         sh = NamedSharding(mesh, spec)
         if multiproc:

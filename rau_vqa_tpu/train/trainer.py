@@ -225,9 +225,12 @@ class Trainer:
             feats = self._dequant(jnp.asarray(batch.feats.values),
                                   jnp.asarray(batch.feats.scales))
         elif isinstance(batch.feats, QuantFeats):
-            # mesh path shards one feats array: dequantize on host
-            feats = (batch.feats.values.astype(np.float32)
-                     * batch.feats.scales[:, None, None]).astype(feat_dt)
+            # mesh path shards one feats array: dequantize on host with the
+            # SAME op order/dtypes as the device-side _dequant (cast THEN
+            # multiply) so mesh and single-chip runs see bitwise-identical
+            # features
+            feats = (batch.feats.values.astype(feat_dt)
+                     * batch.feats.scales[:, None, None].astype(feat_dt))
         elif (np.asarray(batch.feats).dtype == np.uint8
               and np.asarray(batch.feats).ndim == 4):
             # raw images: ship uint8 (3 bytes/pixel over the wire) and
@@ -248,6 +251,17 @@ class Trainer:
         }
         if batch.labels is not None:
             arrays["labels"] = np.asarray(batch.labels, np.int32)
+        if self.mesh is not None:
+            n_data = int(self.mesh.shape.get("data", 1))
+            b = next(iter(arrays.values())).shape[0]
+            if b % n_data:
+                raise ValueError(
+                    f"batch size {b} not divisible by the mesh 'data' axis "
+                    f"({n_data}): pick a divisible batch_size / "
+                    f"test_batch_size (this JAX build rejects uneven "
+                    f"shardings); the eval sweep pads automatically via "
+                    f"_pad_batch_for_mesh")
+
         is_images = arrays["feats"].dtype == np.uint8
 
         def featurize(feats_dev):
@@ -289,28 +303,73 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def _pad_batch_for_mesh(self, batch):
+        """Pad an eval batch's leading dim to the mesh 'data'-axis multiple
+        by repeating the last example (exact: the padded answers are
+        sliced away before accumulation).  Returns (batch, orig_B)."""
+        orig_b = len(batch.qids)
+        if self.mesh is None:
+            return batch, orig_b
+        n_data = int(self.mesh.shape.get("data", 1))
+        pad = (-orig_b) % n_data
+        if pad == 0:
+            return batch, orig_b
+
+        def p(a):
+            if a is None:
+                return None
+            return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)],
+                                  axis=0)
+
+        from rau_vqa_tpu.data.features import QuantFeats
+        feats = batch.feats
+        if isinstance(feats, QuantFeats):
+            feats = QuantFeats(values=p(feats.values),
+                               scales=p(feats.scales))
+        else:
+            feats = p(np.asarray(feats))
+        import dataclasses as _dc
+        return _dc.replace(
+            batch, feats=feats, tokens=p(batch.tokens),
+            lengths=p(batch.lengths), labels=p(batch.labels),
+            mc_answers=p(batch.mc_answers), qids=p(batch.qids)), orig_b
+
+    # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
-        """One epoch over the train split; returns averaged metrics."""
+        """One epoch over the train split; returns averaged metrics.
+
+        A loss explosion ABORTS the epoch: the guard restored an
+        epoch-boundary state (checkpoint or initial) whose counter-seeded
+        data order was fast-forwarded by restore(), so continuing the
+        current half-consumed permutation would replay/skip examples and
+        desync the order stream from the epoch counter.  The caller's next
+        train_epoch() re-runs a clean epoch from the restored state."""
         epoch_1based = self.epoch + 1
         hop_scale = self._hop_scale(epoch_1based)
         sums: Dict[str, np.ndarray] = {}
         n_steps = 0
         exploded = 0
+        aborted = False
+        # host-side step counter: reading self.state.step in consume()
+        # would sync on the NEWEST in-flight dispatch and misattribute the
+        # printed metrics (they belong to the previous step)
+        step_base = int(self.state.step)
         t0 = time.time()
 
-        def consume(metrics) -> None:
+        def consume(step_id: int, metrics) -> None:
             """Host-side bookkeeping for a finished step (guard, prints,
             metric sums).  Called one step BEHIND the dispatch so reading
             metrics never stalls the device pipeline."""
-            nonlocal n_steps, exploded
+            nonlocal n_steps, exploded, aborted
             loss = float(metrics["loss"])
             if not self._guard(loss):
                 exploded += 1
+                aborted = True
                 return
             n_steps += 1
             if (self.tcfg.print_interval
                     and n_steps % self.tcfg.print_interval == 0):
-                print(f"it {int(self.state.step)} (epoch {epoch_1based}) "
+                print(f"it {step_id} (epoch {epoch_1based}) "
                       f"loss={loss:.5f} lr={self.lr:.2e} "
                       f"mult_lr={self.mult_lr:.2e} "
                       f"[grad] E:{float(metrics['grad_norm_embed']):.4f} "
@@ -321,11 +380,13 @@ class Trainer:
                       "select_acc", "any_correct_ratio", "grad_norm_embed",
                       "grad_norm_rnn", "grad_norm_mult"):
                 sums[k] = sums.get(k, 0.0) + float(metrics[k])
-            for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss"):
+            for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss",
+                      "do_pred_acc_num", "do_pred_acc_den"):
                 v = np.asarray(metrics[k])
-                sums[k] = sums.get(k, np.zeros_like(v)) + v
+                sums[k] = sums.get(k, np.zeros_like(v, np.float64)) + v
 
         pending = None
+        dispatched = 0
         for batch in self.data.train_data.batches(self.source):
             dev = self._put_batch(
                 batch, max_t=self._bucket_t(self._train_ladder,
@@ -334,12 +395,26 @@ class Trainer:
                 self.state, dev["tokens"], dev["lengths"], dev["feats"],
                 dev["labels"], hop_scale,
                 jnp.float32(self.lr), jnp.float32(self.mult_lr))
+            dispatched += 1
             if pending is not None:
-                consume(pending)
+                consume(step_base + dispatched - 1, pending)
+                if aborted:
+                    # the in-flight step's result is moot: its input state
+                    # was discarded by the restore
+                    pending = None
+                    break
             pending = metrics
-        if pending is not None:
-            consume(pending)
+        if pending is not None and not aborted:
+            consume(step_base + dispatched, pending)
         dt = time.time() - t0
+        if aborted:
+            # restore() already rewound epoch/lr/order; this epoch did not
+            # happen (don't bump the counter or decay the LR)
+            record = {"epoch": self.epoch, "steps": n_steps,
+                      "exploded": exploded, "aborted": True, "sec": dt}
+            if jax.process_index() == 0:
+                self.logger.log(record, kind="train")
+            return record
         self.epoch += 1
         out = {k: v / max(n_steps, 1) for k, v in sums.items()}
         record = {"epoch": self.epoch, "lr": self.lr, "mult_lr": self.mult_lr,
@@ -349,6 +424,12 @@ class Trainer:
             "trainloss": out.get("ce_per_hop", []),
             "trainacc": out.get("acc_per_hop", []),
             "do_pred_loss": out.get("do_pred_loss", []),
+            # gated do_pred accuracy (the reference's per-iteration
+            # do_pred print, Ours_SS/...lua:551-557): correct-answer
+            # steps where the confidence head fired / correct-answer steps
+            "do_pred_acc": (sums.get("do_pred_acc_num", np.zeros(1))
+                            / max(float(sums.get("do_pred_acc_den", 0.0)),
+                                  1e-9)),
             # which hops carried gradient this epoch (the reference's
             # cmploss_XX columns, Ours_Full/...lua:1137-1143)
             "cmploss": (np.asarray(hop_scale) > 0).astype(np.float64),
@@ -381,6 +462,20 @@ class Trainer:
             and loss > thresh * max(self.loss_ema, 1e-6))
         if bad:
             path = latest_checkpoint(self.ckpt_dir)
+            if jax.process_count() > 1:
+                # the restore decision must be uniform across processes —
+                # loss is replicated, but checkpoint FILES may only exist
+                # on the writer's host.  Divergent restores would leave
+                # "replicated" params differing per process (silent SPMD
+                # corruption), so fail loudly instead.
+                from jax.experimental import multihost_utils
+                have = multihost_utils.process_allgather(
+                    np.int32(path is not None))
+                if int(have.min()) != int(have.max()):
+                    raise RuntimeError(
+                        "loss-explosion restore needs the checkpoint dir "
+                        "on a SHARED filesystem: some processes see "
+                        f"{self.ckpt_dir!r}, others don't")
             if path is not None:
                 self.restore(path)
             else:
@@ -410,6 +505,16 @@ class Trainer:
                 f"{test.batch_size}: zero eval batches — lower "
                 f"test_batch_size (reference picks it to divide the split, "
                 f"Ours_SS/...lua:85-95)")
+        remainder = test.num_examples % test.batch_size
+        if remainder:
+            import warnings
+            warnings.warn(
+                f"test_batch_size {test.batch_size} does not divide the "
+                f"split ({test.num_examples} examples): the last "
+                f"{remainder} questions are NOT evaluated and the "
+                f"submission files will be incomplete — pick a divisor "
+                f"(the reference does, Ours_SS/...lua:85-95)",
+                stacklevel=2)
         test.inorder()
         H2 = self.mcfg.n_hops + 2
         oe_chunks, mc_chunks, qid_chunks = [], [], []
@@ -420,13 +525,19 @@ class Trainer:
             # bf16 mode, same as the train path), truncates the token axis
             # to the batch's eval bucket (host-side: max over the GLOBAL
             # pre-shard lengths, so no device sync and every process picks
-            # the same compiled shape), and shards on the mesh
+            # the same compiled shape), and shards on the mesh; mesh
+            # batches pad to the 'data'-axis multiple (the reference's odd
+            # test batch sizes — 83/57 — don't divide meshes) and the
+            # padded tail is sliced away below
+            padded, orig_b = self._pad_batch_for_mesh(batch)
             dev = self._put_batch(
-                batch, max_t=self._bucket_t(self._eval_ladder,
-                                            batch.lengths))
+                padded, max_t=self._bucket_t(self._eval_ladder,
+                                             padded.lengths))
             tab_pred, tab_att = self.predict_step(
                 self.state.params, dev["tokens"], dev["lengths"],
                 dev["feats"])
+            tab_pred = tab_pred[:, :orig_b]
+            tab_att = tab_att[:, :orig_b]
             if self.exp.visatt and visatt_left > 0:
                 # attention PNG dumps (reference dumps EVERY test question
                 # per epoch, :926-932; visatt_batches=1 bounds the file
@@ -525,12 +636,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self) -> str:
+        tree = self.state._asdict()
+        if jax.process_count() > 1:
+            # TP-sharded leaves span hosts (not fully addressable from the
+            # writer), so gather them COLLECTIVELY — every process must
+            # participate — before the single writer serializes
+            from jax.experimental import multihost_utils
+
+            def fetch(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return np.asarray(multihost_utils.process_allgather(x))
+                return np.asarray(x)
+
+            tree = jax.tree.map(fetch, tree)
         if jax.process_index() != 0:
-            # one writer: replicated state is identical in every process
+            # one writer (post-gather: the full state is host-local here)
             return ""
         step = int(self.state.step)
         return save_checkpoint(
-            self.ckpt_dir, step, float(self.epoch), self.state._asdict(),
+            self.ckpt_dir, step, float(self.epoch), tree,
             keep_last=self.tcfg.keep_last_checkpoints or None,
             extra={"lr": self.lr, "mult_lr": self.mult_lr,
                    "loss_ema": self.loss_ema,
@@ -575,9 +699,11 @@ class Trainer:
                     self.train_epoch()
             else:
                 self.train_epoch()
-            if eval_each and self.epoch % self.tcfg.test_interval == 0:
+            if (eval_each and self.tcfg.test_interval > 0
+                    and self.epoch % self.tcfg.test_interval == 0):
                 last_eval = self.evaluate()
-            if self.epoch % self.tcfg.checkpoint_interval == 0:
+            if (self.tcfg.checkpoint_interval > 0
+                    and self.epoch % self.tcfg.checkpoint_interval == 0):
                 self.save()
             if (self.exp.graph_interval > 0
                     and self.epoch % self.exp.graph_interval == 0):

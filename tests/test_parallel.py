@@ -189,3 +189,57 @@ def test_sharded_predict_matches_single_device(n_data, n_model, tp):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mesh_eval_pads_odd_batches(tmp_path):
+    """The reference's test batch sizes (83/57) don't divide meshes: the
+    Trainer pads eval batches to the 'data'-axis multiple and slices the
+    tail away — mesh eval must equal the single-device eval exactly."""
+    import os
+    import dataclasses
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data import T7DirFeatureSource, load_vqa_data
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.loader import load_gt_annotations
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "fix")
+    generate_fixture(root, spec)
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, n_hops=2, cnn_dim=spec.feat_dim, cnn_w=spec.feat_w,
+            cnn_h=spec.feat_h, embed_dim=16, rnn_size=16, multfeat_dim=16,
+            attfeat_dim=8, att_rnn_size=16, embed_dropout=0.0,
+            rnn_dropout=0.0, mult_dropout=0.0),
+        train=dataclasses.replace(exp.train, batch_size=16,
+                                  length_buckets=()),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    vqa_dir = os.path.join(root, "vqa_prepro")
+
+    def build(mesh):
+        data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                             test_batch_size=5)   # 5 % 8 != 0 -> pads
+        src = T7DirFeatureSource([os.path.join(root, "feat")],
+                                 spec.feat_dim, spec.feat_w, spec.feat_h)
+        gt = load_gt_annotations(os.path.join(vqa_dir,
+                                              "gt_annotations.json"))
+        return Trainer(exp, data, src,
+                       str(tmp_path / ("mesh" if mesh else "plain")),
+                       gt_anno=gt, mesh=mesh)
+
+    plain = build(None)
+    with pytest.warns(UserWarning, match="does not divide"):
+        res_plain = plain.evaluate(write_submissions=False)
+
+    meshed = build(make_mesh(n_data=8, n_model=1))
+    # same params as the plain trainer (same seed/init)
+    with pytest.warns(UserWarning, match="does not divide"):
+        res_mesh = meshed.evaluate(write_submissions=False)
+    np.testing.assert_allclose(res_mesh["testOEacc"],
+                               res_plain["testOEacc"], atol=1e-6)
+    np.testing.assert_allclose(res_mesh["testMCacc"],
+                               res_plain["testMCacc"], atol=1e-6)
