@@ -72,6 +72,14 @@ def main() -> None:
         zero = jnp.zeros((cfg.n_hops + 2, 8), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (salt0, zero))
 
+    # rig-health canary FIRST (known-roofline big matmul): a number from a
+    # degraded tunnel window (>10x observed 2026-08-17) is meaningless
+    # without a same-run capability reference
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+    canary = matmul_canary()
+    log(f"bench: rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
+
     log("bench: compiling")
     t0 = time.perf_counter()
     np.asarray(serve_chain(params, tokens, lengths, feats, jnp.int32(0))[1])
@@ -128,6 +136,8 @@ def main() -> None:
         "unit": "questions/sec",
         "vs_baseline": round(qps / NORTH_STAR_QPS, 3),
         "spread": round(spread, 4),
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
         **({"mfu": round(mfu, 4)} if mfu is not None else {}),
     }))
 

@@ -176,6 +176,13 @@ def main() -> None:
         zero = jnp.zeros((cfg.n_hops + 2, 4), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (jnp.int32(salt0), zero))
 
+    # rig-health canary (known-roofline matmul): time-stamps rig capability
+    # in the same process as the headline number (see utils/rigcheck.py)
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+    canary = matmul_canary()
+    log(f"bench_pixels: rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
+
     log(f"bench_pixels: compiling {args.backbone} B={B} qpi={Q} "
         f"{'f32' if args.f32 else 'bf16'}")
     t0 = time.perf_counter()
@@ -218,6 +225,8 @@ def main() -> None:
         "backbone": args.backbone,
         "batch": B,
         "spread": round(spread, 4),
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
         **({"mfu": round(mfu, 4)} if mfu is not None else {}),
     }))
 

@@ -1,0 +1,65 @@
+"""Rig-health canary for benchmark runs.
+
+This rig reaches the TPU through a shared tunnel whose effective device
+throughput has measured windows of >10x degradation (far beyond the
+documented ~15% hour-scale band — see BASELINE.md "Environment caveats").
+A benchmark number recorded in such a window is meaningless without a
+same-run reference, so every bench emits a canary: a chained
+[N, N] @ [N, N] bf16 matmul loop whose speed-of-light is known
+(2*N^3 FLOP/iter against the v5e bf16 peak).  The canary's achieved
+TFLOP/s — and its fraction of peak — time-stamps the rig's health inside
+the same process/minute as the headline metric.
+
+Chained-dispatch protocol per CLAUDE.md: the loop carries a data
+dependence (each iteration's operand derives from the previous product),
+runs K iterations inside one jit, and the caller's wall-clock covers one
+host round-trip for all K.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def matmul_canary(n: int = 4096, iters: int = 50,
+                  rounds: int = 3) -> Dict[str, float]:
+    """Time a chained bf16 [n,n]@[n,n] matmul loop; return achieved TFLOP/s.
+
+    Returns {"tflops", "frac_of_peak", "ms_per_matmul"} using the BEST of
+    ``rounds`` (the canary estimates rig capability, so max throughput is
+    the right statistic; contention only ever slows it down).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a0 = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b0 = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+    inv = jnp.bfloat16(1.0 / jnp.sqrt(jnp.float32(n)))
+
+    @jax.jit
+    def chain(a, b, salt):
+        def body(_, ab):
+            a, b = ab
+            with jax.default_matmul_precision("default"):
+                c = a @ b
+            # keep magnitudes ~N(0,1) while preserving the data dependence
+            return b, (c * inv).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, iters, body,
+                                 (a + salt.astype(jnp.bfloat16), b))
+
+    jax.block_until_ready(chain(a0, b0, jnp.float32(0)))   # compile
+    best = float("inf")
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(a0, b0, jnp.float32(1e-3 * (r + 1))))
+        best = min(best, time.perf_counter() - t0)
+    sec_per_mm = best / iters
+    tflops = 2.0 * n ** 3 / sec_per_mm / 1e12
+    return {
+        "tflops": round(tflops, 1),
+        "frac_of_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4),
+        "ms_per_matmul": round(sec_per_mm * 1e3, 4),
+    }

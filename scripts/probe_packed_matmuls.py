@@ -208,11 +208,18 @@ def main():
 
         return chain
 
+    # build each jitted chain ONCE — constructing the wrapper inside the
+    # timing lambda would retrace/recompile every call and time the
+    # compile-cache round-trip instead of the device
+    hop_stock = make_hop_chain(False)
+    hop_packed = make_hop_chain(True)
+    enc_stock = make_enc_chain(False)
+    enc_packed = make_enc_chain(True)
     chains = {
-        "hop_stock": lambda s: make_hop_chain(False)(params, q0, feats, s),
-        "hop_packed": lambda s: make_hop_chain(True)(params, q0, feats, s),
-        "enc_stock": lambda s: make_enc_chain(False)(params, s),
-        "enc_packed": lambda s: make_enc_chain(True)(params, s),
+        "hop_stock": lambda s: hop_stock(params, q0, feats, s),
+        "hop_packed": lambda s: hop_packed(params, q0, feats, s),
+        "enc_stock": lambda s: enc_stock(params, s),
+        "enc_packed": lambda s: enc_packed(params, s),
     }
     built = {}
     for name, fn in chains.items():
