@@ -635,7 +635,17 @@ class Trainer:
         return result
 
     # ------------------------------------------------------------------
-    def save(self) -> str:
+    def save(self, *, background: bool = False) -> str:
+        """Write a snapshot; ``background=True`` (single-process only)
+        gathers device→host synchronously but moves serialization + disk
+        IO to a writer thread so the train loop keeps dispatching.  The
+        explosion guard and end-of-fit flush pending writes via
+        ``latest_checkpoint`` / ``flush_checkpoint_writes``."""
+        if jax.process_count() > 1:
+            # multi-process: other hosts poll the shared filesystem for the
+            # snapshot (explosion-guard uniformity check); an async write
+            # would widen that visibility race, so stay synchronous
+            background = False
         tree = self.state._asdict()
         if jax.process_count() > 1:
             # TP-sharded leaves span hosts (not fully addressable from the
@@ -655,6 +665,7 @@ class Trainer:
         step = int(self.state.step)
         return save_checkpoint(
             self.ckpt_dir, step, float(self.epoch), tree,
+            background=background,
             keep_last=self.tcfg.keep_last_checkpoints or None,
             extra={"lr": self.lr, "mult_lr": self.mult_lr,
                    "loss_ema": self.loss_ema,
@@ -704,11 +715,14 @@ class Trainer:
                 last_eval = self.evaluate()
             if (self.tcfg.checkpoint_interval > 0
                     and self.epoch % self.tcfg.checkpoint_interval == 0):
-                self.save()
+                self.save(background=True)
             if (self.exp.graph_interval > 0
                     and self.epoch % self.exp.graph_interval == 0):
                 from rau_vqa_tpu.utils.plots import render_curves
                 render_curves(os.path.join(self.workdir, "training_log"),
                               os.path.join(self.workdir, "graphs"),
                               self.mcfg.n_hops)
+        # all periodic snapshots are durable before fit() returns
+        from rau_vqa_tpu.utils.checkpoint import flush_checkpoint_writes
+        flush_checkpoint_writes()
         return last_eval

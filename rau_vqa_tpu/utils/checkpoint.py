@@ -28,20 +28,39 @@ def checkpoint_name(step: int, epoch: float) -> str:
     return f"snapshot_iter{step:06d}_epoch{epoch:.2f}"
 
 
-def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
-                    extra: Optional[Dict] = None,
-                    keep_last: Optional[int] = None) -> str:
-    """Serialize an arbitrary pytree of arrays/scalars. Returns the path.
-    With ``keep_last`` only the newest N snapshots are retained."""
-    os.makedirs(ckpt_dir, exist_ok=True)
-    name = checkpoint_name(step, epoch)
-    path = os.path.join(ckpt_dir, name + ".msgpack")
-    host_tree = jax.tree.map(np.asarray, tree)
+# Background writer: ONE thread so successive saves serialize in order
+# (LATEST always names a fully written snapshot; keep_last pruning never
+# races a write).  ThreadPoolExecutor threads are non-daemon, so pending
+# writes complete even if the interpreter exits without a flush.
+_writer = None
+_pending = []
+
+
+def _get_writer():
+    global _writer
+    if _writer is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _writer = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="ckpt-writer")
+    return _writer
+
+
+def flush_checkpoint_writes() -> None:
+    """Block until every background checkpoint write has landed; re-raise
+    the first write error.  Call before reading ``latest_checkpoint`` in
+    the saving process, and before treating training artifacts as durable."""
+    global _pending
+    pending, _pending = _pending, []
+    for fut in pending:
+        fut.result()
+
+
+def _write(ckpt_dir: str, name: str, path: str, host_tree: Any,
+           meta: Dict, keep_last: Optional[int]) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
     os.replace(tmp, path)
-    meta = {"step": step, "epoch": epoch, **(extra or {})}
     with open(os.path.join(ckpt_dir, name + ".json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
@@ -55,10 +74,40 @@ def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
                                      old.replace(".msgpack", suffix))
                 if os.path.exists(stale):
                     os.remove(stale)
+
+
+def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
+                    extra: Optional[Dict] = None,
+                    keep_last: Optional[int] = None,
+                    background: bool = False) -> str:
+    """Serialize an arbitrary pytree of arrays/scalars. Returns the path.
+    With ``keep_last`` only the newest N snapshots are retained.
+
+    ``background=True`` moves serialization + disk IO to a single writer
+    thread (Orbax-style async save) and returns immediately.  The
+    device→host gather still happens HERE, synchronously: the caller's
+    train step donates its state buffers, so the values must be pinned
+    before the next dispatch.  Use :func:`flush_checkpoint_writes` before
+    reading the snapshot back in the same process."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    name = checkpoint_name(step, epoch)
+    path = os.path.join(ckpt_dir, name + ".msgpack")
+    host_tree = jax.tree.map(np.asarray, tree)
+    meta = {"step": step, "epoch": epoch, **(extra or {})}
+    if background:
+        _pending.append(_get_writer().submit(
+            _write, ckpt_dir, name, path, host_tree, meta, keep_last))
+    else:
+        _write(ckpt_dir, name, path, host_tree, meta, keep_last)
     return path
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest fully-written snapshot path, or None.
+
+    Flushes this process's pending background writes first, so a caller
+    that just issued an async save always sees it."""
+    flush_checkpoint_writes()
     marker = os.path.join(ckpt_dir, "LATEST")
     if not os.path.exists(marker):
         return None

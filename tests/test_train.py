@@ -323,6 +323,27 @@ def test_checkpoint_roundtrip(fixture_root, tmp_path):
         np.asarray(trainer.state.opt["mult"]["m"]["cls"]["w"]))
 
 
+def test_async_checkpoint_save(fixture_root, tmp_path):
+    """background=True must produce a byte-identical snapshot, and
+    latest_checkpoint must see it without an explicit flush (the explosion
+    guard reads through latest_checkpoint)."""
+    from rau_vqa_tpu.utils.checkpoint import latest_checkpoint
+
+    trainer = make_trainer(fixture_root, str(tmp_path / "async_run"))
+    trainer.fit(epochs=1, eval_each=False)
+    p_sync = trainer.save()
+
+    trainer.ckpt_dir = str(tmp_path / "async_run" / "ckpt_bg")
+    p_async = trainer.save(background=True)
+    # latest_checkpoint flushes this process's pending writes internally
+    assert latest_checkpoint(trainer.ckpt_dir) == p_async
+    with open(p_sync, "rb") as f1, open(p_async, "rb") as f2:
+        assert f1.read() == f2.read()
+    with open(p_sync.replace(".msgpack", ".json")) as f1, \
+            open(p_async.replace(".msgpack", ".json")) as f2:
+        assert f1.read() == f2.read()
+
+
 @pytest.mark.slow
 def test_explosion_guard_restores(fixture_root, tmp_path):
     # default threshold (3x EMA): normal loss fluctuation must NOT trip it
