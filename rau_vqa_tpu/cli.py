@@ -464,6 +464,55 @@ def cmd_convert_snapshot(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-export a snapshot's predict program to a StableHLO artifact
+    directory (eval/export.py): params baked in as constants, symbolic
+    batch, one program per token-length bucket.  The artifact needs only
+    a JAX runtime to serve — no model code, no config system."""
+    from flax import serialization
+
+    from rau_vqa_tpu.config import ModelConfig, get_preset
+    from rau_vqa_tpu.eval.export import export_predict
+
+    exp = get_preset(args.preset)
+    mcfg = exp.model
+    meta = {}
+    meta_path = args.checkpoint.replace(".msgpack", ".json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if "model_config" in meta:
+            # self-describing snapshot (the reference's Eval.lua adopts the
+            # snapshot's opt table, Eval.lua:116-118)
+            mcfg = ModelConfig(**meta["model_config"])
+    if args.bf16:
+        # fast serving artifact: bf16 MXU passes, like bench.py
+        mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16",
+                                   matmul_precision="default")
+    import jax
+
+    from rau_vqa_tpu.models.rau import init_params
+
+    with open(args.checkpoint, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    raw = tree["params"] if "params" in tree else tree
+    # msgpack stores lists as {"0": ...} dicts; re-impose the real
+    # structure (e.g. rnn["layers"] list) from a freshly-initialized
+    # template of the snapshot's own config
+    params = serialization.from_state_dict(
+        init_params(jax.random.PRNGKey(0), mcfg), raw)
+    buckets = _parse_buckets(args.eval_buckets) or ()
+    paths = export_predict(
+        params, mcfg, args.out, buckets=buckets,
+        extra_meta={"source_checkpoint": os.path.abspath(args.checkpoint),
+                    "preset": args.preset, "step": meta.get("step"),
+                    "epoch": meta.get("epoch")})
+    for T, p in sorted(paths.items()):
+        print(f"T={T:02d}: {p} ({os.path.getsize(p) / 1e6:.1f} MB)")
+    print(f"exported {len(paths)} program(s) to {args.out}")
+    return 0
+
+
 def cmd_diagnose_snapshot(args) -> int:
     """Diagnose a reference Torch snapshot's flat-vector layout against our
     reconstructed ordering (utils.layout_diag): size segmentation, ambiguity
@@ -783,6 +832,22 @@ def main(argv=None) -> int:
     _add_train_flags(p_ask)
     _add_common_data_flags(p_ask)
 
+    p_exp = sub.add_parser("export",
+                           help="AOT-export a snapshot's predict program "
+                                "to a StableHLO serving artifact")
+    p_exp.add_argument("--checkpoint", required=True,
+                       help="native snapshot (.msgpack)")
+    p_exp.add_argument("--out", required=True, help="artifact directory")
+    p_exp.add_argument("--preset", default="ours_ms",
+                       help="fallback config if the snapshot lacks "
+                            "model_config metadata")
+    p_exp.add_argument("--eval-buckets", default="8,16",
+                       help="token-length bucket ladder ('none' = full "
+                            "seq_len only)")
+    p_exp.add_argument("--bf16", action="store_true",
+                       help="bake bf16 MXU passes into the artifact "
+                            "(fast serving numerics, like bench.py)")
+
     p_serve = sub.add_parser("serve", help="HTTP inference service")
     p_serve.add_argument("--checkpoint", required=True)
     p_serve.add_argument("--port", type=int, default=8080)
@@ -845,6 +910,7 @@ def main(argv=None) -> int:
             "convert-snapshot": cmd_convert_snapshot,
             "diagnose-snapshot": cmd_diagnose_snapshot,
             "verify-released": cmd_verify_released,
+            "export": cmd_export,
             "ask": cmd_ask}[args.command](args)
 
 

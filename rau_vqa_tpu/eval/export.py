@@ -1,0 +1,145 @@
+"""AOT serving artifacts: the predict program as serialized StableHLO.
+
+The reference "deploys" by shipping Torch snapshot .t7 files that need the
+entire Lua/Torch stack (plus the model-definition source) at serving time
+(reference Eval.lua:113-130 rebuilds the graph, then loads flat vectors).
+The TPU-native equivalent is ahead-of-time export via ``jax.export``: the
+jitted nHop+2 predict step is serialized to StableHLO with the trained
+parameters baked in as constants, producing a self-contained artifact
+directory.  Any JAX runtime — CPU or TPU, with no model code, no config
+system, not even this package — can ``jax.export.deserialize`` and call
+it.  This is the XLA-idiomatic deployment story: the compiler contract
+(StableHLO) is the interchange format, not the framework's object graph.
+
+Layout of an artifact directory:
+
+    meta.json                 version, ladder, shapes, dtype contract,
+                              model_config (provenance), extra metadata
+    predict_T{T:02d}.shlo     one program per token-length bucket
+
+The batch axis is SYMBOLIC (one program serves any batch size >= 1); the
+token axis is concrete per bucket because the encoder's ``lax.scan``
+length must be static.  Bucket dispatch at call time mirrors the eval
+path: truncating the token axis to any T >= the batch's max length is
+exact (models/rau.py encode_question last-token gather), so artifacts
+reproduce the full-length program's answers bit-for-bit on each bucket's
+own domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+EXPORT_VERSION = 1
+_META = "meta.json"
+
+
+def _ladder(cfg, buckets: Sequence[int]) -> list:
+    ladder = sorted({int(b) for b in buckets if 0 < int(b) < cfg.seq_len})
+    ladder.append(int(cfg.seq_len))
+    return ladder
+
+
+def export_predict(params, cfg, out_dir: str, *,
+                   buckets: Sequence[int] = (),
+                   platforms: Sequence[str] = ("cpu", "tpu"),
+                   extra_meta: Optional[Dict] = None) -> Dict[str, str]:
+    """Export the predict program (params baked in) to ``out_dir``.
+
+    Returns {bucket_T: artifact_path}.  ``buckets`` follows the eval
+    ladder semantics (eval/predict.py make_predict_step); the full
+    ``cfg.seq_len`` program is always included.  ``platforms`` defaults to
+    cpu+tpu so one artifact serves either runtime.
+    """
+    import jax
+    from jax import export as jexport
+
+    from rau_vqa_tpu.eval.predict import predict
+
+    os.makedirs(out_dir, exist_ok=True)
+    ladder = _ladder(cfg, buckets)
+    B = jexport.symbolic_shape("b")[0]
+    paths = {}
+    for T in ladder:
+        fn = jax.jit(lambda t, l, f: predict(params, cfg, t, l, f))
+        exp = jexport.export(fn, platforms=tuple(platforms))(
+            jax.ShapeDtypeStruct((B, T), jax.numpy.int32),
+            jax.ShapeDtypeStruct((B,), jax.numpy.int32),
+            jax.ShapeDtypeStruct((B, cfg.cnn_spat, cfg.cnn_dim),
+                                 jax.numpy.float32))
+        path = os.path.join(out_dir, f"predict_T{T:02d}.shlo")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        paths[T] = path
+    meta = {
+        "format": "rau_vqa_tpu.export", "version": EXPORT_VERSION,
+        "ladder": ladder, "platforms": list(platforms),
+        "inputs": {
+            "tokens": ["b", "T"], "lengths": ["b"],
+            "feats": ["b", int(cfg.cnn_spat), int(cfg.cnn_dim)],
+        },
+        "outputs": {
+            "tab_pred": [int(cfg.n_hops) + 2, "b", int(cfg.answer_size)],
+            "tab_att": [int(cfg.n_hops) + 2, "b", int(cfg.cnn_spat)],
+        },
+        "token_contract": "0 = ZEROPAD, answers 0-based (data/loader.py)",
+        "model_config": dataclasses.asdict(cfg),
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return paths
+
+
+class ExportedPredict:
+    """Callable wrapper over an exported artifact directory.
+
+    Deserializes lazily (one program per bucket, cached) and dispatches
+    each batch to the smallest bucket covering its max length — the same
+    exactness argument as the live eval ladder.
+    """
+
+    def __init__(self, art_dir: str):
+        with open(os.path.join(art_dir, _META)) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format") != "rau_vqa_tpu.export":
+            raise ValueError(f"{art_dir!r} is not a rau_vqa_tpu export")
+        if self.meta["version"] > EXPORT_VERSION:
+            raise ValueError(
+                f"artifact version {self.meta['version']} is newer than "
+                f"this runtime ({EXPORT_VERSION})")
+        self.art_dir = art_dir
+        self.ladder = [int(t) for t in self.meta["ladder"]]
+        self._programs: Dict[int, object] = {}
+
+    def _program(self, T: int):
+        if T not in self._programs:
+            from jax import export as jexport
+            path = os.path.join(self.art_dir, f"predict_T{T:02d}.shlo")
+            with open(path, "rb") as f:
+                self._programs[T] = jexport.deserialize(f.read())
+        return self._programs[T]
+
+    def __call__(self, tokens, lengths, feats) -> Tuple:
+        """tokens [B, <=seq_len] int32, lengths [B] int32, feats
+        [B, S, D] float32 -> (tab_pred [H+2, B, A], tab_att [H+2, B, S])."""
+        tokens = np.asarray(tokens, np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        feats = np.asarray(feats, np.float32)
+        max_len = int(lengths.max()) if lengths.size else 1
+        T = next((t for t in self.ladder if t >= max_len), self.ladder[-1])
+        toks = tokens[:, :T]
+        if toks.shape[1] < T:  # right-pad with ZEROPAD to the bucket width
+            toks = np.concatenate(
+                [toks, np.zeros((toks.shape[0], T - toks.shape[1]),
+                                np.int32)], axis=1)
+        return self._program(T).call(toks, lengths, feats)
+
+
+def load_exported(art_dir: str) -> ExportedPredict:
+    return ExportedPredict(art_dir)

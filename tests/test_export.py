@@ -1,0 +1,117 @@
+"""AOT StableHLO export (eval/export.py): roundtrip exactness, symbolic
+batch, bucket dispatch, and the CLI surface.
+
+The reference has no deployment story beyond shipping .t7 snapshots that
+need the full Lua/Torch stack at serving time (Eval.lua:113-130); the
+export subsystem is the TPU-native equivalent — a self-contained StableHLO
+artifact any JAX runtime can call."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rau_vqa_tpu.config import get_preset
+from rau_vqa_tpu.eval.export import export_predict, load_exported
+from rau_vqa_tpu.eval.predict import predict
+from rau_vqa_tpu.models.rau import init_params
+
+
+def tiny_cfg(seq_len=6):
+    return dataclasses.replace(
+        get_preset("ours_ms").model, n_hops=2, vocab_size=50, embed_dim=8,
+        rnn_size=8, multfeat_dim=8, attfeat_dim=8, att_rnn_size=8,
+        cnn_dim=8, cnn_w=2, cnn_h=2, answer_size=10, seq_len=seq_len)
+
+
+def make_inputs(cfg, b, max_len=None, seed=0):
+    rs = np.random.RandomState(seed)
+    T = cfg.seq_len
+    max_len = max_len or T
+    lens = rs.randint(1, max_len + 1, b).astype(np.int32)
+    toks = rs.randint(1, cfg.vocab_size, (b, T)).astype(np.int32)
+    # honor the ZEROPAD contract: tokens past each length are 0
+    toks[np.arange(T)[None, :] >= lens[:, None]] = 0
+    feats = rs.randn(b, cfg.cnn_spat, cfg.cnn_dim).astype(np.float32)
+    return toks, lens, feats
+
+
+def test_export_roundtrip_symbolic_batch(tmp_path):
+    """One artifact serves any batch size, bit-identically to live
+    predict."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    art = str(tmp_path / "art")
+    paths = export_predict(params, cfg, art)
+    assert set(paths) == {cfg.seq_len}
+
+    run = load_exported(art)
+    live = jax.jit(lambda t, l, f: predict(params, cfg, t, l, f))
+    for b in (3, 8):
+        toks, lens, feats = make_inputs(cfg, b, seed=b)
+        tp, ta = run(toks, lens, feats)
+        tp2, ta2 = live(toks, lens, feats)
+        assert tp.shape == (cfg.n_hops + 2, b, cfg.answer_size)
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp2))
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta2))
+
+
+def test_export_bucket_dispatch_exact(tmp_path):
+    """A short-question batch dispatches to the small-T program and still
+    equals the full-length live program exactly (the eval-ladder
+    truncation-exactness argument)."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    art = str(tmp_path / "art")
+    paths = export_predict(params, cfg, art, buckets=(4,))
+    assert set(paths) == {4, cfg.seq_len}
+
+    run = load_exported(art)
+    live = jax.jit(lambda t, l, f: predict(params, cfg, t, l, f))
+    toks, lens, feats = make_inputs(cfg, 5, max_len=4, seed=1)
+    tp, ta = run(toks, lens, feats)
+    tp2, ta2 = live(toks, lens, feats)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp2))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta2))
+    # and the dispatcher really used the T=4 program
+    assert list(run._programs) == [4]
+
+
+def test_export_rejects_foreign_dir(tmp_path):
+    os.makedirs(tmp_path / "x")
+    with open(tmp_path / "x" / "meta.json", "w") as f:
+        json.dump({"format": "something_else"}, f)
+    with pytest.raises(ValueError, match="not a rau_vqa_tpu export"):
+        load_exported(str(tmp_path / "x"))
+
+
+def test_cli_export_from_snapshot(tmp_path):
+    """rau-vqa export: snapshot (self-describing model_config) -> artifact
+    dir -> answers match a live model built from the same params."""
+    from rau_vqa_tpu.cli import main
+    from rau_vqa_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    ckpt_dir = str(tmp_path / "ckpt")
+    path = save_checkpoint(
+        ckpt_dir, 3, 1.0, {"params": params},
+        extra={"model_config": dataclasses.asdict(cfg)})
+    art = str(tmp_path / "art")
+    rc = main(["export", "--checkpoint", path, "--out", art,
+               "--eval-buckets", "4"])
+    assert rc == 0
+    with open(os.path.join(art, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["ladder"] == [4, cfg.seq_len]
+    assert meta["step"] == 3
+
+    run = load_exported(art)
+    live = jax.jit(lambda t, l, f: predict(params, cfg, t, l, f))
+    toks, lens, feats = make_inputs(cfg, 4, seed=2)
+    tp, _ = run(toks, lens, feats)
+    tp2, _ = live(toks, lens, feats)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp2))
