@@ -849,7 +849,12 @@ def main(argv=None) -> int:
                             "(fast serving numerics, like bench.py)")
 
     p_serve = sub.add_parser("serve", help="HTTP inference service")
-    p_serve.add_argument("--checkpoint", required=True)
+    p_serve.add_argument("--checkpoint",
+                         help="native snapshot (.msgpack); or use "
+                              "--artifact")
+    p_serve.add_argument("--artifact",
+                         help="AOT StableHLO artifact dir from "
+                              "'rau-vqa export' (params baked in)")
     p_serve.add_argument("--port", type=int, default=8080)
     p_serve.add_argument("--max-batch", type=int, default=16,
                          help="micro-batching group cap")
@@ -897,6 +902,7 @@ def main(argv=None) -> int:
                                              args.backbone_state)
         svc = RAUService(args.checkpoint, args.vqa_dir,
                          args.feat_dir or [], preset=args.preset,
+                         artifact=args.artifact,
                          fused=getattr(args, "fused_eval", False),
                          backbone=args.backbone, bb_params=bb_params,
                          buckets=buckets, max_batch=args.max_batch,

@@ -32,8 +32,8 @@ import numpy as np
 class RAUService:
     """Wraps a checkpointed model for single-question serving."""
 
-    def __init__(self, checkpoint: str, vqa_dir: str, feat_dirs,
-                 *, preset: str = "ours_ms",
+    def __init__(self, checkpoint: Optional[str], vqa_dir: str, feat_dirs,
+                 *, preset: str = "ours_ms", artifact: Optional[str] = None,
                  backbone: Optional[str] = None, bb_params=None,
                  fused: bool = False, buckets=(8, 16),
                  max_batch: int = 16, max_wait_ms: float = 5.0,
@@ -48,25 +48,48 @@ class RAUService:
         from rau_vqa_tpu.utils.checkpoint import load_checkpoint
         import os
 
+        if (checkpoint is None) == (artifact is None):
+            raise ValueError("pass exactly one of checkpoint / artifact")
         exp = get_preset(preset)
-        meta_path = checkpoint.replace(".msgpack", ".json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if "model_config" in meta:
-                exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+        if artifact is not None:
+            # AOT StableHLO artifact (rau-vqa export): the model config and
+            # params are baked into the programs; only tokenization/answer
+            # vocab comes from vqa_dir — and must match the baked dims
+            from rau_vqa_tpu.eval.export import load_exported
+            runner = load_exported(artifact)
+            exp = exp.replace(
+                model=ModelConfig(**runner.meta["model_config"]))
+        else:
+            meta_path = checkpoint.replace(".msgpack", ".json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if "model_config" in meta:
+                    exp = exp.replace(
+                        model=ModelConfig(**meta["model_config"]))
         self.data = load_vqa_data(vqa_dir, 1, split=exp.data.split,
                                   test_batch_size=1)
         self.mcfg = dataclasses.replace(
             exp.model, vocab_size=self.data.vocab_size,
             answer_size=self.data.answer_size, seq_len=self.data.seq_len)
-        state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
-        tree, _ = load_checkpoint(checkpoint, state._asdict())
-        self.params = tree["params"]
-        # length buckets cut single-question latency: a short question
-        # encodes in 8 scan steps instead of seq_len (exact — predict.py)
-        self.predict = make_predict_step(self.mcfg, fused=fused,
-                                         buckets=tuple(buckets))
+        if artifact is not None:
+            if self.mcfg != exp.model:
+                raise ValueError(
+                    f"artifact was exported for vocab/answer/seq_len "
+                    f"{(exp.model.vocab_size, exp.model.answer_size, exp.model.seq_len)} "
+                    f"but {vqa_dir!r} provides "
+                    f"{(self.data.vocab_size, self.data.answer_size, self.data.seq_len)}")
+            self.params = None
+            self.predict = lambda p, t, l, f: runner(t, l, f)
+        else:
+            state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
+            tree, _ = load_checkpoint(checkpoint, state._asdict())
+            self.params = tree["params"]
+            # length buckets cut single-question latency: a short question
+            # encodes in 8 scan steps instead of seq_len (exact —
+            # predict.py)
+            self.predict = make_predict_step(self.mcfg, fused=fused,
+                                             buckets=tuple(buckets))
         self.backbone = backbone
         self.bb_params = bb_params
         # decode size follows the checkpoint's feature grid: stride-32

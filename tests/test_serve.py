@@ -30,6 +30,8 @@ def served(tmp_path_factory):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     served.svc = svc        # expose for batching assertions
+    served.ck = ck          # for the artifact-serving parity test
+    served.fix = fix
     yield port
     server.shutdown()
 
@@ -267,3 +269,30 @@ def test_image_feature_cache_coalesces_concurrent(served, monkeypatch):
     for t in threads:
         t.join()
     assert len(results) == 4 and calls["n"] == 1
+
+
+def test_artifact_service_parity(served, tmp_path):
+    """A service built from an AOT StableHLO artifact (rau-vqa export) must
+    return the same answers as the checkpoint-backed service."""
+    import numpy as np
+
+    from rau_vqa_tpu.serve import RAUService
+    from tests import test_serve as _self   # the fixture stashes paths on
+    fix, ck = _self.served.fix, _self.served.ck   # its own function object
+
+    art = str(tmp_path / "art")
+    rc = main(["export", "--checkpoint", ck, "--out", art,
+               "--eval-buckets", "8"])
+    assert rc == 0
+    svc = RAUService(None, os.path.join(fix, "vqa_prepro"),
+                     [os.path.join(fix, "feat")], artifact=art)
+    q = "w01 w02 w03"
+    feat = "COCO_train2014_000000000000.t7"
+    base = _post(served, {"question": q, "feat_name": feat, "topk": 3})
+    out = svc.answer(q, feat_name=feat, topk=3)
+    assert ([a["answer"] for a in out["answers"]]
+            == [a["answer"] for a in base["answers"]])
+    np.testing.assert_allclose([a["score"] for a in out["answers"]],
+                               [a["score"] for a in base["answers"]],
+                               rtol=1e-5, atol=1e-6)
+    assert out["per_hop"] == base["per_hop"]
