@@ -72,14 +72,6 @@ def main() -> None:
         zero = jnp.zeros((cfg.n_hops + 2, 8), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (salt0, zero))
 
-    # rig-health canary FIRST (known-roofline big matmul): a number from a
-    # degraded tunnel window (>10x observed 2026-08-17) is meaningless
-    # without a same-run capability reference
-    from rau_vqa_tpu.utils.rigcheck import matmul_canary
-    canary = matmul_canary()
-    log(f"bench: rig canary {canary['tflops']} TFLOP/s "
-        f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
-
     log("bench: compiling")
     t0 = time.perf_counter()
     np.asarray(serve_chain(params, tokens, lengths, feats, jnp.int32(0))[1])
@@ -96,6 +88,14 @@ def main() -> None:
         out = serve_chain(params, tokens, lengths, feats, jnp.int32(100 + r))
         acc = np.asarray(out[1])     # forces the whole chain each round
         times.append(time.perf_counter() - t0)
+
+    # rig-health canary ADJACENT to the timed rounds (not before the
+    # 3-460 s variable remote compile): a number from a degraded tunnel
+    # window is meaningless without a same-minute capability reference
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+    canary = matmul_canary()
+    log(f"bench: rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
 
     assert acc.shape == (cfg.n_hops + 2, 8)
     dt = float(np.median(times))

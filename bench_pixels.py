@@ -176,13 +176,6 @@ def main() -> None:
         zero = jnp.zeros((cfg.n_hops + 2, 4), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (jnp.int32(salt0), zero))
 
-    # rig-health canary (known-roofline matmul): time-stamps rig capability
-    # in the same process as the headline number (see utils/rigcheck.py)
-    from rau_vqa_tpu.utils.rigcheck import matmul_canary
-    canary = matmul_canary()
-    log(f"bench_pixels: rig canary {canary['tflops']} TFLOP/s "
-        f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
-
     log(f"bench_pixels: compiling {args.backbone} B={B} qpi={Q} "
         f"{'f32' if args.f32 else 'bf16'}")
     t0 = time.perf_counter()
@@ -195,6 +188,13 @@ def main() -> None:
         t0 = time.perf_counter()
         acc = np.asarray(serve_chain(images, tokens, jnp.int32(100 + r))[1])
         times.append(time.perf_counter() - t0)
+    # rig-health canary ADJACENT to the timed rounds (after the variable
+    # remote compile) — time-stamps rig capability (utils/rigcheck.py)
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+    canary = matmul_canary()
+    log(f"bench_pixels: rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
+
     assert acc.shape == (cfg.n_hops + 2, 4)
     dt = float(np.median(times))
     spread = (max(times) - min(times)) / dt

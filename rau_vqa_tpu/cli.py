@@ -499,8 +499,12 @@ def cmd_export(args) -> int:
     # msgpack stores lists as {"0": ...} dicts; re-impose the real
     # structure (e.g. rnn["layers"] list) from a freshly-initialized
     # template of the snapshot's own config
-    params = serialization.from_state_dict(
-        init_params(jax.random.PRNGKey(0), mcfg), raw)
+    template = init_params(jax.random.PRNGKey(0), mcfg)
+    params = serialization.from_state_dict(template, raw)
+    # a metadata-less snapshot under a mismatched --preset must fail
+    # loudly, not bake mismatched params into the artifact
+    from rau_vqa_tpu.utils.checkpoint import validate_tree_shapes
+    validate_tree_shapes(template, params)
     buckets = _parse_buckets(args.eval_buckets) or ()
     paths = export_predict(
         params, mcfg, args.out, buckets=buckets,
@@ -893,9 +897,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "serve":
         from rau_vqa_tpu.serve import RAUService, serve
+        # 'none' disables, absent (None) = the service's mode-dependent
+        # default (RAUService: (8,16) live, () for a baked artifact)
         buckets = _parse_buckets(getattr(args, "eval_buckets", None))
-        if buckets is None:
-            buckets = (8, 16)     # 'none' disables, absent = default
         bb_params = None
         if args.backbone:
             bb_params = _load_backbone_state(args.backbone,

@@ -39,12 +39,6 @@ EXPORT_VERSION = 1
 _META = "meta.json"
 
 
-def _ladder(cfg, buckets: Sequence[int]) -> list:
-    ladder = sorted({int(b) for b in buckets if 0 < int(b) < cfg.seq_len})
-    ladder.append(int(cfg.seq_len))
-    return ladder
-
-
 def export_predict(params, cfg, out_dir: str, *,
                    buckets: Sequence[int] = (),
                    platforms: Sequence[str] = ("cpu", "tpu"),
@@ -59,10 +53,10 @@ def export_predict(params, cfg, out_dir: str, *,
     import jax
     from jax import export as jexport
 
-    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.eval.predict import bucket_ladder, predict
 
     os.makedirs(out_dir, exist_ok=True)
-    ladder = _ladder(cfg, buckets)
+    ladder = bucket_ladder(cfg.seq_len, buckets)
     B = jexport.symbolic_shape("b")[0]
     paths = {}
     for T in ladder:
@@ -131,8 +125,9 @@ class ExportedPredict:
         tokens = np.asarray(tokens, np.int32)
         lengths = np.asarray(lengths, np.int32)
         feats = np.asarray(feats, np.float32)
+        from rau_vqa_tpu.eval.predict import pick_bucket
         max_len = int(lengths.max()) if lengths.size else 1
-        T = next((t for t in self.ladder if t >= max_len), self.ladder[-1])
+        T = pick_bucket(self.ladder, max_len)
         toks = tokens[:, :T]
         if toks.shape[1] < T:  # right-pad with ZEROPAD to the bucket width
             toks = np.concatenate(

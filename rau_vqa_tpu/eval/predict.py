@@ -38,6 +38,29 @@ def _aggregate(scores, do_pred, attprob) -> Tuple[jax.Array, jax.Array]:
     return tab_pred, tab_att
 
 
+def bucket_ladder(seq_len: int, buckets) -> list:
+    """Sorted unique buckets < seq_len, with seq_len always appended —
+    the ONE definition of the eval ladder (shared by live bucketed
+    dispatch and the AOT export's per-bucket programs)."""
+    ladder = sorted({int(b) for b in buckets if 0 < int(b) < seq_len})
+    ladder.append(int(seq_len))
+    return ladder
+
+
+def pick_bucket(ladder, max_len: int) -> int:
+    """Smallest ladder entry covering ``max_len`` (exact: truncation past
+    the last real token is a no-op under the last-token gather).  Raises
+    a clear error instead of silently truncating real tokens when the
+    batch exceeds the ladder's top."""
+    for t in ladder:
+        if t >= max_len:
+            return t
+    raise ValueError(
+        f"batch max length {max_len} exceeds the ladder top "
+        f"{ladder[-1]} — lengths are inconsistent with this model's "
+        f"seq_len (h5 contract, data/loader.py)")
+
+
 def predict(params, cfg: ModelConfig, tokens, lengths, feats
             ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tab_pred [H+2, B, A], tab_att [H+2, B, S])."""
@@ -120,12 +143,11 @@ def make_predict_step(cfg: ModelConfig, *, fused: bool = False,
     if not buckets:
         return jitted
     import numpy as np
-    ladder = sorted({int(b) for b in buckets if 0 < int(b) < cfg.seq_len})
-    ladder.append(cfg.seq_len)
+    ladder = bucket_ladder(cfg.seq_len, buckets)
 
     def step(p, tokens, lengths, feats):
         max_len = int(np.max(np.asarray(lengths)))
-        T = next(t for t in ladder if t >= max_len)
+        T = pick_bucket(ladder, max_len)
         return jitted(p, tokens[:, :T], lengths, feats)
 
     return step

@@ -35,7 +35,7 @@ class RAUService:
     def __init__(self, checkpoint: Optional[str], vqa_dir: str, feat_dirs,
                  *, preset: str = "ours_ms", artifact: Optional[str] = None,
                  backbone: Optional[str] = None, bb_params=None,
-                 fused: bool = False, buckets=(8, 16),
+                 fused: bool = False, buckets=None,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
                  feat_cache_size: int = 256):
         import dataclasses
@@ -50,6 +50,10 @@ class RAUService:
 
         if (checkpoint is None) == (artifact is None):
             raise ValueError("pass exactly one of checkpoint / artifact")
+        if buckets is None:
+            # default ladder for live serving; an artifact bakes its own,
+            # so only an EXPLICIT value trips the flags-ignored warning
+            buckets = () if artifact is not None else (8, 16)
         exp = get_preset(preset)
         if artifact is not None:
             # AOT StableHLO artifact (rau-vqa export): the model config and
@@ -59,6 +63,20 @@ class RAUService:
             runner = load_exported(artifact)
             exp = exp.replace(
                 model=ModelConfig(**runner.meta["model_config"]))
+            # the artifact bakes its own ladder and (non-fused) program;
+            # live-eval knobs cannot take effect — say so instead of
+            # silently ignoring the operator's flags
+            import warnings
+            if fused:
+                warnings.warn("serving from an artifact: --fused-eval is "
+                              "ignored (the exported program is baked)")
+            want = sorted({int(b) for b in buckets
+                           if 0 < int(b) < exp.model.seq_len})
+            if want and want != runner.ladder[:-1]:
+                warnings.warn(
+                    f"serving from an artifact: requested buckets {want} "
+                    f"ignored — the artifact ladder is {runner.ladder} "
+                    f"(re-export with --eval-buckets to change it)")
         else:
             meta_path = checkpoint.replace(".msgpack", ".json")
             if os.path.exists(meta_path):

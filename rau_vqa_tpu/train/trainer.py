@@ -187,10 +187,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_ladder(self, buckets):
-        ladder = sorted({int(b) for b in (buckets or ())
-                         if 0 < int(b) < self.mcfg.seq_len})
-        ladder.append(self.mcfg.seq_len)
-        return ladder
+        from rau_vqa_tpu.eval.predict import bucket_ladder
+        return bucket_ladder(self.mcfg.seq_len, buckets or ())
 
     @staticmethod
     def _bucket_t(ladder, lengths) -> int:
@@ -198,8 +196,9 @@ class Trainer:
         ``lengths`` is the pre-sharding host array, identical in every
         process — so multi-process runs always agree on the compiled
         shape."""
+        from rau_vqa_tpu.eval.predict import pick_bucket
         max_len = int(np.max(np.asarray(lengths)))
-        return next(t for t in ladder if t >= max_len)
+        return pick_bucket(ladder, max_len)
 
     # ------------------------------------------------------------------
     def _hop_scale(self, epoch_1based: int) -> jnp.ndarray:
@@ -641,16 +640,15 @@ class Trainer:
         IO to a writer thread so the train loop keeps dispatching.  The
         explosion guard and end-of-fit flush pending writes via
         ``latest_checkpoint`` / ``flush_checkpoint_writes``."""
-        if jax.process_count() > 1:
-            # multi-process: other hosts poll the shared filesystem for the
-            # snapshot (explosion-guard uniformity check); an async write
-            # would widen that visibility race, so stay synchronous
-            background = False
         tree = self.state._asdict()
         if jax.process_count() > 1:
-            # TP-sharded leaves span hosts (not fully addressable from the
-            # writer), so gather them COLLECTIVELY — every process must
-            # participate — before the single writer serializes
+            # multi-process: (a) other hosts poll the shared filesystem for
+            # the snapshot (explosion-guard uniformity check), so an async
+            # write would widen that visibility race — stay synchronous;
+            # (b) TP-sharded leaves span hosts (not fully addressable from
+            # the writer), so gather them COLLECTIVELY — every process
+            # must participate — before the single writer serializes
+            background = False
             from jax.experimental import multihost_utils
 
             def fetch(x):
@@ -704,25 +702,31 @@ class Trainer:
         eval_each = (self.tcfg.test_interval > 0
                      if eval_each is None else eval_each)
         last_eval: Dict[str, Any] = {}
-        for i in range(epochs):
-            if i == 0 and self.exp.profile_dir:
-                with jax.profiler.trace(self.exp.profile_dir):
+        try:
+            for i in range(epochs):
+                if i == 0 and self.exp.profile_dir:
+                    with jax.profiler.trace(self.exp.profile_dir):
+                        self.train_epoch()
+                else:
                     self.train_epoch()
-            else:
-                self.train_epoch()
-            if (eval_each and self.tcfg.test_interval > 0
-                    and self.epoch % self.tcfg.test_interval == 0):
-                last_eval = self.evaluate()
-            if (self.tcfg.checkpoint_interval > 0
-                    and self.epoch % self.tcfg.checkpoint_interval == 0):
-                self.save(background=True)
-            if (self.exp.graph_interval > 0
-                    and self.epoch % self.exp.graph_interval == 0):
-                from rau_vqa_tpu.utils.plots import render_curves
-                render_curves(os.path.join(self.workdir, "training_log"),
-                              os.path.join(self.workdir, "graphs"),
-                              self.mcfg.n_hops)
-        # all periodic snapshots are durable before fit() returns
-        from rau_vqa_tpu.utils.checkpoint import flush_checkpoint_writes
-        flush_checkpoint_writes()
+                if (eval_each and self.tcfg.test_interval > 0
+                        and self.epoch % self.tcfg.test_interval == 0):
+                    last_eval = self.evaluate()
+                if (self.tcfg.checkpoint_interval > 0
+                        and self.epoch % self.tcfg.checkpoint_interval == 0):
+                    self.save(background=True)
+                if (self.exp.graph_interval > 0
+                        and self.epoch % self.exp.graph_interval == 0):
+                    from rau_vqa_tpu.utils.plots import render_curves
+                    render_curves(
+                        os.path.join(self.workdir, "training_log"),
+                        os.path.join(self.workdir, "graphs"),
+                        self.mcfg.n_hops)
+        finally:
+            # all periodic snapshots are durable (and write errors
+            # surfaced) even when an epoch raises mid-loop
+            from rau_vqa_tpu.utils.checkpoint import (
+                flush_checkpoint_writes,
+            )
+            flush_checkpoint_writes()
         return last_eval

@@ -46,13 +46,22 @@ def _get_writer():
 
 
 def flush_checkpoint_writes() -> None:
-    """Block until every background checkpoint write has landed; re-raise
-    the first write error.  Call before reading ``latest_checkpoint`` in
-    the saving process, and before treating training artifacts as durable."""
+    """Block until every background checkpoint write has landed; then
+    re-raise the first write error (all futures are WAITED before any
+    raise, so no write is abandoned mid-flight).  Call before reading
+    ``latest_checkpoint`` in the saving process, and before treating
+    training artifacts as durable."""
     global _pending
     pending, _pending = _pending, []
+    first_err = None
     for fut in pending:
-        fut.result()
+        try:
+            fut.result()
+        except BaseException as e:  # noqa: BLE001 — wait all, raise first
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
 
 
 def _write(ckpt_dir: str, name: str, path: str, host_tree: Any,
@@ -88,7 +97,15 @@ def save_checkpoint(ckpt_dir: str, step: int, epoch: float, tree: Any,
     device→host gather still happens HERE, synchronously: the caller's
     train step donates its state buffers, so the values must be pinned
     before the next dispatch.  Use :func:`flush_checkpoint_writes` before
-    reading the snapshot back in the same process."""
+    reading the snapshot back in the same process.
+
+    Every save first drains pending background writes.  For sync saves
+    this prevents a writer-thread/_caller-thread race on LATEST and
+    keep_last pruning; for background saves it bounds in-flight host
+    copies to ONE (each queued save pins a full host copy of
+    params + optimizer state — an unbounded queue would grow host RAM
+    with every epoch whenever the writer is slower than the cadence)."""
+    flush_checkpoint_writes()
     os.makedirs(ckpt_dir, exist_ok=True)
     name = checkpoint_name(step, epoch)
     path = os.path.join(ckpt_dir, name + ".msgpack")
@@ -117,13 +134,12 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return path if os.path.exists(path) else None
 
 
-def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
-    """Restore a pytree saved by save_checkpoint; ``template`` provides the
-    structure (e.g. a freshly initialized state)."""
-    with open(path, "rb") as f:
-        tree = serialization.from_bytes(template, f.read())
-    # flax.from_bytes substitutes stored arrays without shape validation;
-    # a config/snapshot mismatch must fail loudly, not evaluate garbage
+def validate_tree_shapes(template: Any, tree: Any) -> None:
+    """Raise loudly when ``tree``'s leaf shapes differ from ``template``'s.
+
+    flax's from_bytes/from_state_dict substitute stored arrays without
+    shape validation; a config/snapshot mismatch must fail here, not
+    evaluate garbage (shared by load_checkpoint and cli cmd_export)."""
     t_leaves = jax.tree_util.tree_leaves_with_path(template)
     r_leaves = jax.tree.leaves(tree)
     for (kp, t_leaf), r_leaf in zip(t_leaves, r_leaves):
@@ -134,6 +150,14 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
                 f"checkpoint shape mismatch at {jax.tree_util.keystr(kp)}: "
                 f"expected {t_shape} from config, snapshot has {r_shape} — "
                 f"rebuild the model with the snapshot's config")
+
+
+def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
+    """Restore a pytree saved by save_checkpoint; ``template`` provides the
+    structure (e.g. a freshly initialized state)."""
+    with open(path, "rb") as f:
+        tree = serialization.from_bytes(template, f.read())
+    validate_tree_shapes(template, tree)
     meta_path = path.replace(".msgpack", ".json")
     meta = {}
     if os.path.exists(meta_path):

@@ -24,14 +24,20 @@ from typing import Dict
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def matmul_canary(n: int = 4096, iters: int = 50,
+def matmul_canary(n: int = 4096, iters: int = 400,
                   rounds: int = 3) -> Dict[str, float]:
     """Time a chained bf16 [n,n]@[n,n] matmul loop; return achieved TFLOP/s.
 
     Returns {"tflops", "frac_of_peak", "ms_per_matmul"} using the BEST of
     ``rounds`` (the canary estimates rig capability, so max throughput is
     the right statistic; contention only ever slows it down).
-    """
+
+    ``iters`` must keep device time per dispatch >> the ~30 ms tunnel RTT
+    or the canary conflates RTT with capability: at v5e peak a 4096^3
+    bf16 matmul is ~0.7 ms, so 400 iters ≈ 280+ ms of device time
+    (RTT < 10%).  The original iters=50 default measured 100-109 TFLOP/s
+    where ~0.6 ms/iter of that was RTT — i.e. the device was actually
+    near ~0.77 ms/matmul (~90% of peak)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,8 +64,10 @@ def matmul_canary(n: int = 4096, iters: int = 50,
         best = min(best, time.perf_counter() - t0)
     sec_per_mm = best / iters
     tflops = 2.0 * n ** 3 / sec_per_mm / 1e12
+    # 3 decimals: a CPU-backend smoke (tiny n) is ~0.01 TFLOP/s and must
+    # not round to a hard zero
     return {
-        "tflops": round(tflops, 1),
-        "frac_of_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4),
+        "tflops": round(tflops, 3),
+        "frac_of_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 6),
         "ms_per_matmul": round(sec_per_mm * 1e3, 4),
     }

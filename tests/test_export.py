@@ -115,3 +115,46 @@ def test_cli_export_from_snapshot(tmp_path):
     tp, _ = run(toks, lens, feats)
     tp2, _ = live(toks, lens, feats)
     np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp2))
+
+
+def test_pick_bucket_overflow_raises(tmp_path):
+    """Lengths exceeding the ladder top must fail loudly in BOTH the live
+    ladder and the artifact runner — not silently truncate real tokens."""
+    from rau_vqa_tpu.eval.predict import bucket_ladder, pick_bucket
+
+    cfg = tiny_cfg()
+    ladder = bucket_ladder(cfg.seq_len, (4,))
+    assert ladder == [4, cfg.seq_len]
+    assert pick_bucket(ladder, 3) == 4
+    assert pick_bucket(ladder, 4) == 4
+    assert pick_bucket(ladder, 5) == cfg.seq_len
+    with pytest.raises(ValueError, match="exceeds the ladder top"):
+        pick_bucket(ladder, cfg.seq_len + 1)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    art = str(tmp_path / "art")
+    export_predict(params, cfg, art)
+    run = load_exported(art)
+    toks, lens, feats = make_inputs(cfg, 3)
+    lens = lens.copy()
+    lens[0] = cfg.seq_len + 5   # inconsistent with the h5 contract
+    with pytest.raises(ValueError, match="exceeds the ladder top"):
+        run(toks, lens, feats)
+
+
+def test_cli_export_shape_mismatch_fails_loudly(tmp_path):
+    """A metadata-less snapshot exported under a mismatched --preset must
+    raise the checkpoint shape error, not bake mismatched params."""
+    from flax import serialization
+
+    from rau_vqa_tpu.cli import main
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "snap.msgpack")
+    with open(path, "wb") as f:  # raw msgpack, no .json sidecar
+        f.write(serialization.to_bytes({"params": params}))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        # default preset = ours_ms paper dims != tiny_cfg dims
+        main(["export", "--checkpoint", path,
+              "--out", str(tmp_path / "art")])

@@ -139,3 +139,14 @@ def test_file_utils_roundtrip(tmp_path):
     path = str(tmp_path / "lines.txt")
     write_text(path, ["alpha", "beta", ""])
     assert text_read(path) == ["alpha", "beta", ""]
+
+
+def test_rig_canary_smoke():
+    """The bench canary must run on any backend and return a sane record
+    (tiny n so this stays in the fast loop)."""
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+
+    out = matmul_canary(n=256, iters=4, rounds=2)
+    assert set(out) == {"tflops", "frac_of_peak", "ms_per_matmul"}
+    assert out["tflops"] > 0 and out["ms_per_matmul"] > 0
+    assert 0 < out["frac_of_peak"] < 1.5

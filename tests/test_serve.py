@@ -296,3 +296,30 @@ def test_artifact_service_parity(served, tmp_path):
                                [a["score"] for a in base["answers"]],
                                rtol=1e-5, atol=1e-6)
     assert out["per_hop"] == base["per_hop"]
+
+
+def test_artifact_flags_warn_not_silently_ignored(served, tmp_path):
+    """--fused-eval / explicit --eval-buckets cannot take effect when
+    serving from a baked artifact: the service must warn (and default
+    construction must NOT warn spuriously)."""
+    import warnings
+
+    from rau_vqa_tpu.serve import RAUService
+    from tests import test_serve as _self
+    fix, ck = _self.served.fix, _self.served.ck
+
+    art = str(tmp_path / "art")
+    assert main(["export", "--checkpoint", ck, "--out", art,
+                 "--eval-buckets", "8"]) == 0
+    vqa = os.path.join(fix, "vqa_prepro")
+    feat = [os.path.join(fix, "feat")]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # defaults: no warning at all
+        RAUService(None, vqa, feat, artifact=art)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        RAUService(None, vqa, feat, artifact=art, fused=True,
+                   buckets=(4, 12))
+    msgs = [str(x.message) for x in w]
+    assert any("--fused-eval is ignored" in m for m in msgs)
+    assert any("requested buckets" in m for m in msgs)

@@ -548,3 +548,78 @@ def test_trainer_ships_int8_features(fixture_root, tmp_path):
     assert recs[-1]["loss"] < recs[0]["loss"]
     result = tr.evaluate(write_submissions=False)
     assert max(result["testOEacc"]) > 0.3   # well above 20% chance
+
+
+def test_checkpoint_flush_surfaces_write_errors(tmp_path, monkeypatch):
+    """A failed background write must surface at the next flush (or the
+    next save's entry drain) instead of being swallowed — the fit()
+    durability contract."""
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    def boom(*a, **k):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(ck, "_write", boom)
+    ck.save_checkpoint(str(tmp_path / "c"), 1, 1.0, {"x": np.zeros(2)},
+                       background=True)
+    with pytest.raises(OSError, match="disk full"):
+        ck.flush_checkpoint_writes()
+    # the error is raised once, then the queue is clean
+    ck.flush_checkpoint_writes()
+
+
+def test_checkpoint_save_drains_pending_first(tmp_path, monkeypatch):
+    """save_checkpoint waits out any in-flight background write before
+    starting a new one: LATEST always ends up naming the newest snapshot
+    even when the earlier background write is slow, and host copies in
+    flight are bounded to one."""
+    import time as _time
+
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    real_write = ck._write
+    calls = []
+
+    def slow_write(ckpt_dir, name, path, host_tree, meta, keep_last):
+        if not calls:
+            _time.sleep(0.3)    # only the first (background) write is slow
+        calls.append(name)
+        real_write(ckpt_dir, name, path, host_tree, meta, keep_last)
+
+    monkeypatch.setattr(ck, "_write", slow_write)
+    d = str(tmp_path / "c")
+    ck.save_checkpoint(d, 1, 1.0, {"x": np.zeros(2)}, background=True)
+    p2 = ck.save_checkpoint(d, 2, 2.0, {"x": np.ones(2)})   # sync, newer
+    assert calls == [ck.checkpoint_name(1, 1.0), ck.checkpoint_name(2, 2.0)]
+    with open(os.path.join(d, "LATEST")) as f:
+        assert f.read().strip() == ck.checkpoint_name(2, 2.0)
+    assert ck.latest_checkpoint(d) == p2
+
+
+def test_fit_flushes_checkpoints_when_epoch_raises(fixture_root, tmp_path,
+                                                   monkeypatch):
+    """An exception mid-fit must not abandon a queued background save:
+    the try/finally flush makes the already-queued snapshot durable (and
+    would surface its write error) before the exception propagates."""
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    trainer = make_trainer(fixture_root, str(tmp_path / "raise_run"))
+    orig_epoch = trainer.train_epoch
+    calls = {"n": 0}
+
+    def epoch_then_boom():
+        if calls["n"] >= 1:
+            raise RuntimeError("epoch 2 dies (simulated)")
+        calls["n"] += 1
+        return orig_epoch()
+
+    monkeypatch.setattr(trainer, "train_epoch", epoch_then_boom)
+    # checkpoint_interval=1 -> epoch 1 queues a background save
+    import dataclasses
+    trainer.tcfg = dataclasses.replace(trainer.tcfg, checkpoint_interval=1)
+    with pytest.raises(RuntimeError, match="epoch 2 dies"):
+        trainer.fit(epochs=2, eval_each=False)
+    # the epoch-1 snapshot is fully on disk despite the crash
+    assert not ck._pending
+    latest = ck.latest_checkpoint(trainer.ckpt_dir)
+    assert latest is not None and os.path.getsize(latest) > 0
