@@ -244,3 +244,39 @@ def make_sharded_predict(mcfg: ModelConfig, mesh: Mesh, params, *,
     p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
     params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, p_sh)
     return make_sharded_predict_fn(mcfg, mesh, params, tp=tp), params
+
+
+def make_sharded_pixels_predict(mcfg: ModelConfig, mesh: Mesh, params,
+                                backbone: str, *, tp: bool = False):
+    """From-pixels serving over the mesh: ONE jitted program taking uint8
+    images sharded on 'data' (plus 'data'-sharded tokens/lengths), running
+    preprocess -> frozen backbone -> RAU head end-to-end — the multi-chip
+    composition of BASELINE.json configs[3] ("Ours_ResNet run on-TPU
+    end-to-end, features not precomputed").  Backbone params are
+    replicated (convs are embarrassingly batch-parallel; their weights are
+    small next to the activations); RAU params follow ``param_pspecs``
+    (replicated, or TP-sharded classifier/gates with ``tp=True``).
+
+    Returns a jitted ``(params, bb_params, images_u8, tokens, lengths) ->
+    (tab_pred, tab_att)`` — same outputs as eval/predict.predict."""
+    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.models.pipeline import extract_features
+
+    pspecs = param_pspecs(params, tp=tp, mesh=mesh)
+    p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
+    rep = NamedSharding(mesh, P())   # prefix spec: replicates the bb tree
+
+    def run(p, bb, imgs, t, l):
+        feats = extract_features(backbone, bb, imgs)
+        return predict(p, mcfg, t, l, feats)
+
+    return jax.jit(
+        run,
+        in_shardings=(
+            p_sh,
+            rep,
+            NamedSharding(mesh, P("data", None, None, None)),  # images u8
+            NamedSharding(mesh, P("data", None)),              # tokens
+            NamedSharding(mesh, P("data")),                    # lengths
+        ),
+    )

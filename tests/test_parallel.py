@@ -243,3 +243,48 @@ def test_mesh_eval_pads_odd_batches(tmp_path):
                                res_plain["testOEacc"], atol=1e-6)
     np.testing.assert_allclose(res_mesh["testMCacc"],
                                res_plain["testMCacc"], atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tp", [False, True])
+def test_sharded_pixels_predict_matches_single_device(tp):
+    """From-pixels serving composes with the mesh: ONE jitted program
+    (preprocess -> frozen backbone -> RAU head) with uint8 images sharded
+    on 'data' matches featurize-then-predict on a single device — the
+    multi-chip form of BASELINE.json configs[3]."""
+    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.models.pipeline import extract_features
+    from rau_vqa_tpu.parallel.mesh import make_sharded_pixels_predict
+
+    pcfg = dataclasses.replace(CFG, cnn_dim=512)
+    params = init_train_state(jax.random.PRNGKey(0), pcfg).params
+    bb = vgg16_pool5_init(jax.random.PRNGKey(1))
+    rs = np.random.RandomState(3)
+    B = 8
+    images = rs.randint(0, 255, (B, 64, 64, 3), np.uint8)   # 2x2 pool5 grid
+    tokens = rs.randint(1, pcfg.vocab_size, (B, pcfg.seq_len)).astype(np.int32)
+    lengths = rs.randint(1, pcfg.seq_len + 1, B).astype(np.int32)
+    tokens[np.arange(pcfg.seq_len)[None] >= lengths[:, None]] = 0
+
+    feats = extract_features("vgg16", bb, jnp.asarray(images))
+    ref_tab, ref_att = predict(params, pcfg, jnp.asarray(tokens),
+                               jnp.asarray(lengths), feats)
+
+    mesh = make_mesh(n_data=4, n_model=2 if tp else 1)
+    fn = make_sharded_pixels_predict(pcfg, mesh, params, "vgg16", tp=tp)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pspecs = param_pspecs(params, tp=tp, mesh=mesh)
+    p_placed = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs)
+    bb_placed = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), bb)
+    simgs, stoks, slens = shard_batch(mesh, jnp.asarray(images),
+                                      jnp.asarray(tokens),
+                                      jnp.asarray(lengths))
+    tab, att = fn(p_placed, bb_placed, simgs, stoks, slens)
+    np.testing.assert_allclose(np.asarray(tab), np.asarray(ref_tab),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
+                               rtol=2e-4, atol=1e-5)
