@@ -96,3 +96,55 @@ def test_trainer_from_pixels_end_to_end(tmp_path):
     res = trainer.evaluate(write_submissions=False)
     assert len(res["testOEacc"]) == exp.model.n_hops + 2
     assert all(np.isfinite(a) for a in res["testOEacc"])
+
+
+@pytest.mark.slow
+def test_trainer_from_pixels_on_mesh_matches_single(tmp_path):
+    """From-pixels training/eval composes with the device mesh: uint8
+    image batches shard on 'data', the inline backbone featurize runs on
+    the sharded array (GSPMD), and one epoch + the eval sweep match the
+    single-device run."""
+    import dataclasses
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.parallel.mesh import make_mesh
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, spec, images=True, image_size=64)
+
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.0),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+            length_buckets=()),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    bb = vgg16_pool5_init(jax.random.PRNGKey(3))
+
+    def run(mesh, workdir):
+        data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                             test_batch_size=8)
+        src = ImageDirSource(os.path.join(root, "images"), size=64)
+        trainer = Trainer(exp, data, src, workdir, gt_anno=gt,
+                          backbone="vgg16", bb_params=bb, mesh=mesh)
+        # eval FIRST (identical init params): the sharded pixels forward
+        # must agree tightly — forward-only reassociation is ~1e-7
+        res = trainer.evaluate(write_submissions=False)
+        rec = trainer.train_epoch()
+        return res["testOEacc"], rec["loss"]
+
+    acc_ref, loss_ref = run(None, str(tmp_path / "single"))
+    acc_mesh, loss_mesh = run(make_mesh(n_data=8), str(tmp_path / "mesh"))
+    np.testing.assert_allclose(acc_mesh, acc_ref, rtol=1e-6, atol=1e-9)
+    # an epoch of training amplifies the grad all-reduce's reassociation
+    # (~1e-7/step) through adam; measured ~6e-4 after 13 steps
+    np.testing.assert_allclose(loss_mesh, loss_ref, rtol=5e-3)
