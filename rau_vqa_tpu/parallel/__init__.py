@@ -4,5 +4,7 @@ from rau_vqa_tpu.parallel.mesh import (  # noqa: F401
     state_shardings,
     batch_pspec,
     make_sharded_train_step,
+    make_sharded_predict,
+    make_sharded_pixels_predict,
     shard_batch,
 )
