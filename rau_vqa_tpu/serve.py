@@ -50,9 +50,11 @@ class RAUService:
 
         if (checkpoint is None) == (artifact is None):
             raise ValueError("pass exactly one of checkpoint / artifact")
+        buckets_explicit = buckets is not None
         if buckets is None:
             # default ladder for live serving; an artifact bakes its own,
             # so only an EXPLICIT value trips the flags-ignored warning
+            # (including an explicit () = 'disable buckets')
             buckets = () if artifact is not None else (8, 16)
         exp = get_preset(preset)
         if artifact is not None:
@@ -70,13 +72,16 @@ class RAUService:
             if fused:
                 warnings.warn("serving from an artifact: --fused-eval is "
                               "ignored (the exported program is baked)")
-            want = sorted({int(b) for b in buckets
-                           if 0 < int(b) < exp.model.seq_len})
-            if want and want != runner.ladder[:-1]:
+            from rau_vqa_tpu.eval.predict import bucket_ladder
+            want = bucket_ladder(exp.model.seq_len, buckets)[:-1]
+            if buckets_explicit and want != runner.ladder[:-1]:
+                # covers explicit () / 'none' too: asking to DISABLE
+                # buckets cannot take effect against a baked ladder
                 warnings.warn(
-                    f"serving from an artifact: requested buckets {want} "
-                    f"ignored — the artifact ladder is {runner.ladder} "
-                    f"(re-export with --eval-buckets to change it)")
+                    f"serving from an artifact: requested buckets "
+                    f"{want or '(disabled)'} ignored — the artifact "
+                    f"ladder is {runner.ladder} (re-export with "
+                    f"--eval-buckets to change it)")
         else:
             meta_path = checkpoint.replace(".msgpack", ".json")
             if os.path.exists(meta_path):

@@ -724,9 +724,22 @@ class Trainer:
                         self.mcfg.n_hops)
         finally:
             # all periodic snapshots are durable (and write errors
-            # surfaced) even when an epoch raises mid-loop
+            # surfaced) even when an epoch raises mid-loop — but a flush
+            # error must not REPLACE an in-flight training exception (the
+            # primary failure automation matches on)
+            import sys
+
             from rau_vqa_tpu.utils.checkpoint import (
                 flush_checkpoint_writes,
             )
-            flush_checkpoint_writes()
+            if sys.exc_info()[0] is None:
+                flush_checkpoint_writes()
+            else:
+                try:
+                    flush_checkpoint_writes()
+                except Exception as e:
+                    import warnings
+                    warnings.warn(
+                        f"background checkpoint write also failed while "
+                        f"unwinding a training error: {e!r}")
         return last_eval

@@ -57,9 +57,9 @@ def flush_checkpoint_writes() -> None:
     for fut in pending:
         try:
             fut.result()
-        except BaseException as e:  # noqa: BLE001 — wait all, raise first
-            if first_err is None:
-                first_err = e
+        except Exception as e:      # wait all, raise first; Exception (not
+            if first_err is None:   # BaseException) so a Ctrl-C delivered
+                first_err = e       # to THIS waiting thread still aborts
     if first_err is not None:
         raise first_err
 

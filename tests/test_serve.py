@@ -313,13 +313,20 @@ def test_artifact_flags_warn_not_silently_ignored(served, tmp_path):
                  "--eval-buckets", "8"]) == 0
     vqa = os.path.join(fix, "vqa_prepro")
     feat = [os.path.join(fix, "feat")]
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")      # defaults: no warning at all
-        RAUService(None, vqa, feat, artifact=art)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        RAUService(None, vqa, feat, artifact=art, fused=True,
-                   buckets=(4, 12))
-    msgs = [str(x.message) for x in w]
+    def serve_warnings(**kw):
+        # record-and-filter (not simplefilter('error')): an unrelated
+        # DeprecationWarning from a library upgrade must not fail this
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            RAUService(None, vqa, feat, artifact=art, **kw)
+        return [str(x.message) for x in w
+                if "artifact" in str(x.message)]
+
+    assert serve_warnings() == []           # defaults: no artifact warning
+    msgs = serve_warnings(fused=True, buckets=(4, 12))
     assert any("--fused-eval is ignored" in m for m in msgs)
     assert any("requested buckets" in m for m in msgs)
+    # explicit 'disable buckets' can't take effect either — still a warning
+    assert any("requested buckets" in m for m in serve_warnings(buckets=()))
+    # explicitly requesting exactly the baked ladder is a no-op: silent
+    assert serve_warnings(buckets=(8,)) == []

@@ -623,3 +623,35 @@ def test_fit_flushes_checkpoints_when_epoch_raises(fixture_root, tmp_path,
     assert not ck._pending
     latest = ck.latest_checkpoint(trainer.ckpt_dir)
     assert latest is not None and os.path.getsize(latest) > 0
+
+
+def test_fit_write_error_does_not_mask_training_error(fixture_root,
+                                                      tmp_path, monkeypatch):
+    """When an epoch raises AND a queued background write has failed, the
+    TRAINING exception propagates (the primary failure automation matches
+    on); the write error surfaces as a warning, not as the raised type."""
+    import warnings
+
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    trainer = make_trainer(fixture_root, str(tmp_path / "mask_run"))
+    monkeypatch.setattr(
+        ck, "_write",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")))
+    orig_epoch = trainer.train_epoch
+    calls = {"n": 0}
+
+    def epoch_then_boom():
+        if calls["n"] >= 1:
+            raise RuntimeError("epoch 2 dies (simulated)")
+        calls["n"] += 1
+        return orig_epoch()
+
+    monkeypatch.setattr(trainer, "train_epoch", epoch_then_boom)
+    import dataclasses
+    trainer.tcfg = dataclasses.replace(trainer.tcfg, checkpoint_interval=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with pytest.raises(RuntimeError, match="epoch 2 dies"):
+            trainer.fit(epochs=2, eval_each=False)
+    assert any("checkpoint write also failed" in str(x.message) for x in w)
