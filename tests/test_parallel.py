@@ -288,3 +288,49 @@ def test_sharded_pixels_predict_matches_single_device(tp):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_pixels_predict_vit(tp=True):
+    """The ViT stretch backbone (patch tokens as the RAU feature map, the
+    long-S case SURVEY.md §2d earmarks) runs under the same sharded
+    from-pixels program and matches single device."""
+    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.models.backbones.vit import ViTConfig, vit_init
+    from rau_vqa_tpu.models.pipeline import extract_features
+    from rau_vqa_tpu.parallel.mesh import make_sharded_pixels_predict
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vcfg = ViTConfig(image_size=16, patch=4, dim=32, depth=2, heads=4,
+                     mlp_ratio=2.0)
+    pcfg = dataclasses.replace(CFG, cnn_dim=32, cnn_w=4, cnn_h=4)
+    params = init_train_state(jax.random.PRNGKey(0), pcfg).params
+    bb = vit_init(jax.random.PRNGKey(1), vcfg)
+    rs = np.random.RandomState(5)
+    B = 8
+    images = rs.randint(0, 255, (B, 16, 16, 3), np.uint8)
+    tokens = rs.randint(1, pcfg.vocab_size, (B, pcfg.seq_len)).astype(np.int32)
+    lengths = rs.randint(1, pcfg.seq_len + 1, B).astype(np.int32)
+    tokens[np.arange(pcfg.seq_len)[None] >= lengths[:, None]] = 0
+
+    feats = extract_features("vit", bb, jnp.asarray(images), vit_cfg=vcfg)
+    assert feats.shape == (B, 16, 32)
+    ref_tab, ref_att = predict(params, pcfg, jnp.asarray(tokens),
+                               jnp.asarray(lengths), feats)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    fn = make_sharded_pixels_predict(pcfg, mesh, params, "vit", tp=tp,
+                                     vit_cfg=vcfg)
+    pspecs = param_pspecs(params, tp=tp, mesh=mesh)
+    p_placed = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs)
+    bb_placed = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), bb)
+    tab, att = fn(p_placed, bb_placed,
+                  *shard_batch(mesh, jnp.asarray(images),
+                               jnp.asarray(tokens), jnp.asarray(lengths)))
+    np.testing.assert_allclose(np.asarray(tab), np.asarray(ref_tab),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
+                               rtol=2e-4, atol=1e-5)
