@@ -82,6 +82,12 @@ class T7DirFeatureSource(FeatureSource):
     def get_batch(self, names: Sequence[str], datatypes: Sequence[int]) -> np.ndarray:
         out = np.empty((len(names), self.spat, self.dim), np.float32)
         for i, (name, dt) in enumerate(zip(names, datatypes)):
+            if not 1 <= dt <= len(self.dirs):
+                # the h5 contract is 1-based (reference tab_featpaths
+                # indexing, :876); dt=0 would silently wrap to dirs[-1]
+                raise ValueError(
+                    f"datatype {dt} out of range for {len(self.dirs)} "
+                    f"feature dir(s) — datatypes are 1-based")
             out[i] = self._load_one(os.path.join(self.dirs[dt - 1], name))
         return out
 
@@ -128,6 +134,12 @@ class PackedFeatureStore(FeatureSource):
         if self.mmap.shape != (n, self.spat, self.dim):
             raise ValueError(
                 f"packed shard shape {self.mmap.shape} != ({n}, {self.spat}, {self.dim})")
+        if self.mmap.dtype != self._store_dtype:
+            # a half-repacked dir (index says int8, features.npy float32)
+            # would otherwise dequantize already-float values silently
+            raise ValueError(
+                f"packed shard dtype mismatch: index.json says "
+                f"{self._store_dtype}, features.npy is {self.mmap.dtype}")
         self.scales = None
         scales_path = os.path.join(shard_dir, "scales.npy")
         if os.path.exists(scales_path):

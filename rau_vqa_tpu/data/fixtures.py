@@ -66,11 +66,15 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
         base[i % spec.n_answers] += 2.0
         return base.astype(np.float32)
 
+    from rau_vqa_tpu.data.features import coco_feat_name
+
     img_class = {}
     for imgs in (train_imgs, test_imgs):
         for i, p in enumerate(imgs):
-            name = os.path.basename(p).replace(".jpg", ".t7")
-            t7.save_t7(os.path.join(feat_dir, name), make_feat(i))
+            # the loader looks features up by coco_feat_name — derive the
+            # fixture's filenames with the same helper so they can't drift
+            t7.save_t7(os.path.join(feat_dir, coco_feat_name(p)),
+                       make_feat(i))
             img_class[p] = i % spec.n_answers
 
     def make_split(n: int, imgs: List[str], qid_base: int):

@@ -58,6 +58,16 @@ class SplitData:
                  mc_answers: Optional[np.ndarray] = None, seed: int = 123,
                  img_paths: Optional[List[str]] = None):
         assert questions.ndim == 2
+        if questions.shape[0] == 0:
+            raise ValueError(
+                f"split {name!r} is empty — check valid_ratio / the h5 "
+                f"bundle (an int(n * ratio) of 0 yields an empty val split)")
+        if questions.shape[0] < batch_size:
+            raise ValueError(
+                f"split {name!r} has {questions.shape[0]} examples < "
+                f"batch_size {batch_size}: iter_per_epoch would be 0 and "
+                f"every epoch a silent no-op (batches are always full-size "
+                f"by contract)")
         assert lengths.min() >= 1, "every question must have >= 1 token"
         self.name = name
         self.questions = questions.astype(np.int32)
@@ -171,17 +181,32 @@ class SplitData:
             def submit():
                 # indices advance synchronously; the fetch itself (feature
                 # gather or image decode — _fetch_source's dispatch) runs
-                # in the worker, like the reference's prefetch thread
+                # in the worker, like the reference's prefetch thread.
+                # The pre-advance state snapshot lets an abandoned
+                # generator rewind (below) — reorder() is a pure function
+                # of (seed, reorder_count), so restoring the triple is
+                # exact even across an epoch boundary.
+                snap = (self.batch_index, self.reorder_count,
+                        self.batch_order)
                 idx = self._batch_indices()
-                return idx, pool.submit(self._fetch_source, source, idx)
+                return snap, idx, pool.submit(self._fetch_source,
+                                              source, idx)
 
             pending = submit()
-            for i in range(n):
-                idx, fut = pending
-                feats = fut.result()
-                if i + 1 < n:
-                    pending = submit()
-                yield self._assemble(idx, feats)
+            try:
+                for i in range(n):
+                    snap, idx, fut = pending
+                    feats = fut.result()
+                    pending = submit() if i + 1 < n else None
+                    yield self._assemble(idx, feats)
+            finally:
+                if pending is not None:
+                    # generator closed early (break / islice / error):
+                    # the prefetched batch was never yielded — rewind the
+                    # order state so its examples are not silently
+                    # skipped and the data order matches prefetch=False
+                    (self.batch_index, self.reorder_count,
+                     self.batch_order) = pending[0]
 
 
 @dataclass
@@ -209,13 +234,21 @@ class VQAData:
 
     def question_to_tokens(self, question: str):
         """Whitespace tokenization against the vocab, unknowns -> 'UNK'
-        (vqa_prepro_loader.lua:167-180)."""
+        (vqa_prepro_loader.lua:167-180).  A vocab without 'UNK' fails
+        loudly on the first unknown word — the reference nil-indexes in
+        the same situation; mapping unknowns to ZEROPAD would silently
+        feed padding embeddings mid-question."""
         toks = np.zeros((self.seq_len,), np.int32)
         words = question.split()
-        unk = self.vocab_map.get("UNK", 0)
+        unk = self.vocab_map.get("UNK")
         n = min(len(words), self.seq_len)
         for i, w in enumerate(words[:n]):
-            toks[i] = self.vocab_map.get(w, unk)
+            tok = self.vocab_map.get(w, unk)
+            if tok is None:
+                raise KeyError(
+                    f"word {w!r} is not in the vocabulary and this "
+                    f"bundle has no 'UNK' entry to map it to")
+            toks[i] = tok
         return toks, max(n, 1)
 
     def tokens_to_question(self, tokens: np.ndarray, length: Optional[int] = None) -> str:
@@ -319,6 +352,10 @@ def load_vqa_data(vqa_dir: str, batch_size: int, *, split: str = "val2014",
         questions=ques_test, lengths=len_test,
         img_names=_img_names_for(pos_test, test_imgs),
         img_paths=[test_imgs[int(p) - 1] for p in pos_test],
+        # the reference also pins the TEST split's datatype to 1
+        # (vqa_prepro_loader.lua:1378: question_id:clone():fill(1)) — its
+        # drivers pass a separate featpath table per loader instance, so
+        # per-datatype routing only ever applies to the train split
         datatypes=np.ones_like(qid_test, np.int32), qids=qid_test,
         mc_answers=mc_ans,
     )

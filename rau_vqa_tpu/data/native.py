@@ -40,23 +40,35 @@ class NativeUnavailable(RuntimeError):
     batch."""
 
 
+_lib_error: "Exception | None" = None
+
+
 def load_library(build: bool = True) -> ctypes.CDLL:
-    """Load (building if needed) the native loader library."""
-    global _lib
+    """Load (building if needed) the native loader library.  Raises
+    :class:`NativeUnavailable` — and keeps raising it WITHOUT re-running
+    `make` — when this host cannot build/load it (same contract as
+    :func:`load_image_library`)."""
+    global _lib, _lib_error
     if _lib is not None:
         return _lib
     with _load_lock:
         if _lib is not None:
             return _lib
-        src = os.path.join(_NATIVE_DIR, "feature_loader.cpp")
-        needs_build = (not os.path.exists(_LIB_PATH)
-                       or (os.path.exists(src)
-                           and os.path.getmtime(src)
-                           > os.path.getmtime(_LIB_PATH)))
-        if needs_build and build:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        lib = ctypes.CDLL(_LIB_PATH)
+        if _lib_error is not None:
+            raise NativeUnavailable(str(_lib_error))
+        try:
+            src = os.path.join(_NATIVE_DIR, "feature_loader.cpp")
+            needs_build = (not os.path.exists(_LIB_PATH)
+                           or (os.path.exists(src)
+                               and os.path.getmtime(src)
+                               > os.path.getmtime(_LIB_PATH)))
+            if needs_build and build:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception as e:  # noqa: BLE001 — toolchain/deps absent
+            _lib_error = e
+            raise NativeUnavailable(str(e)) from e
     lib.fl_open.restype = ctypes.c_void_p
     lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                             ctypes.c_uint64, ctypes.c_uint64]

@@ -498,12 +498,8 @@ class Trainer:
         submission files and computes fast-val accuracy when GT is available
         (reference :851-1207)."""
         test = self.data.test_data
-        if test.iter_per_epoch == 0:
-            raise ValueError(
-                f"test split has {test.num_examples} examples but batch size "
-                f"{test.batch_size}: zero eval batches — lower "
-                f"test_batch_size (reference picks it to divide the split, "
-                f"Ours_SS/...lua:85-95)")
+        # iter_per_epoch == 0 is impossible here: SplitData's constructor
+        # rejects splits smaller than the batch size (data/loader.py).
         remainder = test.num_examples % test.batch_size
         if remainder:
             import warnings

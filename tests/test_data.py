@@ -343,3 +343,77 @@ def test_packed_store_raw_int8_device_dequant(fixture_root, tmp_path):
     st = PackedFeatureStore(out32, raw_int8=True)
     assert not st.raw_int8
     assert isinstance(st.get_batch(names, [1] * len(names)), np.ndarray)
+
+
+def test_prefetch_abandoned_generator_rewinds(fixture_root):
+    """Breaking out of a prefetched batches() iterator must not skip the
+    prefetched-but-unyielded batch: the order state rewinds, so the data
+    sequence matches an uninterrupted prefetch=False run."""
+    import itertools
+
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    feat_dir = os.path.join(fixture_root, "feat")
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w,
+                             SPEC.feat_h)
+
+    def qid_stream(interrupt):
+        data = load_vqa_data(vqa_dir, batch_size=16, split="val2014", seed=5)
+        data.train_data.set_batch_order_option("shuffle")
+        data.train_data.reorder()
+        out = []
+        if interrupt:   # consume 2, abandon mid-epoch, then resume
+            for b in itertools.islice(
+                    data.train_data.batches(src, prefetch=True), 2):
+                out.append(b.qids)
+        else:
+            # no-lookahead baseline: plain next_batch never prefetches,
+            # so its order state is trivially correct
+            out += [data.train_data.next_batch(src).qids,
+                    data.train_data.next_batch(src).qids]
+        for b in data.train_data.batches(src, prefetch=True):
+            out.append(b.qids)
+        return out
+
+    plain = qid_stream(False)
+    broken = qid_stream(True)
+    assert len(plain) == len(broken)
+    for a, b in zip(plain, broken):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_loud_failure_modes(fixture_root, tmp_path):
+    """Contract violations fail loudly: unknown word without UNK,
+    out-of-range datatype, undersized split, packed-shard dtype
+    mismatch."""
+    import json as _json
+
+    import pytest
+
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014")
+    if "UNK" not in data.vocab_map:
+        with pytest.raises(KeyError, match="no 'UNK' entry"):
+            data.question_to_tokens("definitely_not_in_any_vocab_xyzzy")
+
+    feat_dir = os.path.join(fixture_root, "feat")
+    src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w,
+                             SPEC.feat_h)
+    name = data.train_data.img_names[0]
+    with pytest.raises(ValueError, match="1-based"):
+        src.get_batch([name], np.asarray([0], np.int32))
+    with pytest.raises(ValueError, match="1-based"):
+        src.get_batch([name], np.asarray([2], np.int32))
+
+    with pytest.raises(ValueError, match="batch_size"):
+        load_vqa_data(vqa_dir, batch_size=100000, split="val2014")
+
+    # packed shard whose index.json dtype disagrees with features.npy
+    from rau_vqa_tpu.data.features import PackedFeatureStore
+    shard = tmp_path / "shard"
+    os.makedirs(shard)
+    np.save(shard / "features.npy", np.zeros((2, 4, 8), np.float32))
+    with open(shard / "index.json", "w") as f:
+        _json.dump({"index": {"a.t7": 0, "b.t7": 1}, "dim": 8, "spat": 4,
+                    "dtype": "int8"}, f)
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        PackedFeatureStore(str(shard))
