@@ -62,12 +62,6 @@ class SplitData:
             raise ValueError(
                 f"split {name!r} is empty — check valid_ratio / the h5 "
                 f"bundle (an int(n * ratio) of 0 yields an empty val split)")
-        if questions.shape[0] < batch_size:
-            raise ValueError(
-                f"split {name!r} has {questions.shape[0]} examples < "
-                f"batch_size {batch_size}: iter_per_epoch would be 0 and "
-                f"every epoch a silent no-op (batches are always full-size "
-                f"by contract)")
         assert lengths.min() >= 1, "every question must have >= 1 token"
         self.name = name
         self.questions = questions.astype(np.int32)
@@ -121,7 +115,21 @@ class SplitData:
 
     # ---- batch fetch ----
 
+    def _check_iterable(self) -> None:
+        # raised at ITERATION time, not construction: a bundle may carry an
+        # undersized split (e.g. a tiny valid_ratio re-split) that the
+        # workflow never iterates — only actually drawing batches from it
+        # is an error (batches are always full-size by contract, so
+        # iter_per_epoch would be 0 and every epoch a silent no-op)
+        if self.num_examples < self.batch_size:
+            raise ValueError(
+                f"split {self.name!r} has {self.num_examples} examples < "
+                f"batch_size {self.batch_size}: zero full batches — lower "
+                f"the batch size (the reference picks the test batch size "
+                f"to divide the split, Ours_SS/...lua:85-95)")
+
     def _batch_indices(self) -> np.ndarray:
+        self._check_iterable()
         idx = self.batch_order[self.batch_index:self.batch_index + self.batch_size]
         self.batch_index += self.batch_size
         # reorder when the NEXT batch would overflow (reference :911-914)
@@ -172,6 +180,7 @@ class SplitData:
         """Iterate batches; with prefetch the (i+1)-th feature gather overlaps
         consumption of the i-th batch (the reference's 1-worker thread pool,
         vqa_prepro_loader.lua:66-80,931-958)."""
+        self._check_iterable()   # n == 0 would otherwise no-op silently
         n = self.iter_per_epoch if num_batches is None else num_batches
         if not prefetch:
             for _ in range(n):

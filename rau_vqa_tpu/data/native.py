@@ -43,6 +43,19 @@ class NativeUnavailable(RuntimeError):
 _lib_error: "Exception | None" = None
 
 
+def _build_error_message(e: Exception) -> str:
+    """Build-failure message INCLUDING the captured compiler output —
+    ``subprocess.run(capture_output=True)`` means ``str(CalledProcessError)``
+    alone carries no diagnostics."""
+    msg = str(e)
+    stderr = getattr(e, "stderr", None)
+    if stderr:
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode("utf-8", "replace")
+        msg = f"{msg}\n--- make stderr ---\n{stderr.strip()}"
+    return msg
+
+
 def load_library(build: bool = True) -> ctypes.CDLL:
     """Load (building if needed) the native loader library.  Raises
     :class:`NativeUnavailable` — and keeps raising it WITHOUT re-running
@@ -67,8 +80,9 @@ def load_library(build: bool = True) -> ctypes.CDLL:
                                capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception as e:  # noqa: BLE001 — toolchain/deps absent
-            _lib_error = e
-            raise NativeUnavailable(str(e)) from e
+            msg = _build_error_message(e)
+            _lib_error = RuntimeError(msg)
+            raise NativeUnavailable(msg) from e
     lib.fl_open.restype = ctypes.c_void_p
     lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                             ctypes.c_uint64, ctypes.c_uint64]
@@ -214,8 +228,9 @@ def load_image_library(build: bool = True) -> ctypes.CDLL:
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_IMG_LIB_PATH)
         except Exception as e:  # noqa: BLE001 — toolchain/deps absent
-            _img_lib_error = e
-            raise NativeUnavailable(str(e)) from e
+            msg = _build_error_message(e)
+            _img_lib_error = RuntimeError(msg)
+            raise NativeUnavailable(msg) from e
         lib.id_decode_batch.restype = ctypes.c_int64
         lib.id_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int32,

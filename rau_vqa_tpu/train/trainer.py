@@ -498,8 +498,8 @@ class Trainer:
         submission files and computes fast-val accuracy when GT is available
         (reference :851-1207)."""
         test = self.data.test_data
-        # iter_per_epoch == 0 is impossible here: SplitData's constructor
-        # rejects splits smaller than the batch size (data/loader.py).
+        # iter_per_epoch == 0 fails loudly inside test.batches() below
+        # (SplitData._check_iterable), so no separate guard is needed here.
         remainder = test.num_examples % test.batch_size
         if remainder:
             import warnings
@@ -698,6 +698,7 @@ class Trainer:
         eval_each = (self.tcfg.test_interval > 0
                      if eval_each is None else eval_each)
         last_eval: Dict[str, Any] = {}
+        raised = False
         try:
             for i in range(epochs):
                 if i == 0 and self.exp.profile_dir:
@@ -718,17 +719,21 @@ class Trainer:
                         os.path.join(self.workdir, "training_log"),
                         os.path.join(self.workdir, "graphs"),
                         self.mcfg.n_hops)
+        except BaseException:
+            raised = True
+            raise
         finally:
             # all periodic snapshots are durable (and write errors
             # surfaced) even when an epoch raises mid-loop — but a flush
             # error must not REPLACE an in-flight training exception (the
-            # primary failure automation matches on)
-            import sys
-
+            # primary failure automation matches on).  An explicit flag,
+            # not sys.exc_info(): that would also see exceptions being
+            # HANDLED anywhere up the caller's stack and silently demote
+            # a real flush failure to a warning.
             from rau_vqa_tpu.utils.checkpoint import (
                 flush_checkpoint_writes,
             )
-            if sys.exc_info()[0] is None:
+            if not raised:
                 flush_checkpoint_writes()
             else:
                 try:

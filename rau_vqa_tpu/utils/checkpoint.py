@@ -45,6 +45,15 @@ def _get_writer():
     return _writer
 
 
+def _failed_future(err: BaseException):
+    """An already-resolved future carrying ``err`` — used to re-queue a
+    collected-but-not-yet-raised write error when a flush is interrupted."""
+    from concurrent.futures import Future
+    fut: "Future[None]" = Future()
+    fut.set_exception(err)
+    return fut
+
+
 def flush_checkpoint_writes() -> None:
     """Block until every background checkpoint write has landed; then
     re-raise the first write error (all futures are WAITED before any
@@ -54,12 +63,22 @@ def flush_checkpoint_writes() -> None:
     global _pending
     pending, _pending = _pending, []
     first_err = None
-    for fut in pending:
-        try:
-            fut.result()
-        except Exception as e:      # wait all, raise first; Exception (not
-            if first_err is None:   # BaseException) so a Ctrl-C delivered
-                first_err = e       # to THIS waiting thread still aborts
+    try:
+        for i, fut in enumerate(pending):
+            try:
+                fut.result()
+            except Exception as e:    # wait all, raise first; Exception
+                if first_err is None:  # (not BaseException) so a Ctrl-C
+                    first_err = e      # delivered HERE still aborts...
+    except BaseException:
+        # ...but an abort must not ABANDON the rest: push un-waited
+        # futures back so a later flush (e.g. a harness flushing on
+        # KeyboardInterrupt before exit) still waits them and still
+        # sees first_err rather than reporting a clean state
+        _pending = pending[i:] + _pending
+        if first_err is not None:
+            _pending.insert(0, _failed_future(first_err))
+        raise
     if first_err is not None:
         raise first_err
 

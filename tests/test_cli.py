@@ -84,9 +84,9 @@ def test_zero_eval_batches_fails_loudly(trained_run):
     fix = os.path.join(trained_run, "fixture")
     ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
                                        "*.msgpack")))[-1]
-    # the undersized split is now rejected at SplitData construction,
-    # before the Trainer ever sees it
-    with pytest.raises(ValueError, match="< batch_size"):
+    # the undersized split is rejected the moment eval draws from it
+    # (SplitData._check_iterable) — loading alone stays legal
+    with pytest.raises(ValueError, match="zero full batches"):
         main(["eval", "--checkpoint", ck, "--preset", "ours_ms",
               "--vqa-dir", os.path.join(fix, "vqa_prepro"),
               "--feat-dir", os.path.join(fix, "feat"),

@@ -391,9 +391,11 @@ def test_loader_loud_failure_modes(fixture_root, tmp_path):
 
     vqa_dir = os.path.join(fixture_root, "vqa_prepro")
     data = load_vqa_data(vqa_dir, batch_size=16, split="val2014")
-    if "UNK" not in data.vocab_map:
-        with pytest.raises(KeyError, match="no 'UNK' entry"):
-            data.question_to_tokens("definitely_not_in_any_vocab_xyzzy")
+    # the fixture vocab always carries UNK — strip it to exercise the raise
+    assert "UNK" in data.vocab_map
+    data.vocab_map = {w: i for w, i in data.vocab_map.items() if w != "UNK"}
+    with pytest.raises(KeyError, match="no 'UNK' entry"):
+        data.question_to_tokens("definitely_not_in_any_vocab_xyzzy")
 
     feat_dir = os.path.join(fixture_root, "feat")
     src = T7DirFeatureSource([feat_dir], SPEC.feat_dim, SPEC.feat_w,
@@ -404,8 +406,14 @@ def test_loader_loud_failure_modes(fixture_root, tmp_path):
     with pytest.raises(ValueError, match="1-based"):
         src.get_batch([name], np.asarray([2], np.int32))
 
-    with pytest.raises(ValueError, match="batch_size"):
-        load_vqa_data(vqa_dir, batch_size=100000, split="val2014")
+    # an undersized split loads fine but fails loudly the moment any
+    # batch is drawn from it (construction stays legal: a workflow may
+    # never iterate that split)
+    big = load_vqa_data(vqa_dir, batch_size=100000, split="val2014")
+    with pytest.raises(ValueError, match="zero full batches"):
+        big.train_data.next_batch_text()
+    with pytest.raises(ValueError, match="zero full batches"):
+        next(iter(big.train_data.batches(src)))
 
     # packed shard whose index.json dtype disagrees with features.npy
     from rau_vqa_tpu.data.features import PackedFeatureStore

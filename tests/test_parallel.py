@@ -291,7 +291,8 @@ def test_sharded_pixels_predict_matches_single_device(tp):
 
 
 @pytest.mark.slow
-def test_sharded_pixels_predict_vit(tp=True):
+@pytest.mark.parametrize("tp", [False, True])
+def test_sharded_pixels_predict_vit(tp):
     """The ViT stretch backbone (patch tokens as the RAU feature map, the
     long-S case SURVEY.md §2d earmarks) runs under the same sharded
     from-pixels program and matches single device."""

@@ -655,3 +655,62 @@ def test_fit_write_error_does_not_mask_training_error(fixture_root,
         with pytest.raises(RuntimeError, match="epoch 2 dies"):
             trainer.fit(epochs=2, eval_each=False)
     assert any("checkpoint write also failed" in str(x.message) for x in w)
+
+
+def test_fit_surfaces_flush_error_from_inside_handler(fixture_root,
+                                                      tmp_path, monkeypatch):
+    """A successful fit() must RAISE a pending write error even when the
+    caller sits inside an except block (retry/fallback harnesses do):
+    sys.exc_info() sees the caller's handled exception and would demote
+    the flush failure to a warning — the raised-flag must not."""
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    trainer = make_trainer(fixture_root, str(tmp_path / "handler_run"))
+    monkeypatch.setattr(
+        ck, "_write",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")))
+    ck.save_checkpoint(str(tmp_path / "handler_run" / "snapshot"),
+                       1, 1.0, {"x": np.zeros(2)}, background=True)
+    try:
+        raise KeyError("handled by the caller's harness")
+    except KeyError:
+        with pytest.raises(OSError, match="disk full"):
+            trainer.fit(epochs=1, eval_each=False)
+
+
+def test_checkpoint_flush_interrupted_requeues(monkeypatch):
+    """A Ctrl-C (BaseException) delivered mid-flush must not abandon
+    un-waited futures or drop an already-collected write error: both are
+    re-queued, so the harness's flush-before-exit still surfaces them."""
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    class InterruptOnce:
+        def __init__(self):
+            self.hits = 0
+
+        def result(self):
+            self.hits += 1
+            if self.hits == 1:
+                raise KeyboardInterrupt
+
+    class Done:
+        waited = False
+
+        def result(self):
+            self.waited = True
+
+    assert not ck._pending
+    ki, done = InterruptOnce(), Done()
+    ck._pending.extend([ck._failed_future(OSError("disk full")), ki, done])
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            ck.flush_checkpoint_writes()
+        # the interrupt arrived while waiting `ki`: it and everything after
+        # it are back in the queue, plus the collected OSError up front
+        assert len(ck._pending) == 3 and not done.waited
+        with pytest.raises(OSError, match="disk full"):
+            ck.flush_checkpoint_writes()
+        assert done.waited and ki.hits == 2
+        assert not ck._pending
+    finally:
+        ck._pending.clear()
