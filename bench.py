@@ -37,6 +37,13 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    # armed BEFORE the first device touch: a hung tunnel blocks
+    # jax.devices() forever, and a hung bench is an uninterpretable
+    # artifact — the watchdog prints an error JSON line and exits instead
+    from rau_vqa_tpu.utils.rigcheck import bench_watchdog
+    watchdog = bench_watchdog("vqa_questions_per_sec_per_chip",
+                              "questions/sec")
+
     import jax
     import jax.numpy as jnp
 
@@ -130,6 +137,7 @@ def main() -> None:
     except Exception as e:          # cost_analysis is not a stable API
         log(f"bench: cost_analysis unavailable ({e}); mfu omitted")
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "vqa_questions_per_sec_per_chip",
         "value": round(qps, 1),

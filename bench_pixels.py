@@ -62,6 +62,12 @@ def main() -> None:
                          "dynamic activation quant; resnet101 only)")
     args = ap.parse_args()
 
+    # armed BEFORE the first device touch: a hung tunnel blocks forever
+    # and a hung bench is an uninterpretable artifact
+    from rau_vqa_tpu.utils.rigcheck import bench_watchdog
+    watchdog = bench_watchdog("pixels_questions_per_sec_per_chip",
+                              "questions/sec")
+
     import jax
     import jax.numpy as jnp
 
@@ -215,6 +221,7 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — cost_analysis isn't stable API
         log(f"bench_pixels: cost_analysis unavailable ({e})")
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "pixels_questions_per_sec_per_chip",
         "value": round(qps, 1),

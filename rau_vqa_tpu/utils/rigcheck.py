@@ -71,3 +71,43 @@ def matmul_canary(n: int = 4096, iters: int = 400,
         "frac_of_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 6),
         "ms_per_matmul": round(sec_per_mm * 1e3, 4),
     }
+
+
+def bench_watchdog(metric: str, unit: str, timeout_s: float = 1200.0):
+    """Arm a deadline for a benchmark process: if the bench has not
+    completed within ``timeout_s``, print ONE driver-parseable JSON line
+    with an ``error`` field and hard-exit.
+
+    Rationale: a hung TPU tunnel (observed 2026-08-17: jax.devices()
+    blocks forever in a dial-retry sleep loop) would otherwise hang the
+    bench process itself — an uninterpretable artifact.  The deadline is
+    generous (remote compile alone has measured 3-460 s variance); it only
+    fires when the rig is genuinely unreachable.  Uses a daemon timer +
+    os._exit because the main thread may be blocked inside a C extension
+    where exceptions cannot be delivered.
+
+    Returns the timer; call ``.cancel()`` once the real JSON line is out.
+    """
+    import json
+    import os
+    import sys
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": metric,
+            "value": 0.0,
+            "unit": unit,
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {timeout_s:.0f}s — "
+                     f"TPU tunnel unreachable/hung (see BASELINE.md "
+                     f"'Environment caveats')",
+        }), flush=True)
+        sys.stderr.write("bench: watchdog fired, aborting\n")
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, _fire)
+    t.daemon = True
+    t.start()
+    return t

@@ -150,3 +150,33 @@ def test_rig_canary_smoke():
     assert set(out) == {"tflops", "frac_of_peak", "ms_per_matmul"}
     assert out["tflops"] > 0 and out["ms_per_matmul"] > 0
     assert 0 < out["frac_of_peak"] < 1.5
+
+
+def test_bench_watchdog_fire_and_cancel():
+    """The bench watchdog prints ONE parseable JSON error line and
+    hard-exits when the deadline passes (a hung TPU tunnel blocks the
+    main thread in C code, so exceptions can't be delivered); a
+    cancelled watchdog never fires."""
+    import json
+    import subprocess
+    import sys
+
+    from rau_vqa_tpu.utils.rigcheck import bench_watchdog
+
+    # cancel path: arming + cancelling leaves no timer behind
+    t = bench_watchdog("m", "u", timeout_s=60)
+    t.cancel()
+
+    # fire path: a subprocess that blocks past a tiny deadline
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from rau_vqa_tpu.utils.rigcheck import bench_watchdog\n"
+         "import time\n"
+         "bench_watchdog('vqa_questions_per_sec_per_chip',"
+         " 'questions/sec', timeout_s=0.3)\n"
+         "time.sleep(30)\n"],
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 3
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "vqa_questions_per_sec_per_chip"
+    assert line["value"] == 0.0 and "watchdog" in line["error"]
