@@ -725,6 +725,21 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Rig health: tunnel/backend probes (with timeouts — a hung tunnel
+    never raises), CPU fallback, native libs, optional capability canary,
+    optional data-dir layout."""
+    import json as _json
+
+    from rau_vqa_tpu.utils.doctor import format_report, run_doctor
+
+    report = run_doctor(vqa_dir=args.vqa_dir, canary=args.canary,
+                        device_timeout_s=args.device_timeout)
+    print(format_report(report), file=sys.stderr)
+    print(_json.dumps(report))
+    return 0 if report["healthy"] else 1
+
+
 def cmd_fixture(args) -> int:
     from rau_vqa_tpu.data.fixtures import generate_fixture
 
@@ -772,6 +787,19 @@ def main(argv=None) -> int:
     p_prof.add_argument("--steps", type=int, default=10)
     _add_train_flags(p_prof)
     _add_common_data_flags(p_prof)
+
+    p_doc = sub.add_parser("doctor",
+                           help="rig health: backend/tunnel probes with "
+                                "timeouts, CPU fallback, native libs, "
+                                "optional capability canary")
+    p_doc.add_argument("--vqa-dir", default=None,
+                       help="also check the data bundle layout")
+    p_doc.add_argument("--canary", action="store_true",
+                       help="run the chained-matmul capability canary "
+                            "(device must be reachable)")
+    p_doc.add_argument("--device-timeout", type=float, default=90.0,
+                       help="seconds before a backend probe is declared "
+                            "hung (tunnel dial-retry loops never raise)")
 
     p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
     p_fix.add_argument("--out", required=True)
@@ -921,6 +949,7 @@ def main(argv=None) -> int:
             "diagnose-snapshot": cmd_diagnose_snapshot,
             "verify-released": cmd_verify_released,
             "export": cmd_export,
+            "doctor": cmd_doctor,
             "ask": cmd_ask}[args.command](args)
 
 

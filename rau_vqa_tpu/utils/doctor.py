@@ -1,0 +1,155 @@
+"""Rig health checks: ``rau-vqa doctor``.
+
+Operators of this framework depend on three fragile things the stack
+cannot see from inside a hung call: the TPU tunnel (observed to block
+``jax.devices()`` forever in a dial-retry loop rather than raise), the
+native C++ loaders (toolchain/deps may be absent), and the data layout.
+``doctor`` probes each with a TIMEOUT — device probes run in a
+subprocess, because a hung backend init inside this process could never
+be cancelled — and prints one human block plus one machine-readable JSON
+line.
+
+The reference has no equivalent (its failure mode was a hung ``th``
+process); this implements SURVEY.md §5 "failure detection" at the rig
+level, complementing the trainer's loss-explosion guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from typing import Any, Dict
+
+_DEVICE_PROBE = """
+import json, sys
+import jax
+{force_cpu}
+ds = jax.devices()
+print(json.dumps({{
+    "n": len(ds),
+    "platform": ds[0].platform,
+    "kind": getattr(ds[0], "device_kind", "?"),
+}}))
+"""
+
+_CANARY_PROBE = """
+import json
+from rau_vqa_tpu.utils.rigcheck import matmul_canary
+print(json.dumps(matmul_canary()))
+"""
+
+
+def _probe(code: str, timeout_s: float, env_extra: Dict[str, str] | None = None
+           ) -> Dict[str, Any]:
+    """Run a snippet in a clean subprocess with a hard timeout; classify
+    the outcome as ok / hung / error (a hung tunnel never raises, so the
+    timeout IS the detection)."""
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        return {"status": "hung",
+                "detail": f"no response within {timeout_s:.0f}s — for the "
+                          f"TPU probe this means the tunnel accepts the "
+                          f"dial but device init never returns"}
+    if proc.returncode != 0:
+        return {"status": "error",
+                "detail": proc.stderr.strip().splitlines()[-1]
+                if proc.stderr.strip() else f"rc={proc.returncode}"}
+    try:
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {"status": "error", "detail": f"unparseable: {proc.stdout!r}"}
+    return {"status": "ok", **out}
+
+
+def run_doctor(*, vqa_dir: str | None = None, canary: bool = False,
+               device_timeout_s: float = 90.0,
+               canary_timeout_s: float = 600.0) -> Dict[str, Any]:
+    """Run all checks; returns the report dict (also used by the CLI)."""
+    report: Dict[str, Any] = {}
+
+    # library versions (import errors are themselves findings)
+    versions: Dict[str, str] = {}
+    for mod in ("jax", "jaxlib", "flax", "numpy", "h5py", "PIL"):
+        try:
+            m = __import__(mod)
+            versions[mod] = getattr(m, "__version__", "?")
+        except Exception as e:      # noqa: BLE001 — report, don't die
+            versions[mod] = f"IMPORT FAILED: {e}"
+    report["versions"] = versions
+
+    # accelerator backend (whatever the env pins — axon/TPU here)
+    report["device"] = _probe(_DEVICE_PROBE.format(force_cpu=""),
+                              device_timeout_s)
+
+    # CPU fallback: must work even when the tunnel is dead, since the
+    # sitecustomize pins the platform via jax.config (overriding the
+    # JAX_PLATFORMS env var) the probe forces it back through the config
+    report["cpu"] = _probe(
+        _DEVICE_PROBE.format(
+            force_cpu='jax.config.update("jax_platforms", "cpu")'),
+        device_timeout_s)
+
+    # native libraries (cached-failure contract: message carries make
+    # stderr when the build is what failed)
+    for key, loader in (("native_features", "load_library"),
+                        ("native_images", "load_image_library")):
+        try:
+            from rau_vqa_tpu.data import native
+            getattr(native, loader)()
+            report[key] = {"status": "ok"}
+        except Exception as e:      # noqa: BLE001
+            report[key] = {"status": "error",
+                           "detail": str(e).splitlines()[0]}
+
+    if vqa_dir is not None:
+        missing = [f for f in ("data_prepro.json", "data_prepro.h5")
+                   if not os.path.exists(os.path.join(vqa_dir, f))]
+        report["vqa_dir"] = ({"status": "ok"} if not missing else
+                             {"status": "error",
+                              "detail": f"missing {missing} in {vqa_dir}"})
+
+    if canary and report["device"]["status"] == "ok":
+        report["canary"] = _probe(_CANARY_PROBE, canary_timeout_s)
+    elif canary:
+        report["canary"] = {"status": "skipped",
+                            "detail": "device probe not ok"}
+
+    core = [report["device"], report["cpu"],
+            report["native_features"], report["native_images"]]
+    if vqa_dir is not None:
+        core.append(report["vqa_dir"])
+    report["healthy"] = all(c["status"] == "ok" for c in core)
+    return report
+
+
+def format_report(report: Dict[str, Any]) -> str:
+    lines = []
+    v = report["versions"]
+    lines.append("versions: " + "  ".join(f"{k}={v[k]}" for k in v))
+    for key in ("device", "cpu", "native_features", "native_images",
+                "vqa_dir", "canary"):
+        if key not in report:
+            continue
+        c = report[key]
+        if c["status"] == "ok":
+            extra = ""
+            if "platform" in c:
+                extra = f" — {c['n']}x {c['platform']} ({c['kind']})"
+            if "tflops" in c:
+                extra = (f" — {c['tflops']} TFLOP/s "
+                         f"({c['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
+            lines.append(f"  ok    {key}{extra}")
+        else:
+            lines.append(f"  {c['status'].upper():5s} {key} — "
+                         f"{c.get('detail', '')}")
+    lines.append("healthy" if report["healthy"] else
+                 "UNHEALTHY — see failed checks above")
+    return "\n".join(lines)

@@ -180,3 +180,39 @@ def test_bench_watchdog_fire_and_cancel():
     line = json.loads(proc.stdout.strip().splitlines()[-1])
     assert line["metric"] == "vqa_questions_per_sec_per_chip"
     assert line["value"] == 0.0 and "watchdog" in line["error"]
+
+
+def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
+    """_probe classifies ok/hung/error via subprocess+timeout (a hung
+    tunnel never raises — the timeout IS the detection); the CLI prints a
+    human block to stderr and one JSON line to stdout, exit code from
+    report['healthy']."""
+    import json
+
+    from rau_vqa_tpu.utils import doctor as doc
+
+    ok = doc._probe("import json; print(json.dumps({'n': 1}))", 30)
+    assert ok["status"] == "ok" and ok["n"] == 1
+    hung = doc._probe("import time; time.sleep(20)", 1.0)
+    assert hung["status"] == "hung"
+    err = doc._probe("raise RuntimeError('boom')", 30)
+    assert err["status"] == "error" and "boom" in err["detail"]
+
+    fake = {
+        "versions": {"jax": "0.0"},
+        "device": {"status": "hung", "detail": "x"},
+        "cpu": {"status": "ok", "n": 8, "platform": "cpu", "kind": "cpu"},
+        "native_features": {"status": "ok"},
+        "native_images": {"status": "ok"},
+        "healthy": False,
+    }
+    text = doc.format_report(fake)
+    assert "HUNG" in text and "UNHEALTHY" in text and "8x cpu" in text
+
+    from rau_vqa_tpu import cli
+    monkeypatch.setattr(doc, "run_doctor", lambda **kw: fake)
+    rc = cli.main(["doctor"])
+    assert rc == 1
+    out = capsys.readouterr()
+    assert json.loads(out.out.strip().splitlines()[-1])["healthy"] is False
+    assert "UNHEALTHY" in out.err
