@@ -506,11 +506,26 @@ def cmd_export(args) -> int:
     from rau_vqa_tpu.utils.checkpoint import validate_tree_shapes
     validate_tree_shapes(template, params)
     buckets = _parse_buckets(args.eval_buckets) or ()
-    paths = export_predict(
-        params, mcfg, args.out, buckets=buckets,
-        extra_meta={"source_checkpoint": os.path.abspath(args.checkpoint),
-                    "preset": args.preset, "step": meta.get("step"),
-                    "epoch": meta.get("epoch")})
+    extra = {"source_checkpoint": os.path.abspath(args.checkpoint),
+             "preset": args.preset, "step": meta.get("step"),
+             "epoch": meta.get("epoch")}
+    if args.backbone:
+        # from-pixels artifact: preprocess + backbone + RAU in ONE program
+        import numpy as np
+
+        from rau_vqa_tpu.eval.export import export_pixels_predict
+        bb_params = _load_backbone_state(args.backbone, args.backbone_state)
+        if args.bf16:
+            import jax.numpy as jnp
+            bb_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == np.float32 else x, bb_params)
+        paths = export_pixels_predict(
+            params, mcfg, args.backbone, bb_params, args.out,
+            image_size=args.image_size, buckets=buckets, extra_meta=extra)
+    else:
+        paths = export_predict(params, mcfg, args.out, buckets=buckets,
+                               extra_meta=extra)
     for T, p in sorted(paths.items()):
         print(f"T={T:02d}: {p} ({os.path.getsize(p) / 1e6:.1f} MB)")
     print(f"exported {len(paths)} program(s) to {args.out}")
@@ -879,6 +894,15 @@ def main(argv=None) -> int:
     p_exp.add_argument("--bf16", action="store_true",
                        help="bake bf16 MXU passes into the artifact "
                             "(fast serving numerics, like bench.py)")
+    p_exp.add_argument("--backbone", default=None,
+                       choices=["vgg16", "resnet101"],
+                       help="export the FROM-PIXELS program instead "
+                            "(uint8 images + tokens -> answers; backbone "
+                            "weights baked in)")
+    p_exp.add_argument("--backbone-state", default=None,
+                       help="torchvision state_dict .pth for --backbone")
+    p_exp.add_argument("--image-size", type=int, default=448,
+                       help="input image side for --backbone artifacts")
 
     p_serve = sub.add_parser("serve", help="HTTP inference service")
     p_serve.add_argument("--checkpoint",

@@ -72,10 +72,75 @@ def export_predict(params, cfg, out_dir: str, *,
         paths[T] = path
     meta = {
         "format": "rau_vqa_tpu.export", "version": EXPORT_VERSION,
+        "kind": "predict",
         "ladder": ladder, "platforms": list(platforms),
         "inputs": {
             "tokens": ["b", "T"], "lengths": ["b"],
             "feats": ["b", int(cfg.cnn_spat), int(cfg.cnn_dim)],
+        },
+        "outputs": {
+            "tab_pred": [int(cfg.n_hops) + 2, "b", int(cfg.answer_size)],
+            "tab_att": [int(cfg.n_hops) + 2, "b", int(cfg.cnn_spat)],
+        },
+        "token_contract": "0 = ZEROPAD, answers 0-based (data/loader.py)",
+        "model_config": dataclasses.asdict(cfg),
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return paths
+
+
+def export_pixels_predict(params, cfg, backbone: str, bb_params,
+                          out_dir: str, *, image_size: int = 448,
+                          buckets: Sequence[int] = (),
+                          platforms: Sequence[str] = ("cpu", "tpu"),
+                          vit_cfg=None,
+                          extra_meta: Optional[Dict] = None
+                          ) -> Dict[int, str]:
+    """Export the FULL from-pixels program: uint8 images + tokens ->
+    answers, preprocess + backbone + RAU in one StableHLO artifact with
+    both parameter sets baked in (the deployment form of
+    models/pipeline.py pixels_forward — BASELINE.json configs[3]).
+
+    Backbone weights are constants in EVERY bucket program (ResNet-101
+    ≈ 170 MB f32 / 85 MB bf16 per file), so the default is a single
+    full-length program; pass ``buckets`` only when artifact size is
+    cheaper than the encoder steps it saves.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from rau_vqa_tpu.eval.predict import bucket_ladder, predict
+    from rau_vqa_tpu.models.pipeline import extract_features
+
+    os.makedirs(out_dir, exist_ok=True)
+    ladder = bucket_ladder(cfg.seq_len, buckets)
+    B = jexport.symbolic_shape("b")[0]
+    paths = {}
+    for T in ladder:
+        def fn(images_u8, tokens, lengths):
+            feats = extract_features(backbone, bb_params, images_u8,
+                                     vit_cfg=vit_cfg)
+            return predict(params, cfg, tokens, lengths,
+                           feats.astype(jnp.float32))
+        exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
+            jax.ShapeDtypeStruct((B, image_size, image_size, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((B, T), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32))
+        path = os.path.join(out_dir, f"pixels_T{T:02d}.shlo")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        paths[T] = path
+    meta = {
+        "format": "rau_vqa_tpu.export", "version": EXPORT_VERSION,
+        "kind": "pixels_predict",
+        "ladder": ladder, "platforms": list(platforms),
+        "backbone": backbone, "image_size": int(image_size),
+        "inputs": {
+            "images_u8": ["b", int(image_size), int(image_size), 3],
+            "tokens": ["b", "T"], "lengths": ["b"],
         },
         "outputs": {
             "tab_pred": [int(cfg.n_hops) + 2, "b", int(cfg.answer_size)],
@@ -109,22 +174,21 @@ class ExportedPredict:
                 f"this runtime ({EXPORT_VERSION})")
         self.art_dir = art_dir
         self.ladder = [int(t) for t in self.meta["ladder"]]
+        # pre-"kind" artifacts are all questions-path predicts
+        self.kind = self.meta.get("kind", "predict")
+        self._prefix = ("predict" if self.kind == "predict" else "pixels")
         self._programs: Dict[int, object] = {}
 
     def _program(self, T: int):
         if T not in self._programs:
             from jax import export as jexport
-            path = os.path.join(self.art_dir, f"predict_T{T:02d}.shlo")
+            path = os.path.join(self.art_dir,
+                                f"{self._prefix}_T{T:02d}.shlo")
             with open(path, "rb") as f:
                 self._programs[T] = jexport.deserialize(f.read())
         return self._programs[T]
 
-    def __call__(self, tokens, lengths, feats) -> Tuple:
-        """tokens [B, <=seq_len] int32, lengths [B] int32, feats
-        [B, S, D] float32 -> (tab_pred [H+2, B, A], tab_att [H+2, B, S])."""
-        tokens = np.asarray(tokens, np.int32)
-        lengths = np.asarray(lengths, np.int32)
-        feats = np.asarray(feats, np.float32)
+    def _bucket_tokens(self, tokens, lengths):
         from rau_vqa_tpu.eval.predict import pick_bucket
         max_len = int(lengths.max()) if lengths.size else 1
         T = pick_bucket(self.ladder, max_len)
@@ -133,6 +197,25 @@ class ExportedPredict:
             toks = np.concatenate(
                 [toks, np.zeros((toks.shape[0], T - toks.shape[1]),
                                 np.int32)], axis=1)
+        return T, toks
+
+    def __call__(self, *operands) -> Tuple:
+        """kind 'predict': (tokens [B,<=seq_len] i32, lengths [B] i32,
+        feats [B,S,D] f32); kind 'pixels_predict': (images [B,H,W,3] u8,
+        tokens, lengths).  Returns (tab_pred [H+2,B,A], tab_att
+        [H+2,B,S])."""
+        if self.kind == "pixels_predict":
+            images, tokens, lengths = operands
+            images = np.asarray(images, np.uint8)
+            tokens = np.asarray(tokens, np.int32)
+            lengths = np.asarray(lengths, np.int32)
+            T, toks = self._bucket_tokens(tokens, lengths)
+            return self._program(T).call(images, toks, lengths)
+        tokens, lengths, feats = operands
+        tokens = np.asarray(tokens, np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        feats = np.asarray(feats, np.float32)
+        T, toks = self._bucket_tokens(tokens, lengths)
         return self._program(T).call(toks, lengths, feats)
 
 

@@ -103,7 +103,20 @@ class RAUService:
                     f"but {vqa_dir!r} provides "
                     f"{(self.data.vocab_size, self.data.answer_size, self.data.seq_len)}")
             self.params = None
-            self.predict = lambda p, t, l, f: runner(t, l, f)
+            if runner.kind == "pixels_predict":
+                # from-pixels artifact: backbone is BAKED INTO the program
+                # (rau-vqa export --backbone); requests must carry images,
+                # and the micro-batch operand is uint8 pixels, not feats
+                self.pixels_artifact = True
+                if backbone is not None:
+                    import warnings
+                    warnings.warn(
+                        "serving from a pixels artifact: --backbone/"
+                        "--backbone-state are ignored (the exported "
+                        "program bakes its own backbone)")
+                self.predict = lambda p, t, l, imgs: runner(imgs, t, l)
+            else:
+                self.predict = lambda p, t, l, f: runner(t, l, f)
         else:
             state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
             tree, _ = load_checkpoint(checkpoint, state._asdict())
@@ -115,10 +128,15 @@ class RAUService:
                                              buckets=tuple(buckets))
         self.backbone = backbone
         self.bb_params = bb_params
-        # decode size follows the checkpoint's feature grid: stride-32
-        # conv backbones give cnn_w = size/32; ViT-L/14 gives size/14
-        patch = 14 if backbone == "vit" else 32
-        self.image_size = self.mcfg.cnn_w * patch
+        self.pixels_artifact = getattr(self, "pixels_artifact", False)
+        if self.pixels_artifact:
+            # the artifact's input shape is authoritative
+            self.image_size = int(runner.meta["image_size"])
+        else:
+            # decode size follows the checkpoint's feature grid: stride-32
+            # conv backbones give cnn_w = size/32; ViT-L/14 gives size/14
+            patch = 14 if backbone == "vit" else 32
+            self.image_size = self.mcfg.cnn_w * patch
 
         from rau_vqa_tpu.cli import _make_feature_source
         self.source = _make_feature_source(list(feat_dirs), self.mcfg)
@@ -147,7 +165,8 @@ class RAUService:
         from rau_vqa_tpu.data.images import decode_scale_center_crop
         from rau_vqa_tpu.models.pipeline import extract_features
 
-        if self.backbone is None or self.bb_params is None:
+        if not self.pixels_artifact and (self.backbone is None
+                                         or self.bb_params is None):
             raise ValueError("no visual backbone configured; send feat_name")
         # VQA asks ~3 questions per image: cache features by content hash
         # so repeat questions about one image pay the backbone once
@@ -184,8 +203,14 @@ class RAUService:
             except Exception:  # noqa: BLE001 — non-JPEG or no toolchain
                 with Image.open(io.BytesIO(image_bytes)) as img:
                     arr = decode_scale_center_crop(img, size)[None]
-            feats = np.asarray(
-                extract_features(self.backbone, self.bb_params, arr))
+            if self.pixels_artifact:
+                # the artifact runs the backbone itself: the cached value
+                # is the decoded uint8 image (448^2*3 ~ 0.6 MB/entry,
+                # same order as a feature entry)
+                feats = np.asarray(arr, np.uint8)
+            else:
+                feats = np.asarray(
+                    extract_features(self.backbone, self.bb_params, arr))
             with self._feat_cache_lock:
                 self._feat_cache[key] = feats
                 while len(self._feat_cache) > self.feat_cache_size:
@@ -240,8 +265,14 @@ class RAUService:
         bucket = next(b for b in (1, 4, 8, self.max_batch) if b >= n)
         tokens = np.zeros((bucket, self.mcfg.seq_len), np.int32)
         lengths = np.ones((bucket,), np.int32)
-        feats = np.zeros((bucket, self.mcfg.cnn_spat, self.mcfg.cnn_dim),
-                         np.float32)
+        if self.pixels_artifact:
+            # the micro-batch visual operand is raw pixels; the artifact's
+            # program runs preprocess + backbone + RAU in one call
+            feats = np.zeros((bucket, self.image_size, self.image_size, 3),
+                             np.uint8)
+        else:
+            feats = np.zeros((bucket, self.mcfg.cnn_spat, self.mcfg.cnn_dim),
+                             np.float32)
         for i, item in enumerate(group):
             tokens[i] = item["tokens"]
             lengths[i] = item["length"]
@@ -257,6 +288,10 @@ class RAUService:
 
     def _feats_for(self, feat_name: Optional[str],
                    image_b64: Optional[str]) -> np.ndarray:
+        if self.pixels_artifact and feat_name is not None:
+            raise ValueError(
+                "this service runs a from-pixels artifact (backbone baked "
+                "into the program): send image_b64, not feat_name")
         if feat_name is not None:
             from rau_vqa_tpu.data.features import QuantFeats
             feats = self.source.get_batch([feat_name], [1])

@@ -158,3 +158,44 @@ def test_cli_export_shape_mismatch_fails_loudly(tmp_path):
         # default preset = ours_ms paper dims != tiny_cfg dims
         main(["export", "--checkpoint", path,
               "--out", str(tmp_path / "art")])
+
+
+def test_export_pixels_roundtrip(tmp_path):
+    """The from-pixels artifact (uint8 images + tokens -> answers, backbone
+    baked in) reproduces the live pixels_forward path bit-identically, with
+    a symbolic batch and bucket dispatch."""
+    from rau_vqa_tpu.eval.export import export_pixels_predict
+    from rau_vqa_tpu.models.backbones.vit import ViTConfig, vit_init
+    from rau_vqa_tpu.models.pipeline import extract_features
+
+    vcfg = ViTConfig(image_size=16, patch=4, dim=32, depth=2, heads=4,
+                     mlp_ratio=2.0)
+    cfg = dataclasses.replace(tiny_cfg(seq_len=6), cnn_dim=32, cnn_w=4,
+                              cnn_h=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    bb = vit_init(jax.random.PRNGKey(1), vcfg)
+
+    art = str(tmp_path / "pix_art")
+    paths = export_pixels_predict(params, cfg, "vit", bb, art,
+                                  image_size=16, buckets=(4,),
+                                  vit_cfg=vcfg)
+    assert set(paths) == {4, cfg.seq_len}
+    assert all(os.path.basename(p).startswith("pixels_T")
+               for p in paths.values())
+    with open(os.path.join(art, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["kind"] == "pixels_predict" and meta["backbone"] == "vit"
+
+    run = load_exported(art)
+    live = jax.jit(lambda i, t, l: predict(
+        params, cfg, t, l,
+        extract_features("vit", bb, i, vit_cfg=vcfg).astype(np.float32)))
+    rs = np.random.RandomState(7)
+    for b, max_len in ((3, 4), (8, 6)):   # exercises BOTH buckets
+        images = rs.randint(0, 255, (b, 16, 16, 3)).astype(np.uint8)
+        toks, lens, _ = make_inputs(cfg, b, max_len=max_len, seed=b)
+        tp, ta = run(images, toks, lens)
+        tp2, ta2 = live(images, toks, lens)
+        assert tp.shape == (cfg.n_hops + 2, b, cfg.answer_size)
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp2))
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta2))

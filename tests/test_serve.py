@@ -330,3 +330,77 @@ def test_artifact_flags_warn_not_silently_ignored(served, tmp_path):
     assert any("requested buckets" in m for m in serve_warnings(buckets=()))
     # explicitly requesting exactly the baked ladder is a no-op: silent
     assert serve_warnings(buckets=(8,)) == []
+
+
+def test_pixels_artifact_service(served, tmp_path):
+    """A service over a from-pixels artifact answers from raw images: the
+    backbone is baked into the program, feat_name is rejected loudly, the
+    micro-batch operand is uint8 pixels — and the answers match running
+    the same decode + backbone + predict live."""
+    import base64
+    import io
+
+    import jax
+    import numpy as np
+    from flax import serialization
+    from PIL import Image
+
+    from rau_vqa_tpu.config import ModelConfig
+    from rau_vqa_tpu.eval.export import export_pixels_predict
+    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.models.backbones.vit import ViTConfig, vit_init
+    from rau_vqa_tpu.models.pipeline import extract_features
+    from rau_vqa_tpu.models.rau import init_params
+    from rau_vqa_tpu.serve import RAUService
+    from tests import test_serve as _self
+    fix, ck = _self.served.fix, _self.served.ck
+
+    with open(ck.replace(".msgpack", ".json")) as f:
+        cfg = ModelConfig(**json.load(f)["model_config"])
+    with open(ck, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(
+        init_params(jax.random.PRNGKey(0), cfg), tree["params"])
+    # tiny ViT whose patch grid matches the fixture's 3x3x16 feature map
+    vcfg = ViTConfig(image_size=12, patch=4, dim=16, depth=2, heads=4,
+                     mlp_ratio=2.0)
+    bb = vit_init(jax.random.PRNGKey(3), vcfg)
+
+    art = str(tmp_path / "pix_art")
+    export_pixels_predict(params, cfg, "vit", bb, art, image_size=12,
+                          vit_cfg=vcfg)
+    svc = RAUService(None, os.path.join(fix, "vqa_prepro"),
+                     [os.path.join(fix, "feat")], artifact=art)
+    assert svc.pixels_artifact and svc.image_size == 12
+
+    with pytest.raises(ValueError, match="image_b64"):
+        svc.answer("w01 w02", feat_name="COCO_train2014_000000000000.t7")
+
+    rs = np.random.RandomState(11)
+    pixels = rs.randint(0, 255, (12, 12, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(pixels).save(buf, "PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    qs = ["w01 w02 w03", "w04 w05"]
+    outs = svc.answer_many(qs, image_b64=b64, topk=3)
+
+    # live reference: same PNG bytes through the shared decode helper,
+    # then backbone + predict outside the artifact
+    from rau_vqa_tpu.data.images import decode_scale_center_crop
+    with Image.open(io.BytesIO(buf.getvalue())) as img:
+        arr = decode_scale_center_crop(img, 12)[None]
+    feats = np.asarray(extract_features("vit", bb, arr, vit_cfg=vcfg),
+                       np.float32)
+    for q, out in zip(qs, outs):
+        toks, length = svc.data.question_to_tokens(q)
+        tab, _ = predict(params, cfg, toks[None], np.asarray([length]),
+                         feats)
+        tab = np.asarray(tab)
+        final = tab[-1, 0]
+        want = [svc.data.answers[int(i)]
+                for i in np.argsort(final)[::-1][:3]]
+        assert [a["answer"] for a in out["answers"]] == want
+        np.testing.assert_allclose(
+            [a["score"] for a in out["answers"]],
+            np.sort(final)[::-1][:3], rtol=1e-5, atol=1e-6)
