@@ -505,6 +505,11 @@ def cmd_export(args) -> int:
     # loudly, not bake mismatched params into the artifact
     from rau_vqa_tpu.utils.checkpoint import validate_tree_shapes
     validate_tree_shapes(template, params)
+    if args.eval_buckets is None:
+        # kind-aware default: bucket programs are cheap for the
+        # questions path but each pixels bucket file bakes the FULL
+        # backbone weights (~170 MB f32 for ResNet-101)
+        args.eval_buckets = "none" if args.backbone else "8,16"
     buckets = _parse_buckets(args.eval_buckets) or ()
     extra = {"source_checkpoint": os.path.abspath(args.checkpoint),
              "preset": args.preset, "step": meta.get("step"),
@@ -888,9 +893,12 @@ def main(argv=None) -> int:
     p_exp.add_argument("--preset", default="ours_ms",
                        help="fallback config if the snapshot lacks "
                             "model_config metadata")
-    p_exp.add_argument("--eval-buckets", default="8,16",
+    p_exp.add_argument("--eval-buckets", default=None,
                        help="token-length bucket ladder ('none' = full "
-                            "seq_len only)")
+                            "seq_len only). Default: 8,16 for predict "
+                            "artifacts; none for --backbone artifacts "
+                            "(every bucket file bakes the full backbone "
+                            "weights)")
     p_exp.add_argument("--bf16", action="store_true",
                        help="bake bf16 MXU passes into the artifact "
                             "(fast serving numerics, like bench.py)")
