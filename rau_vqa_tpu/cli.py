@@ -519,6 +519,18 @@ def cmd_export(args) -> int:
         import numpy as np
 
         from rau_vqa_tpu.eval.export import export_pixels_predict
+        if args.image_size is None:
+            # both supported backbones are stride-32: the snapshot's
+            # feature grid dictates the input side
+            args.image_size = mcfg.cnn_w * 32
+        grid = args.image_size // 32
+        if grid * grid != mcfg.cnn_spat:
+            raise SystemExit(
+                f"--image-size {args.image_size} gives a "
+                f"{grid}x{grid}={grid * grid} feature grid but the "
+                f"snapshot was trained on cnn_spat={mcfg.cnn_spat} "
+                f"({mcfg.cnn_w}x{mcfg.cnn_h}) — use "
+                f"--image-size {mcfg.cnn_w * 32}")
         bb_params = _load_backbone_state(args.backbone, args.backbone_state)
         if args.bf16:
             import jax.numpy as jnp
@@ -909,8 +921,10 @@ def main(argv=None) -> int:
                             "weights baked in)")
     p_exp.add_argument("--backbone-state", default=None,
                        help="torchvision state_dict .pth for --backbone")
-    p_exp.add_argument("--image-size", type=int, default=448,
-                       help="input image side for --backbone artifacts")
+    p_exp.add_argument("--image-size", type=int, default=None,
+                       help="input image side for --backbone artifacts "
+                            "(default: derived from the checkpoint's "
+                            "feature grid, cnn_w * 32)")
 
     p_serve = sub.add_parser("serve", help="HTTP inference service")
     p_serve.add_argument("--checkpoint",
@@ -962,8 +976,22 @@ def main(argv=None) -> int:
         buckets = _parse_buckets(getattr(args, "eval_buckets", None))
         bb_params = None
         if args.backbone:
-            bb_params = _load_backbone_state(args.backbone,
-                                             args.backbone_state)
+            art_kind = None
+            if args.artifact:
+                try:
+                    with open(os.path.join(args.artifact,
+                                           "meta.json")) as f:
+                        art_kind = json.load(f).get("kind", "predict")
+                except OSError:
+                    pass            # RAUService gives the real error
+            if art_kind == "pixels_predict":
+                # the artifact bakes its own backbone: don't pay the
+                # ~170 MB torch.load only for RAUService to ignore it
+                # (it still warns that the flags have no effect)
+                pass
+            else:
+                bb_params = _load_backbone_state(args.backbone,
+                                                 args.backbone_state)
         svc = RAUService(args.checkpoint, args.vqa_dir,
                          args.feat_dir or [], preset=args.preset,
                          artifact=args.artifact,

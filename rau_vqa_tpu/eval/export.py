@@ -35,7 +35,12 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-EXPORT_VERSION = 1
+EXPORT_VERSION = 2      # this runtime understands versions <= 2
+# per-kind artifact versions: questions-path artifacts keep version 1 so
+# pre-'kind' runtimes still load them; pixels artifacts write 2 so such a
+# runtime REJECTS them with its 'artifact newer than runtime' error
+# instead of calling a 3-operand program with the wrong convention
+_KIND_VERSION = {"predict": 1, "pixels_predict": 2}
 _META = "meta.json"
 
 
@@ -71,7 +76,7 @@ def export_predict(params, cfg, out_dir: str, *,
             f.write(exp.serialize())
         paths[T] = path
     meta = {
-        "format": "rau_vqa_tpu.export", "version": EXPORT_VERSION,
+        "format": "rau_vqa_tpu.export", "version": _KIND_VERSION["predict"],
         "kind": "predict",
         "ladder": ladder, "platforms": list(platforms),
         "inputs": {
@@ -134,7 +139,8 @@ def export_pixels_predict(params, cfg, backbone: str, bb_params,
             f.write(exp.serialize())
         paths[T] = path
     meta = {
-        "format": "rau_vqa_tpu.export", "version": EXPORT_VERSION,
+        "format": "rau_vqa_tpu.export",
+        "version": _KIND_VERSION["pixels_predict"],
         "kind": "pixels_predict",
         "ladder": ladder, "platforms": list(platforms),
         "backbone": backbone, "image_size": int(image_size),
@@ -176,6 +182,11 @@ class ExportedPredict:
         self.ladder = [int(t) for t in self.meta["ladder"]]
         # pre-"kind" artifacts are all questions-path predicts
         self.kind = self.meta.get("kind", "predict")
+        if self.kind not in ("predict", "pixels_predict"):
+            # unknown kinds must not fall through to some prefix guess and
+            # a wrong operand convention (the version gate above should
+            # already have caught this for well-formed artifacts)
+            raise ValueError(f"unknown artifact kind {self.kind!r}")
         self._prefix = ("predict" if self.kind == "predict" else "pixels")
         self._programs: Dict[int, object] = {}
 
@@ -207,6 +218,13 @@ class ExportedPredict:
         if self.kind == "pixels_predict":
             images, tokens, lengths = operands
             images = np.asarray(images, np.uint8)
+            s = int(self.meta["image_size"])
+            if images.ndim != 4 or images.shape[1:] != (s, s, 3):
+                # fail loudly HERE — the deserialized program would only
+                # produce an opaque StableHLO shape abort
+                raise ValueError(
+                    f"this artifact expects images [b, {s}, {s}, 3] "
+                    f"uint8; got {images.shape}")
             tokens = np.asarray(tokens, np.int32)
             lengths = np.asarray(lengths, np.int32)
             T, toks = self._bucket_tokens(tokens, lengths)

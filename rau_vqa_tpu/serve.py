@@ -278,8 +278,17 @@ class RAUService:
             lengths[i] = item["length"]
             feats[i] = item["feats"]
         with self.lock:
-            tab_pred, _ = self.predict(self.params, jnp.asarray(tokens),
-                                       lengths, jnp.asarray(feats))
+            if self.params is None:
+                # AOT artifact: ExportedPredict consumes NUMPY operands
+                # (its program does the single device_put itself) — a
+                # jnp.asarray here would round-trip the whole batch
+                # host->device->host first, tripling tunnel traffic on
+                # the request hot path (worst for uint8 pixel batches)
+                tab_pred, _ = self.predict(self.params, tokens, lengths,
+                                           feats)
+            else:
+                tab_pred, _ = self.predict(self.params, jnp.asarray(tokens),
+                                           lengths, jnp.asarray(feats))
         tab = np.asarray(tab_pred)                 # [H+2, bucket, A]
         self._batch_sizes_served.append(n)
         for i, item in enumerate(group):

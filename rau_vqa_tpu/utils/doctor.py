@@ -40,19 +40,22 @@ from rau_vqa_tpu.utils.rigcheck import matmul_canary
 print(json.dumps(matmul_canary()))
 """
 
+_NATIVE_PROBE = """
+import json
+from rau_vqa_tpu.data import native
+native.{loader}()
+print(json.dumps({{}}))
+"""
 
-def _probe(code: str, timeout_s: float, env_extra: Dict[str, str] | None = None
-           ) -> Dict[str, Any]:
+
+def _probe(code: str, timeout_s: float) -> Dict[str, Any]:
     """Run a snippet in a clean subprocess with a hard timeout; classify
     the outcome as ok / hung / error (a hung tunnel never raises, so the
     timeout IS the detection)."""
-    env = dict(os.environ)
-    if env_extra:
-        env.update(env_extra)
     try:
         proc = subprocess.run([sys.executable, "-c", code],
                               capture_output=True, text=True,
-                              timeout=timeout_s, env=env)
+                              timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return {"status": "hung",
                 "detail": f"no response within {timeout_s:.0f}s — for the "
@@ -97,17 +100,14 @@ def run_doctor(*, vqa_dir: str | None = None, canary: bool = False,
             force_cpu='jax.config.update("jax_platforms", "cpu")'),
         device_timeout_s)
 
-    # native libraries (cached-failure contract: message carries make
-    # stderr when the build is what failed)
+    # native libraries — probed in a SUBPROCESS with a timeout like the
+    # backends: load_library may run `make`, and a wedged compiler or FS
+    # stall must not hang the doctor itself (the error detail carries the
+    # NativeUnavailable message, incl. make stderr on build failures)
     for key, loader in (("native_features", "load_library"),
                         ("native_images", "load_image_library")):
-        try:
-            from rau_vqa_tpu.data import native
-            getattr(native, loader)()
-            report[key] = {"status": "ok"}
-        except Exception as e:      # noqa: BLE001
-            report[key] = {"status": "error",
-                           "detail": str(e).splitlines()[0]}
+        r = _probe(_NATIVE_PROBE.format(loader=loader), 180.0)
+        report[key] = ({"status": "ok"} if r["status"] == "ok" else r)
 
     if vqa_dir is not None:
         missing = [f for f in ("data_prepro.json", "data_prepro.h5")
@@ -126,7 +126,13 @@ def run_doctor(*, vqa_dir: str | None = None, canary: bool = False,
             report["native_features"], report["native_images"]]
     if vqa_dir is not None:
         core.append(report["vqa_dir"])
-    report["healthy"] = all(c["status"] == "ok" for c in core)
+    if canary:
+        # a requested capability check that hung or errored is a health
+        # failure — automation gating on the exit code must not proceed
+        # to bench on a rig whose canary just hung ('skipped' implies the
+        # device probe already failed, which core catches)
+        core.append(report["canary"])
+    report["healthy"] = all(c["status"] in ("ok", "skipped") for c in core)
     return report
 
 

@@ -73,16 +73,18 @@ def matmul_canary(n: int = 4096, iters: int = 400,
     }
 
 
-def bench_watchdog(metric: str, unit: str, timeout_s: float = 1200.0):
+def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     """Arm a deadline for a benchmark process: if the bench has not
     completed within ``timeout_s``, print ONE driver-parseable JSON line
     with an ``error`` field and hard-exit.
 
     Rationale: a hung TPU tunnel (observed 2026-08-17: jax.devices()
     blocks forever in a dial-retry sleep loop) would otherwise hang the
-    bench process itself — an uninterpretable artifact.  The deadline is
-    generous (remote compile alone has measured 3-460 s variance); it only
-    fires when the rig is genuinely unreachable.  Uses a daemon timer +
+    bench process itself — an uninterpretable artifact.  The deadline
+    budgets for a slow-but-healthy rig — each bench compiles 2+ programs
+    at the measured 3-460 s/compile tail plus ~100s of weight upload at
+    tunnel bandwidth — so firing means the rig is either unreachable or
+    degraded far beyond any recorded window.  Uses a daemon timer +
     os._exit because the main thread may be blocked inside a C extension
     where exceptions cannot be delivered.
 
