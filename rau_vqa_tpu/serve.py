@@ -7,7 +7,10 @@ on-TPU backbone when one is configured); returns the top-k answers of the
 {"questions": [str, ...], "feat_name"|"image_b64"} answers several
 questions about ONE image — features are fetched once and the questions
 share a micro-batch dispatch (the VQA ~3-questions-per-image pattern).
-GET /healthz for liveness.
+Either POST accepts {"attention": true} to include the per-hop spatial
+attention rows (the maps the reference dumps as PNGs,
+Ours_SS/...lua:926-932).  GET /healthz for liveness; GET /stats for
+operator metrics (dispatch count, mean micro-batch, cache size).
 
 One process, one chip.  Concurrent requests are DYNAMICALLY MICRO-BATCHED:
 a collector thread drains the request queue, pads the group to a fixed
@@ -284,15 +287,22 @@ class RAUService:
                 # jnp.asarray here would round-trip the whole batch
                 # host->device->host first, tripling tunnel traffic on
                 # the request hot path (worst for uint8 pixel batches)
-                tab_pred, _ = self.predict(self.params, tokens, lengths,
-                                           feats)
+                tab_pred, tab_att = self.predict(self.params, tokens,
+                                                 lengths, feats)
             else:
-                tab_pred, _ = self.predict(self.params, jnp.asarray(tokens),
-                                           lengths, jnp.asarray(feats))
+                tab_pred, tab_att = self.predict(
+                    self.params, jnp.asarray(tokens), lengths,
+                    jnp.asarray(feats))
         tab = np.asarray(tab_pred)                 # [H+2, bucket, A]
+        # fetch attention only if someone in the group asked (a second
+        # host transfer of [H+2, bucket, S] otherwise wasted)
+        att = (np.asarray(tab_att)
+               if any(it.get("attention") for it in group) else None)
         self._batch_sizes_served.append(n)
         for i, item in enumerate(group):
             item["tab"] = tab[:, i]
+            if att is not None and item.get("attention"):
+                item["att"] = att[:, i]
             item["done"].set()
 
     def _feats_for(self, feat_name: Optional[str],
@@ -314,7 +324,8 @@ class RAUService:
         raise ValueError("need feat_name or image_b64")
 
     def answer_many(self, questions, *, feat_name: Optional[str] = None,
-                    image_b64: Optional[str] = None, topk: int = 5):
+                    image_b64: Optional[str] = None, topk: int = 5,
+                    attention: bool = False):
         """Several questions about ONE image — the VQA pattern (~3
         questions/image).  Features are fetched/computed once; the
         questions ride the micro-batcher as one arrival burst (typically
@@ -326,7 +337,8 @@ class RAUService:
             for q in questions:
                 tokens, length = self.data.question_to_tokens(q)
                 item = {"tokens": tokens, "length": length, "feats": feats,
-                        "done": threading.Event(), "question": q}
+                        "done": threading.Event(), "question": q,
+                        "attention": attention}
                 items.append(item)
                 self._queue.append(item)
             self._qcond.notify_all()
@@ -336,35 +348,65 @@ class RAUService:
             if "error" in item:
                 raise item["error"]
             out.append(self._format_answer(item["question"], item["tab"],
-                                           topk))
+                                           topk, att=item.get("att")))
         return out
 
     def _format_answer(self, question: str, tab: np.ndarray,
-                       topk: int) -> Dict:
+                       topk: int, att: Optional[np.ndarray] = None) -> Dict:
         final = tab[-1]                            # "select" aggregate
         order = np.argsort(final)[::-1][:topk]
-        return {
+        out = {
             "question": question,
             "answers": [{"answer": self.data.answers[int(i)],
                          "score": float(final[i])} for i in order],
             "per_hop": [self.data.answers[int(tab[h].argmax())]
                         for h in range(tab.shape[0] - 2)],
         }
+        if att is not None:
+            # the reference dumps these as per-hop heat maps
+            # (Ours_SS/...lua:926-932 / visatt.py); rows are the nHop hop
+            # attentions then the uniform and select aggregates, each a
+            # w*h spatial softmax over the feature grid
+            out["attention"] = {
+                "grid": [int(self.mcfg.cnn_w), int(self.mcfg.cnn_h)],
+                "rows": [[round(float(v), 6) for v in att[h]]
+                         for h in range(att.shape[0])],
+            }
+        return out
 
     def answer(self, question: str, *, feat_name: Optional[str] = None,
-               image_b64: Optional[str] = None, topk: int = 5) -> Dict:
+               image_b64: Optional[str] = None, topk: int = 5,
+               attention: bool = False) -> Dict:
         tokens, length = self.data.question_to_tokens(question)
         feats = self._feats_for(feat_name, image_b64)
         self._ensure_batcher()
         item = {"tokens": tokens, "length": length, "feats": feats,
-                "done": threading.Event()}
+                "done": threading.Event(), "attention": attention}
         with self._qcond:
             self._queue.append(item)
             self._qcond.notify_all()
         item["done"].wait()
         if "error" in item:
             raise item["error"]
-        return self._format_answer(question, item["tab"], topk)
+        return self._format_answer(question, item["tab"], topk,
+                                   att=item.get("att"))
+
+    def stats(self) -> Dict:
+        """Operator metrics for GET /stats."""
+        sizes = list(self._batch_sizes_served)
+        with self._feat_cache_lock:
+            cache_entries = len(self._feat_cache)
+        return {
+            "requests_served": int(sum(sizes)),
+            "dispatches": len(sizes),
+            "mean_batch": round(float(np.mean(sizes)), 3) if sizes else 0.0,
+            "max_batch_seen": int(max(sizes)) if sizes else 0,
+            "feat_cache_entries": cache_entries,
+            "pixels_artifact": bool(self.pixels_artifact),
+            "image_size": int(self.image_size),
+            "max_batch": self.max_batch,
+            "max_wait_ms": self.max_wait_ms,
+        }
 
 
 def make_handler(service: RAUService):
@@ -383,6 +425,8 @@ def make_handler(service: RAUService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send(200, service.stats())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -400,13 +444,15 @@ def make_handler(service: RAUService):
                         req["questions"],
                         feat_name=req.get("feat_name"),
                         image_b64=req.get("image_b64"),
-                        topk=int(req.get("topk", 5)))}
+                        topk=int(req.get("topk", 5)),
+                        attention=bool(req.get("attention", False)))}
                 else:
                     result = service.answer(
                         req["question"],
                         feat_name=req.get("feat_name"),
                         image_b64=req.get("image_b64"),
-                        topk=int(req.get("topk", 5)))
+                        topk=int(req.get("topk", 5)),
+                        attention=bool(req.get("attention", False)))
                 self._send(200, result)
             except Exception as e:  # noqa: BLE001 — service boundary
                 self._send(400, {"error": str(e)})

@@ -404,3 +404,30 @@ def test_pixels_artifact_service(served, tmp_path):
         np.testing.assert_allclose(
             [a["score"] for a in out["answers"]],
             np.sort(final)[::-1][:3], rtol=1e-5, atol=1e-6)
+
+
+def test_attention_in_response_and_stats(served):
+    """{"attention": true} returns the per-hop spatial attention rows
+    (each a softmax over the feature grid — the maps the reference dumps
+    as PNGs); /stats exposes the micro-batcher's operator metrics."""
+    feat = "COCO_train2014_000000000000.t7"
+    out = _post(served, {"question": "w01 w02 w03", "feat_name": feat,
+                         "attention": True})
+    att = out["attention"]
+    assert att["grid"] == [3, 3]
+    # nhop(2) + uniform + select rows, each a 9-cell distribution
+    assert len(att["rows"]) == 4
+    for row in att["rows"]:
+        assert len(row) == 9
+        assert abs(sum(row) - 1.0) < 1e-3
+    # default stays lean: no attention key
+    out2 = _post(served, {"question": "w01 w02 w03", "feat_name": feat})
+    assert "attention" not in out2
+
+    import urllib.request
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{served}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["dispatches"] >= 1 and stats["requests_served"] >= 2
+    assert stats["mean_batch"] >= 1.0
+    assert stats["pixels_artifact"] is False
