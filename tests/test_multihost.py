@@ -297,3 +297,116 @@ def test_two_process_mesh_matches_single(tmp_path):
                                rtol=1e-4)
     b_head = np.asarray(state.params["mult"]["cls"]["b"])[:4]
     np.testing.assert_allclose(multi["b_head"], b_head, rtol=1e-4, atol=1e-6)
+
+
+PIXELS_WORKER = r"""
+import os, sys, json
+import numpy as np
+proc_id = int(sys.argv[1]); n_procs = int(sys.argv[2])
+port = sys.argv[3]; out_path = sys.argv[4]; fix_root = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=n_procs, process_id=proc_id,
+                           local_device_ids=[0, 1])
+import dataclasses
+from rau_vqa_tpu.config import get_preset
+from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+from rau_vqa_tpu.data.images import ImageDirSource
+from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+from rau_vqa_tpu.parallel.mesh import make_multihost_mesh
+from rau_vqa_tpu.train.trainer import Trainer
+
+spec = FixtureSpec()
+root = os.path.join(fix_root, f"proc{proc_id}")
+vqa_dir = generate_fixture(root, spec, images=True, image_size=64)
+
+exp = get_preset("ours_ms")
+exp = exp.replace(
+    model=dataclasses.replace(
+        exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+        embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+        att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+        mult_dropout=0.0),
+    train=dataclasses.replace(
+        exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+        length_buckets=()),
+    data=dataclasses.replace(exp.data, split="val2014"))
+data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                     test_batch_size=8)
+src = ImageDirSource(os.path.join(root, "images"), size=64)
+gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+bb = vgg16_pool5_init(jax.random.PRNGKey(3))   # identical in every proc
+mesh = make_multihost_mesh(n_model=1)
+assert mesh.devices.size == 2 * n_procs
+trainer = Trainer(exp, data, src, os.path.join(root, "run"), mesh=mesh,
+                  gt_anno=gt, backbone="vgg16", bb_params=bb)
+# eval FIRST (identical init params): forward-only parity is tight
+result = trainer.evaluate(write_submissions=True)
+rec = trainer.train_epoch()
+hop_dir = os.path.join(root, "run", "results", "hop_01")
+wrote = os.path.isdir(hop_dir) and bool(os.listdir(hop_dir))
+assert wrote == (proc_id == 0), f"proc {proc_id} wrote={wrote}"
+if proc_id == 0:
+    with open(out_path, "w") as f:
+        json.dump({"loss": float(rec["loss"]),
+                   "testOEacc": result["testOEacc"]}, f)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RAU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+@pytest.mark.slow
+@pytest.mark.multiproc
+def test_trainer_from_pixels_two_process_matches_single(tmp_path):
+    """From-pixels training/eval composes with the MULTI-HOST mesh: raw
+    JPEG batches decode per process, uint8 pixels shard across the
+    process boundary, the inline frozen backbone runs under GSPMD, and
+    eval accuracy + one epoch's loss match a single-process 4-device
+    run (same 4-way partitioning, so the reassociation is identical)."""
+    multi = _run_two_procs(PIXELS_WORKER, tmp_path,
+                           extra_args=[str(tmp_path / "fix")])
+
+    import dataclasses
+
+    import jax
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.parallel.mesh import make_mesh
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "single")
+    vqa_dir = generate_fixture(root, spec, images=True, image_size=64)
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.0),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+            length_buckets=()),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"), size=64)
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    bb = vgg16_pool5_init(jax.random.PRNGKey(3))
+    trainer = Trainer(exp, data, src, os.path.join(root, "run"),
+                      mesh=make_mesh(n_data=4, n_model=1), gt_anno=gt,
+                      backbone="vgg16", bb_params=bb)
+    single = trainer.evaluate(write_submissions=False)
+    rec = trainer.train_epoch()
+    np.testing.assert_allclose(multi["testOEacc"], single["testOEacc"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(multi["loss"], float(rec["loss"]), rtol=5e-3)
