@@ -383,7 +383,13 @@ def test_pixels_artifact_service(served, tmp_path):
     b64 = base64.b64encode(buf.getvalue()).decode()
 
     qs = ["w01 w02 w03", "w04 w05"]
-    outs = svc.answer_many(qs, image_b64=b64, topk=3)
+    outs = svc.answer_many(qs, image_b64=b64, topk=3, attention=True)
+    # attention rows ride the artifact path too (its program returns the
+    # same [H+2, B, S] table)
+    for out in outs:
+        att = out["attention"]
+        assert att["grid"] == [3, 3] and len(att["rows"]) == 4
+        assert all(abs(sum(r) - 1.0) < 1e-3 for r in att["rows"])
 
     # live reference: same PNG bytes through the shared decode helper,
     # then backbone + predict outside the artifact
