@@ -417,6 +417,49 @@ def cmd_pack_features(args) -> int:
     return 0
 
 
+def cmd_precompute_features(args) -> int:
+    """Run a backbone over raw images on the device and write a packed
+    feature shard — the reference's offline feature-extraction protocol
+    (data/get_vgg16_pool5_448.sh downloads these; the extractor itself is
+    not in the reference repo), produced natively.  The output dir is
+    directly consumable as ``--feat-dir``."""
+    import time
+
+    from rau_vqa_tpu.precompute import precompute_features, scan_image_dir
+
+    if args.vqa_dir:
+        with open(os.path.join(args.vqa_dir, "data_prepro.json")) as f:
+            info = json.load(f)
+        rel = (list(info.get("unique_img_train", []))
+               + list(info.get("unique_img_test", [])))
+    else:
+        rel = scan_image_dir(args.image_root)
+    if not rel:
+        raise SystemExit("no images found (empty --image-root scan or "
+                         "empty unique_img lists)")
+    bb_params = _load_backbone_state(args.backbone, args.backbone_state)
+
+    t0 = time.time()
+    last = [0.0]
+
+    def progress(done, total):
+        now = time.time()
+        if now - last[0] >= 10 or done == total:
+            last[0] = now
+            rate = done / max(now - t0, 1e-9)
+            print(f"  {done}/{total} images ({rate:.1f} img/s)", flush=True)
+
+    store = precompute_features(
+        args.image_root, rel, args.out, args.backbone, bb_params,
+        size=args.size, batch_size=args.batch, dtype=args.dtype,
+        backend=args.backend,
+        compute_dtype="bfloat16" if args.bf16 else None,
+        progress=progress)
+    print(f"precomputed {len(store.index)} images -> {args.out} "
+          f"[S={store.spat}, D={store.dim}] dtype={args.dtype}")
+    return 0
+
+
 def cmd_convert_snapshot(args) -> int:
     """Convert a reference Torch7 snapshot into a native checkpoint (or the
     reverse with --to-torch)."""
@@ -807,6 +850,36 @@ def main(argv=None) -> int:
     p_pack.add_argument("--dtype", default="float32",
                         choices=["float32", "float16", "int8"])
 
+    p_pre = sub.add_parser(
+        "precompute-features",
+        help="run a backbone over raw images on-device and write a packed "
+             "feature shard (the reference's offline feature-extraction "
+             "protocol, natively)")
+    p_pre.add_argument("--image-root", required=True,
+                       help="COCO-style image directory")
+    p_pre.add_argument("--out", required=True,
+                       help="output shard dir (usable as --feat-dir)")
+    p_pre.add_argument("--backbone", required=True,
+                       choices=["vgg16", "resnet101"])
+    p_pre.add_argument("--backbone-state",
+                       help="torchvision state_dict .pth for the backbone")
+    p_pre.add_argument("--vqa-dir",
+                       help="enumerate images from the prepro json's "
+                            "unique_img lists; default: scan --image-root")
+    p_pre.add_argument("--size", type=int, default=448,
+                       help="input resolution (448 -> 14x14 grid, "
+                            "224 -> 7x7)")
+    p_pre.add_argument("--batch", type=int, default=64,
+                       help="device batch (64 is the measured sweet spot)")
+    p_pre.add_argument("--dtype", default="float32",
+                       choices=["float32", "float16", "int8"],
+                       help="STORAGE dtype of the shard")
+    p_pre.add_argument("--bf16", action="store_true",
+                       help="bfloat16 backbone compute (measured serving "
+                            "config); storage stays --dtype")
+    p_pre.add_argument("--backend", default="native",
+                       choices=["native", "pil"])
+
     sub.add_parser("bench", help="serving throughput benchmark (one JSON line)")
     sub.add_parser("bench-pixels",
                    help="from-pixels (images+questions->answers) benchmark; "
@@ -1004,6 +1077,7 @@ def main(argv=None) -> int:
         return 0
     return {"train": cmd_train, "eval": cmd_eval,
             "pack-features": cmd_pack_features,
+            "precompute-features": cmd_precompute_features,
             "fixture": cmd_fixture,
             "convert-snapshot": cmd_convert_snapshot,
             "diagnose-snapshot": cmd_diagnose_snapshot,

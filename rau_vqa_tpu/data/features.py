@@ -158,6 +158,54 @@ class PackedFeatureStore(FeatureSource):
         return out
 
 
+class PackedShardWriter:
+    """Streams float32 feature blocks into a packed shard dir.
+
+    One quantization/layout definition shared by every shard producer
+    (``pack_feature_dir`` repacking .t7 files, ``precompute.py`` running a
+    backbone on-TPU): ``write`` takes float32 ``[b, S, D]`` blocks at a row
+    offset, ``finish`` flushes + writes ``index.json`` (and ``scales.npy``
+    for int8 shards) and returns the readable store."""
+
+    def __init__(self, out_dir: str, n: int, spat: int, dim: int,
+                 dtype: str = "float32"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.dtype = str(np.dtype(dtype))
+        self.quantize = self.dtype == "int8"
+        self.n, self.spat, self.dim = int(n), int(spat), int(dim)
+        self.arr = np.lib.format.open_memmap(
+            os.path.join(out_dir, "features.npy"), mode="w+",
+            dtype=np.dtype(dtype), shape=(self.n, self.spat, self.dim))
+        self.scales = (np.ones((self.n,), np.float32)
+                       if self.quantize else None)
+
+    def write(self, start: int, block: np.ndarray) -> None:
+        if block.shape[1:] != (self.spat, self.dim):
+            raise ValueError(
+                f"feature block shape {block.shape[1:]} != "
+                f"({self.spat}, {self.dim})")
+        if self.quantize:
+            # symmetric per-image absmax quantization
+            absmax = np.abs(block).reshape(block.shape[0], -1).max(axis=1)
+            s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+            self.scales[start:start + len(block)] = s
+            block = np.clip(np.rint(block / s[:, None, None]), -127, 127)
+        self.arr[start:start + len(block)] = block
+
+    def finish(self, names: Sequence[str]) -> "PackedFeatureStore":
+        if len(names) != self.n:
+            raise ValueError(f"{len(names)} names for {self.n} rows")
+        self.arr.flush()
+        if self.quantize:
+            np.save(os.path.join(self.out_dir, "scales.npy"), self.scales)
+        with open(os.path.join(self.out_dir, "index.json"), "w") as f:
+            json.dump({"index": {n: i for i, n in enumerate(names)},
+                       "dim": self.dim, "spat": self.spat,
+                       "dtype": self.dtype}, f)
+        return PackedFeatureStore(self.out_dir)
+
+
 def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],
                      datatypes_by_img: Sequence[int], out_dir: str,
                      dim: int, w: int, h: int,
@@ -166,7 +214,6 @@ def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],
 
     ``img_paths``/``datatypes_by_img`` enumerate the unique images of a split
     (json ``unique_img_*`` lists) with their source-directory index."""
-    os.makedirs(out_dir, exist_ok=True)
     src = T7DirFeatureSource(src_dirs, dim, w, h)
     names, dts, seen = [], [], set()
     for p, dt in zip(img_paths, datatypes_by_img):
@@ -175,25 +222,8 @@ def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],
             seen.add(name)
             names.append(name)
             dts.append(dt)
-    quantize = dtype == "int8"
-    arr = np.lib.format.open_memmap(
-        os.path.join(out_dir, "features.npy"), mode="w+",
-        dtype=np.dtype(dtype), shape=(len(names), w * h, dim))
-    scales = np.ones((len(names),), np.float32) if quantize else None
+    writer = PackedShardWriter(out_dir, len(names), w * h, dim, dtype=dtype)
     chunk = 256
     for i in range(0, len(names), chunk):
-        block = src.get_batch(names[i:i + chunk], dts[i:i + chunk])
-        if quantize:
-            # symmetric per-image absmax quantization
-            absmax = np.abs(block).reshape(block.shape[0], -1).max(axis=1)
-            s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-            scales[i:i + chunk] = s
-            block = np.clip(np.rint(block / s[:, None, None]), -127, 127)
-        arr[i:i + chunk] = block
-    arr.flush()
-    if quantize:
-        np.save(os.path.join(out_dir, "scales.npy"), scales)
-    with open(os.path.join(out_dir, "index.json"), "w") as f:
-        json.dump({"index": {n: i for i, n in enumerate(names)},
-                   "dim": dim, "spat": w * h, "dtype": dtype}, f)
-    return PackedFeatureStore(out_dir)
+        writer.write(i, src.get_batch(names[i:i + chunk], dts[i:i + chunk]))
+    return writer.finish(names)

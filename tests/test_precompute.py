@@ -1,0 +1,172 @@
+"""precompute-features: raw images -> on-device backbone -> packed shard.
+
+The reference's production protocol consumes PREcomputed per-image CNN
+features (data/get_vgg16_pool5_448.sh downloads them; the extractor lives
+outside the reference repo).  These tests pin the native replacement: the
+shard `rau-vqa precompute-features` writes is numerically the backbone's
+output and is directly consumable by PackedFeatureStore / the Trainer.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rau_vqa_tpu.data.features import PackedFeatureStore, coco_feat_name
+from rau_vqa_tpu.data.images import ImageDirSource
+from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+from rau_vqa_tpu.models.pipeline import extract_features
+from rau_vqa_tpu.precompute import (
+    precompute_features,
+    scan_image_dir,
+    unique_by_feat_name,
+)
+
+
+def _make_images(root, n=5, seed=0, split="val2014"):
+    from PIL import Image
+
+    rs = np.random.RandomState(seed)
+    rel = []
+    os.makedirs(os.path.join(root, split), exist_ok=True)
+    for i in range(n):
+        w, h = int(rs.randint(40, 90)), int(rs.randint(40, 90))
+        arr = rs.randint(0, 255, (h, w, 3), np.uint8)
+        p = f"{split}/COCO_{split}_{i:012d}.jpg"
+        Image.fromarray(arr).save(os.path.join(root, p))
+        rel.append(p)
+    return rel
+
+
+def test_scan_and_unique(tmp_path):
+    from PIL import Image
+
+    rel = _make_images(str(tmp_path), n=3)
+    # a duplicate basename in another dir collapses to ONE feature row —
+    # the store is keyed by coco_feat_name, one file per COCO image
+    os.makedirs(str(tmp_path / "train2014"))
+    Image.new("RGB", (50, 50)).save(
+        str(tmp_path / "train2014" / "COCO_val2014_000000000000.jpg"))
+    found = scan_image_dir(str(tmp_path))
+    assert len(found) == 4
+    names, paths = unique_by_feat_name(found)
+    assert len(names) == len(paths) == 3
+    assert all(n.endswith(".t7") for n in names)
+    assert len(set(names)) == 3
+
+
+def test_precompute_matches_direct(tmp_path):
+    """Batched+padded precompute == one direct extract_features call, and
+    the shard round-trips through PackedFeatureStore by feature name."""
+    root, out = str(tmp_path / "imgs"), str(tmp_path / "shard")
+    rel = _make_images(root, n=5)   # 5 images, batch 2 -> padded last batch
+    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+    calls = []
+    store = precompute_features(
+        root, rel, out, "vgg16", bb, size=32, batch_size=2,
+        dtype="float32", backend="pil",
+        progress=lambda done, total: calls.append((done, total)))
+    assert store.spat == 1 and store.dim == 512   # 32px -> 1x1 pool5 grid
+    assert calls[-1] == (5, 5)
+
+    imgs = ImageDirSource(root, size=32).get_batch(rel)
+    want = np.asarray(extract_features("vgg16", bb, jnp.asarray(imgs)))
+    names = [coco_feat_name(p) for p in rel]
+    got = store.get_batch(names, [1] * len(names))
+    # batch-2 vs batch-5 conv reductions reassociate (~5e-5 abs on CPU)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-4)
+
+
+def test_precompute_int8_shard(tmp_path):
+    """int8 storage: per-image symmetric scales, dequantized read within
+    half a quantization step of the float features."""
+    root, out = str(tmp_path / "imgs"), str(tmp_path / "shard8")
+    rel = _make_images(root, n=3, seed=1)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+    store = precompute_features(root, rel, out, "vgg16", bb, size=32,
+                                batch_size=2, dtype="int8", backend="pil")
+    imgs = ImageDirSource(root, size=32).get_batch(rel)
+    want = np.asarray(extract_features("vgg16", bb, jnp.asarray(imgs)))
+    names = [coco_feat_name(p) for p in rel]
+    got = store.get_batch(names, [1] * len(names))
+    step = np.abs(want).reshape(len(rel), -1).max(axis=1) / 127.0
+    assert np.all(np.abs(got - want)
+                  <= step[:, None, None] * 0.5 + 1e-7)
+
+
+def test_cli_precompute_features(tmp_path, monkeypatch):
+    from rau_vqa_tpu import cli
+
+    root = str(tmp_path / "imgs")
+    rel = _make_images(root, n=3)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(1))
+    monkeypatch.setattr(cli, "_load_backbone_state", lambda b, s: bb)
+
+    out = str(tmp_path / "shard")
+    rc = cli.main(["precompute-features", "--image-root", root,
+                   "--out", out, "--backbone", "vgg16",
+                   "--size", "32", "--batch", "2", "--backend", "pil"])
+    assert rc == 0
+    store = PackedFeatureStore(out)
+    assert len(store.index) == 3 and store.dim == 512
+
+    # --vqa-dir enumeration: only the json's unique_img lists are computed
+    import json as _json
+    vqa_dir = str(tmp_path / "vqa")
+    os.makedirs(vqa_dir)
+    with open(os.path.join(vqa_dir, "data_prepro.json"), "w") as f:
+        _json.dump({"unique_img_train": rel[:2], "unique_img_test": []}, f)
+    out2 = str(tmp_path / "shard2")
+    rc = cli.main(["precompute-features", "--image-root", root,
+                   "--out", out2, "--backbone", "vgg16",
+                   "--vqa-dir", vqa_dir,
+                   "--size", "32", "--batch", "2", "--backend", "pil"])
+    assert rc == 0
+    assert len(PackedFeatureStore(out2).index) == 2
+
+
+@pytest.mark.slow
+def test_trainer_from_precomputed_shard(tmp_path):
+    """The full loop the reference's protocol implies: raw fixture JPEGs ->
+    precompute-features -> train + eval from the packed shard (--feat-dir),
+    and the features the Trainer consumes equal the from-pixels path's."""
+    import dataclasses
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, spec, images=True, image_size=64)
+    image_root = os.path.join(root, "images")
+
+    bb = vgg16_pool5_init(jax.random.PRNGKey(3))
+    store = precompute_features(
+        image_root, scan_image_dir(image_root), str(tmp_path / "shard"),
+        "vgg16", bb, size=64, batch_size=16, backend="pil")
+    assert (store.spat, store.dim) == (4, 512)   # 64px -> 2x2 pool5 grid
+
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.1),
+        train=dataclasses.replace(
+            exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+            length_buckets=()),
+        data=dataclasses.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    trainer = Trainer(exp, data, store, str(tmp_path / "run"), gt_anno=gt)
+    rec = trainer.train_epoch()
+    assert np.isfinite(rec["loss"])
+    res = trainer.evaluate(write_submissions=False)
+    assert len(res["testOEacc"]) == exp.model.n_hops + 2
+    assert all(np.isfinite(a) for a in res["testOEacc"])
