@@ -438,6 +438,11 @@ def cmd_precompute_features(args) -> int:
         raise SystemExit("no images found (empty --image-root scan or "
                          "empty unique_img lists)")
     bb_params = _load_backbone_state(args.backbone, args.backbone_state)
+    mesh = None
+    if args.mesh_data:
+        from rau_vqa_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=args.mesh_data, n_model=1)
+        print(f"mesh: {dict(mesh.shape)}")
 
     t0 = time.time()
     last = [0.0]
@@ -452,7 +457,7 @@ def cmd_precompute_features(args) -> int:
     store = precompute_features(
         args.image_root, rel, args.out, args.backbone, bb_params,
         size=args.size, batch_size=args.batch, dtype=args.dtype,
-        backend=args.backend,
+        backend=args.backend, mesh=mesh,
         compute_dtype="bfloat16" if args.bf16 else None,
         progress=progress)
     print(f"precomputed {len(store.index)} images -> {args.out} "
@@ -879,6 +884,10 @@ def main(argv=None) -> int:
                             "config); storage stays --dtype")
     p_pre.add_argument("--backend", default="native",
                        choices=["native", "pil"])
+    p_pre.add_argument("--mesh-data", type=int, default=0,
+                       help="shard the extraction batch over a 'data' mesh "
+                            "of this many devices (-1 = all); backbone "
+                            "replicated")
 
     sub.add_parser("bench", help="serving throughput benchmark (one JSON line)")
     sub.add_parser("bench-pixels",

@@ -69,7 +69,7 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
                         size: int = 448, batch_size: int = 64,
                         dtype: str = "float32", backend: str = "native",
                         compute_dtype: Optional[str] = None,
-                        vit_cfg=None,
+                        vit_cfg=None, mesh=None,
                         progress: Optional[Callable[[int, int], None]] = None,
                         ) -> PackedFeatureStore:
     """Run ``backbone`` over every unique image and write a packed shard.
@@ -78,7 +78,10 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
     per-image symmetric scales, exactly like ``pack_feature_dir``);
     ``compute_dtype`` optionally casts the backbone params (e.g.
     'bfloat16', the measured serving configuration) while the stored
-    features stay float32-accumulated."""
+    features stay float32-accumulated.  With a ``mesh``, the image batch
+    shards over the 'data' axis (replicated backbone — the same layout as
+    sharded from-pixels serving), so extraction scales across chips;
+    ``batch_size`` must divide by the data-axis size."""
     import jax
     import jax.numpy as jnp
 
@@ -95,10 +98,25 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
             bb_params)
 
-    @jax.jit
-    def extract(bb, images_u8):
+    def _extract(bb, images_u8):
         feats = extract_features(backbone, bb, images_u8, vit_cfg=vit_cfg)
         return feats.astype(jnp.float32)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the mesh's "
+                f"data axis ({n_data})")
+        extract = jax.jit(
+            _extract,
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P("data", None, None, None))),
+            out_shardings=NamedSharding(mesh, P("data", None, None)))
+    else:
+        extract = jax.jit(_extract)
 
     chunks = [paths[i:i + batch_size] for i in range(0, len(paths),
                                                      batch_size)]

@@ -96,6 +96,29 @@ def test_precompute_int8_shard(tmp_path):
                   <= step[:, None, None] * 0.5 + 1e-7)
 
 
+def test_precompute_on_mesh_matches_single(tmp_path):
+    """Mesh-sharded extraction (images on 'data', replicated backbone)
+    writes the same shard as single-device precompute."""
+    from rau_vqa_tpu.parallel.mesh import make_mesh
+
+    root = str(tmp_path / "imgs")
+    rel = _make_images(root, n=6, seed=2)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+    single = precompute_features(root, rel, str(tmp_path / "s1"), "vgg16",
+                                 bb, size=32, batch_size=4, backend="pil")
+    mesh = make_mesh(n_data=4, n_model=1)
+    sharded = precompute_features(root, rel, str(tmp_path / "s4"), "vgg16",
+                                  bb, size=32, batch_size=4, backend="pil",
+                                  mesh=mesh)
+    names = [coco_feat_name(p) for p in rel]
+    np.testing.assert_allclose(sharded.get_batch(names, [1] * 6),
+                               single.get_batch(names, [1] * 6),
+                               rtol=1e-5, atol=2e-4)
+    with pytest.raises(ValueError):
+        precompute_features(root, rel, str(tmp_path / "bad"), "vgg16", bb,
+                            size=32, batch_size=3, backend="pil", mesh=mesh)
+
+
 def test_cli_precompute_features(tmp_path, monkeypatch):
     from rau_vqa_tpu import cli
 
