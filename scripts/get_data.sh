@@ -5,7 +5,10 @@
 # release (data/get_vqa_prepro.sh, data/get_vgg16_pool5_448.sh,
 # data/get_resnet_101_448.sh, experiments/*/download_trained_model.sh).
 #
-# Usage:  scripts/get_data.sh [prepro|vgg|resnet|snapshots|pack|all]
+# Usage:  scripts/get_data.sh [prepro|vgg|resnet|snapshots|pack|coco|all]
+# (`coco` fetches the raw COCO images for precompute-features/--image-root
+# runs; not part of `all` since the feature tarballs already cover the
+# reference protocol.)
 set -euo pipefail
 
 ROOT="${DATA_ROOT:-./data}"
@@ -50,6 +53,17 @@ do_snapshots() {
   fetch_snapshot Ours_ResNet save_result_vqa_resnet101_448_test-dev2015.tar.gz || true
 }
 
+do_coco() {
+  # raw COCO images (VQA v1 uses train2014/val2014/test2015) — the input
+  # to `rau-vqa precompute-features` / `--image-root` from-pixels runs;
+  # the reference never provisioned these (it consumed feature tarballs)
+  mkdir -p coco_images
+  (cd coco_images &&
+    fetch_zip http://images.cocodataset.org/zips/train2014.zip &&
+    fetch_zip http://images.cocodataset.org/zips/val2014.zip &&
+    fetch_zip http://images.cocodataset.org/zips/test2015.zip)
+}
+
 do_pack() {
   cd ..
   python -m rau_vqa_tpu.cli pack-features \
@@ -64,6 +78,7 @@ case "${1:-all}" in
   resnet)    do_resnet ;;
   snapshots) do_snapshots ;;
   pack)      do_pack ;;
+  coco)      do_coco ;;
   all)       do_prepro; do_vgg; do_resnet; do_snapshots; do_pack ;;
-  *) echo "usage: $0 [prepro|vgg|resnet|snapshots|pack|all]" >&2; exit 1 ;;
+  *) echo "usage: $0 [prepro|vgg|resnet|snapshots|pack|coco|all]" >&2; exit 1 ;;
 esac

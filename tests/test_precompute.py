@@ -96,6 +96,19 @@ def test_precompute_int8_shard(tmp_path):
                   <= step[:, None, None] * 0.5 + 1e-7)
 
 
+def test_shard_writer_validation(tmp_path):
+    from rau_vqa_tpu.data.features import PackedShardWriter
+
+    w = PackedShardWriter(str(tmp_path / "s"), n=2, spat=3, dim=4)
+    with pytest.raises(ValueError):      # wrong [S, D]
+        w.write(0, np.zeros((1, 3, 5), np.float32))
+    w.write(0, np.zeros((2, 3, 4), np.float32))
+    with pytest.raises(ValueError):      # names/rows mismatch
+        w.finish(["a.t7"])
+    store = w.finish(["a.t7", "b.t7"])
+    assert store.get_batch(["b.t7"], [1]).shape == (1, 3, 4)
+
+
 def test_precompute_on_mesh_matches_single(tmp_path):
     """Mesh-sharded extraction (images on 'data', replicated backbone)
     writes the same shard as single-device precompute."""
