@@ -101,7 +101,7 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                         "path the reference's next_batch_image sketches")
     p.add_argument("--image-size", type=int, default=448)
     p.add_argument("--backbone", default=None,
-                   choices=["vgg16", "resnet101"],
+                   choices=["vgg16", "resnet101", "vit"],
                    help="on-TPU visual backbone (with --image-root, or for "
                         "serve image_b64 requests)")
     p.add_argument("--backbone-state", default=None,
@@ -235,6 +235,11 @@ def _load_backbone_state(backbone: str, state_path: str):
             resnet_from_torch_state,
         )
         return fold_batchnorm(resnet_from_torch_state(state))
+    if backbone == "vit":
+        # timm-format state dict; the default ViT-L/14 config (the
+        # ours_vit stretch preset's backbone)
+        from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_from_timm_state
+        return vit_from_timm_state(state, VIT_L14)
     from rau_vqa_tpu.models.backbones.vgg import vgg16_from_torch_state
     return vgg16_from_torch_state(state)
 
@@ -865,7 +870,7 @@ def main(argv=None) -> int:
     p_pre.add_argument("--out", required=True,
                        help="output shard dir (usable as --feat-dir)")
     p_pre.add_argument("--backbone", required=True,
-                       choices=["vgg16", "resnet101"])
+                       choices=["vgg16", "resnet101", "vit"])
     p_pre.add_argument("--backbone-state",
                        help="torchvision state_dict .pth for the backbone")
     p_pre.add_argument("--vqa-dir",
@@ -997,7 +1002,7 @@ def main(argv=None) -> int:
                        help="bake bf16 MXU passes into the artifact "
                             "(fast serving numerics, like bench.py)")
     p_exp.add_argument("--backbone", default=None,
-                       choices=["vgg16", "resnet101"],
+                       choices=["vgg16", "resnet101", "vit"],
                        help="export the FROM-PIXELS program instead "
                             "(uint8 images + tokens -> answers; backbone "
                             "weights baked in)")

@@ -163,6 +163,58 @@ def test_cli_precompute_features(tmp_path, monkeypatch):
     assert len(PackedFeatureStore(out2).index) == 2
 
 
+def test_cli_precompute_vit_backbone(tmp_path, monkeypatch):
+    """--backbone vit loads a timm-format state dict through
+    _load_backbone_state and precomputes [grid*grid, dim] features."""
+    import torch
+
+    from rau_vqa_tpu.models.backbones import vit as vit_mod
+
+    cfg = vit_mod.ViTConfig(image_size=16, patch=4, dim=32, depth=1,
+                            heads=4, mlp_ratio=2.0)
+    monkeypatch.setattr(vit_mod, "VIT_L14", cfg)
+    rs = np.random.RandomState(0)
+
+    def t(*shape):
+        return torch.tensor(rs.randn(*shape).astype(np.float32) * 0.05)
+
+    state = {
+        "pos_embed": t(1, cfg.seq + 1, 32),
+        "patch_embed.proj.weight": t(32, 3, 4, 4),
+        "patch_embed.proj.bias": t(32),
+        "norm.weight": torch.ones(32), "norm.bias": torch.zeros(32),
+        "blocks.0.norm1.weight": torch.ones(32),
+        "blocks.0.norm1.bias": torch.zeros(32),
+        "blocks.0.norm2.weight": torch.ones(32),
+        "blocks.0.norm2.bias": torch.zeros(32),
+        "blocks.0.attn.qkv.weight": t(96, 32),
+        "blocks.0.attn.qkv.bias": t(96),
+        "blocks.0.attn.proj.weight": t(32, 32),
+        "blocks.0.attn.proj.bias": t(32),
+        "blocks.0.mlp.fc1.weight": t(64, 32),
+        "blocks.0.mlp.fc1.bias": t(64),
+        "blocks.0.mlp.fc2.weight": t(32, 64),
+        "blocks.0.mlp.fc2.bias": t(32),
+    }
+    pth = str(tmp_path / "vit.pth")
+    torch.save(state, pth)
+
+    root = str(tmp_path / "imgs")
+    _make_images(root, n=3)
+    from rau_vqa_tpu import cli
+    out = str(tmp_path / "shard")
+    rc = cli.main(["precompute-features", "--image-root", root,
+                   "--out", out, "--backbone", "vit",
+                   "--backbone-state", pth,
+                   "--size", "16", "--batch", "2", "--backend", "pil"])
+    assert rc == 0
+    store = PackedFeatureStore(out)
+    assert len(store.index) == 3
+    assert (store.spat, store.dim) == (cfg.seq, cfg.dim)
+    feats = store.get_batch(list(store.index), [1] * 3)
+    assert np.isfinite(feats).all()
+
+
 @pytest.mark.slow
 def test_trainer_from_precomputed_shard(tmp_path):
     """The full loop the reference's protocol implies: raw fixture JPEGs ->
