@@ -244,6 +244,19 @@ def _load_backbone_state(backbone: str, state_path: str):
     return vgg16_from_torch_state(state)
 
 
+def _validate_backbone_image_size(backbone, size, flag):
+    """ViT's position embeddings fix the input side (cfg.image_size); the
+    stride-32 conv backbones accept any multiple of 32.  Catch a mismatch
+    up front instead of a broadcast error mid-sweep."""
+    if backbone == "vit":
+        from rau_vqa_tpu.models.backbones import vit as vit_mod
+        need = vit_mod.VIT_L14.image_size
+        if size != need:
+            raise SystemExit(
+                f"--backbone vit uses the ViT-L/14 config, whose position "
+                f"embeddings fix the input at {need}px — pass {flag} {need}")
+
+
 def _make_source_and_backbone(args, exp):
     """(source, backbone, bb_params) for cmd_train/cmd_eval: precomputed
     features by default, or raw images + on-TPU backbone with
@@ -252,6 +265,8 @@ def _make_source_and_backbone(args, exp):
         if not args.backbone:
             raise SystemExit(
                 "--image-root needs --backbone (+ --backbone-state)")
+        _validate_backbone_image_size(args.backbone, args.image_size,
+                                      "--image-size")
         from rau_vqa_tpu.data.images import ImageDirSource
         source = ImageDirSource(args.image_root, size=args.image_size,
                                 backend="native")
@@ -442,6 +457,7 @@ def cmd_precompute_features(args) -> int:
     if not rel:
         raise SystemExit("no images found (empty --image-root scan or "
                          "empty unique_img lists)")
+    _validate_backbone_image_size(args.backbone, args.size, "--size")
     bb_params = _load_backbone_state(args.backbone, args.backbone_state)
     mesh = None
     if args.mesh_data:
@@ -449,10 +465,16 @@ def cmd_precompute_features(args) -> int:
         mesh = make_mesh(n_data=args.mesh_data, n_model=1)
         print(f"mesh: {dict(mesh.shape)}")
 
+    # a hung tunnel blocks inside the first dispatch with no error
+    # (BASELINE.md hard-hang mode); abort loudly if no batch lands
+    from rau_vqa_tpu.utils.rigcheck import StallWatchdog
+    watchdog = StallWatchdog("precompute-features", args.stall_timeout)
+
     t0 = time.time()
     last = [0.0]
 
     def progress(done, total):
+        watchdog.poke()
         now = time.time()
         if now - last[0] >= 10 or done == total:
             last[0] = now
@@ -465,6 +487,7 @@ def cmd_precompute_features(args) -> int:
         backend=args.backend, mesh=mesh,
         compute_dtype="bfloat16" if args.bf16 else None,
         progress=progress)
+    watchdog.cancel()
     print(f"precomputed {len(store.index)} images -> {args.out} "
           f"[S={store.spat}, D={store.dim}] dtype={args.dtype}")
     return 0
@@ -572,18 +595,33 @@ def cmd_export(args) -> int:
         import numpy as np
 
         from rau_vqa_tpu.eval.export import export_pixels_predict
-        if args.image_size is None:
-            # both supported backbones are stride-32: the snapshot's
-            # feature grid dictates the input side
-            args.image_size = mcfg.cnn_w * 32
-        grid = args.image_size // 32
-        if grid * grid != mcfg.cnn_spat:
-            raise SystemExit(
-                f"--image-size {args.image_size} gives a "
-                f"{grid}x{grid}={grid * grid} feature grid but the "
-                f"snapshot was trained on cnn_spat={mcfg.cnn_spat} "
-                f"({mcfg.cnn_w}x{mcfg.cnn_h}) — use "
-                f"--image-size {mcfg.cnn_w * 32}")
+        if args.backbone == "vit":
+            # ViT's pos embeddings fix the input side AND the grid
+            from rau_vqa_tpu.models.backbones import vit as vit_mod
+            vcfg = vit_mod.VIT_L14
+            if args.image_size is None:
+                args.image_size = vcfg.image_size
+            _validate_backbone_image_size("vit", args.image_size,
+                                          "--image-size")
+            if vcfg.seq != mcfg.cnn_spat:
+                raise SystemExit(
+                    f"ViT-L/14 yields {vcfg.grid}x{vcfg.grid}="
+                    f"{vcfg.seq} tokens but the snapshot was trained "
+                    f"on cnn_spat={mcfg.cnn_spat} "
+                    f"({mcfg.cnn_w}x{mcfg.cnn_h})")
+        else:
+            if args.image_size is None:
+                # the conv backbones are stride-32: the snapshot's
+                # feature grid dictates the input side
+                args.image_size = mcfg.cnn_w * 32
+            grid = args.image_size // 32
+            if grid * grid != mcfg.cnn_spat:
+                raise SystemExit(
+                    f"--image-size {args.image_size} gives a "
+                    f"{grid}x{grid}={grid * grid} feature grid but the "
+                    f"snapshot was trained on cnn_spat={mcfg.cnn_spat} "
+                    f"({mcfg.cnn_w}x{mcfg.cnn_h}) — use "
+                    f"--image-size {mcfg.cnn_w * 32}")
         bb_params = _load_backbone_state(args.backbone, args.backbone_state)
         if args.bf16:
             import jax.numpy as jnp
@@ -877,8 +915,13 @@ def main(argv=None) -> int:
                        help="enumerate images from the prepro json's "
                             "unique_img lists; default: scan --image-root")
     p_pre.add_argument("--size", type=int, default=448,
-                       help="input resolution (448 -> 14x14 grid, "
-                            "224 -> 7x7)")
+                       help="input resolution (conv backbones: 448 -> "
+                            "14x14 grid, 224 -> 7x7; vit requires its "
+                            "config's fixed size, 224 for ViT-L/14)")
+    p_pre.add_argument("--stall-timeout", type=float, default=900,
+                       help="abort if no batch completes within this many "
+                            "seconds (a hung TPU tunnel blocks without an "
+                            "error); 0 disables")
     p_pre.add_argument("--batch", type=int, default=64,
                        help="device batch (64 is the measured sweet spot)")
     p_pre.add_argument("--dtype", default="float32",

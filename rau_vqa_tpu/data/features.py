@@ -197,8 +197,13 @@ class PackedShardWriter:
         if len(names) != self.n:
             raise ValueError(f"{len(names)} names for {self.n} rows")
         self.arr.flush()
+        scales_path = os.path.join(self.out_dir, "scales.npy")
         if self.quantize:
-            np.save(os.path.join(self.out_dir, "scales.npy"), self.scales)
+            np.save(scales_path, self.scales)
+        elif os.path.exists(scales_path):
+            # reused output dir from an earlier int8 run: a stale
+            # scales.npy would silently rescale every float read
+            os.unlink(scales_path)
         with open(os.path.join(self.out_dir, "index.json"), "w") as f:
             json.dump({"index": {n: i for i, n in enumerate(names)},
                        "dim": self.dim, "spat": self.spat,

@@ -113,3 +113,49 @@ def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     t.daemon = True
     t.start()
     return t
+
+
+class StallWatchdog:
+    """Progress deadline for long-running device jobs (precompute sweeps):
+    if ``poke()`` is not called within ``timeout_s``, print a diagnosis and
+    hard-exit — the tunnel's hard-hang mode (BASELINE.md 'Environment
+    caveats') blocks inside C extensions where exceptions cannot be
+    delivered, so a daemon timer + os._exit is the only reliable abort.
+
+    Unlike ``bench_watchdog`` (one deadline for the whole bench), this is
+    re-armed on every unit of progress, so the total job duration is
+    unbounded while any single stall is caught.  ``timeout_s <= 0``
+    disables it.
+    """
+
+    def __init__(self, what: str, timeout_s: float = 900.0):
+        import threading
+        self._threading = threading
+        self.what = what
+        self.timeout_s = float(timeout_s)
+        self._timer = None
+        self.poke()
+
+    def _fire(self):
+        import os
+        import sys
+        sys.stderr.write(
+            f"{self.what}: no progress within {self.timeout_s:.0f}s — "
+            f"TPU tunnel likely unreachable/hung; diagnose with "
+            f"`rau-vqa doctor`\n")
+        sys.stderr.flush()
+        os._exit(3)
+
+    def poke(self) -> None:
+        if self.timeout_s <= 0:
+            return
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(self.timeout_s, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None

@@ -160,6 +160,49 @@ def test_cli_export_shape_mismatch_fails_loudly(tmp_path):
               "--out", str(tmp_path / "art")])
 
 
+def test_cli_export_pixels_vit(tmp_path, monkeypatch):
+    """export --backbone vit derives the ViT config's fixed input size
+    (not the stride-32 rule) and validates size/grid up front."""
+    from rau_vqa_tpu import cli
+    from rau_vqa_tpu.models.backbones import vit as vit_mod
+    from rau_vqa_tpu.utils.checkpoint import save_checkpoint
+
+    vcfg = vit_mod.ViTConfig(image_size=16, patch=4, dim=32, depth=1,
+                             heads=4, mlp_ratio=2.0)
+    monkeypatch.setattr(vit_mod, "VIT_L14", vcfg)
+    bb = vit_mod.vit_init(jax.random.PRNGKey(1), vcfg)
+    monkeypatch.setattr(cli, "_load_backbone_state", lambda b, s: bb)
+
+    cfg = dataclasses.replace(tiny_cfg(), cnn_dim=32, cnn_w=4, cnn_h=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = save_checkpoint(
+        str(tmp_path / "ckpt"), 1, 1.0, {"params": params},
+        extra={"model_config": dataclasses.asdict(cfg)})
+    art = str(tmp_path / "art")
+    rc = cli.main(["export", "--checkpoint", path, "--out", art,
+                   "--backbone", "vit", "--backbone-state", "x"])
+    assert rc == 0
+    with open(os.path.join(art, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["kind"] == "pixels_predict"
+    assert meta["image_size"] == 16   # vcfg.image_size, NOT cnn_w * 32
+
+    with pytest.raises(SystemExit):   # wrong explicit size -> upfront error
+        cli.main(["export", "--checkpoint", path,
+                  "--out", str(tmp_path / "a2"), "--backbone", "vit",
+                  "--backbone-state", "x", "--image-size", "448"])
+
+    cfg2 = dataclasses.replace(tiny_cfg(), cnn_dim=32, cnn_w=2, cnn_h=2)
+    p2 = save_checkpoint(
+        str(tmp_path / "c2"), 1, 1.0,
+        {"params": init_params(jax.random.PRNGKey(0), cfg2)},
+        extra={"model_config": dataclasses.asdict(cfg2)})
+    with pytest.raises(SystemExit):   # snapshot grid != vit token grid
+        cli.main(["export", "--checkpoint", p2,
+                  "--out", str(tmp_path / "a3"), "--backbone", "vit",
+                  "--backbone-state", "x"])
+
+
 def test_export_pixels_roundtrip(tmp_path):
     """The from-pixels artifact (uint8 images + tokens -> answers, backbone
     baked in) reproduces the live pixels_forward path bit-identically, with

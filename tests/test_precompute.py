@@ -163,6 +163,41 @@ def test_cli_precompute_features(tmp_path, monkeypatch):
     assert len(PackedFeatureStore(out2).index) == 2
 
 
+def test_precompute_dir_reuse_clears_stale_scales(tmp_path):
+    """Re-running with a float dtype into a dir that previously held an
+    int8 shard must remove scales.npy — a stale one would silently rescale
+    every float read."""
+    root, out = str(tmp_path / "imgs"), str(tmp_path / "shard")
+    rel = _make_images(root, n=3, seed=3)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+    precompute_features(root, rel, out, "vgg16", bb, size=32,
+                        batch_size=2, dtype="int8", backend="pil")
+    assert os.path.exists(os.path.join(out, "scales.npy"))
+    store = precompute_features(root, rel, out, "vgg16", bb, size=32,
+                                batch_size=2, dtype="float32",
+                                backend="pil")
+    assert not os.path.exists(os.path.join(out, "scales.npy"))
+    assert store.scales is None
+    imgs = ImageDirSource(root, size=32).get_batch(rel)
+    want = np.asarray(extract_features("vgg16", bb, jnp.asarray(imgs)))
+    names = [coco_feat_name(p) for p in rel]
+    np.testing.assert_allclose(store.get_batch(names, [1] * 3), want,
+                               rtol=1e-5, atol=2e-4)
+
+
+def test_stall_watchdog_lifecycle():
+    from rau_vqa_tpu.utils.rigcheck import StallWatchdog
+
+    w = StallWatchdog("test", timeout_s=60)
+    w.poke()
+    w.cancel()
+    assert w._timer is None
+    off = StallWatchdog("test", timeout_s=0)   # disabled: no timer armed
+    off.poke()
+    assert off._timer is None
+    off.cancel()
+
+
 def test_cli_precompute_vit_backbone(tmp_path, monkeypatch):
     """--backbone vit loads a timm-format state dict through
     _load_backbone_state and precomputes [grid*grid, dim] features."""
@@ -213,6 +248,12 @@ def test_cli_precompute_vit_backbone(tmp_path, monkeypatch):
     assert (store.spat, store.dim) == (cfg.seq, cfg.dim)
     feats = store.get_batch(list(store.index), [1] * 3)
     assert np.isfinite(feats).all()
+
+    with pytest.raises(SystemExit):   # vit input side is fixed by pos embed
+        cli.main(["precompute-features", "--image-root", root,
+                  "--out", str(tmp_path / "bad"), "--backbone", "vit",
+                  "--backbone-state", pth,
+                  "--size", "448", "--batch", "2", "--backend", "pil"])
 
 
 @pytest.mark.slow
