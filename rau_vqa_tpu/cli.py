@@ -437,6 +437,39 @@ def cmd_pack_features(args) -> int:
     return 0
 
 
+def cmd_prepro(args) -> int:
+    """Build data_prepro.{json,h5} from the official VQA v1 release JSONs —
+    the preprocessing the reference outsources to downloads
+    (data/get_vqa_prepro.sh; data/VQA_prepro/README.md credits
+    VT-vision-lab/VQA_LSTM_CNN).  With `precompute-features` this makes the
+    framework self-sufficient from raw VQA + COCO data."""
+    from rau_vqa_tpu.data.prepro import PreproConfig, build_prepro, join_split
+
+    train_sources = []
+    for split, qjson, ajson in args.train:
+        train_sources.append((split, join_split(qjson, ajson, split)))
+    test_split, test_q = args.test
+    test_entries = join_split(test_q, args.test_annotations, test_split)
+    if args.test_mc:
+        # overlay multiple_choices from the MC-task questions file
+        mc_entries = {e.question_id: e.multiple_choices
+                      for e in join_split(args.test_mc, None, test_split)}
+        for e in test_entries:
+            e.multiple_choices = mc_entries.get(e.question_id,
+                                                e.multiple_choices)
+    cfg = PreproConfig(num_answers=args.num_answers,
+                       max_length=args.max_length,
+                       word_threshold=args.word_threshold)
+    summary = build_prepro(train_sources, test_entries, args.out, cfg)
+    print(f"prepro -> {args.out}: {summary['n_train']} train questions "
+          f"({summary['n_dropped']} dropped outside the top-"
+          f"{summary['n_answers']} answers), {summary['n_test']} test, "
+          f"vocab {summary['vocab_size']}"
+          + (f", gt map {summary['gt_annotations']}"
+             if summary["gt_annotations"] else ""))
+    return 0
+
+
 def cmd_precompute_features(args) -> int:
     """Run a backbone over raw images on the device and write a packed
     feature shard — the reference's offline feature-extraction protocol
@@ -898,6 +931,34 @@ def main(argv=None) -> int:
     p_pack.add_argument("--dtype", default="float32",
                         choices=["float32", "float16", "int8"])
 
+    p_pp = sub.add_parser(
+        "prepro",
+        help="build data_prepro.{json,h5} from the official VQA v1 "
+             "release JSONs (the preprocessing the reference only "
+             "downloads)")
+    p_pp.add_argument("--train", nargs=3, action="append", required=True,
+                      metavar=("SPLIT", "QUESTIONS", "ANNOTATIONS"),
+                      help="a train source; repeat for mixed layouts "
+                           "(order defines the 1-based datatype index), "
+                           "e.g. --train train2014 q.json a.json "
+                           "--train val2014 q2.json a2.json")
+    p_pp.add_argument("--test", nargs=2, required=True,
+                      metavar=("SPLIT", "QUESTIONS"),
+                      help="the eval split, e.g. --test val2014 q.json")
+    p_pp.add_argument("--test-annotations", default=None,
+                      help="annotations for an annotated eval split; also "
+                           "emits the comprehend-format gt_annotations.json")
+    p_pp.add_argument("--test-mc", default=None,
+                      help="MultipleChoice questions json for the eval "
+                           "split (fills MC_ans_test)")
+    p_pp.add_argument("--out", required=True)
+    p_pp.add_argument("--num-answers", type=int, default=1000,
+                      help="top-N answer vocabulary (train rows outside it "
+                           "are dropped, like the published prepro)")
+    p_pp.add_argument("--max-length", type=int, default=26)
+    p_pp.add_argument("--word-threshold", type=int, default=0,
+                      help="words with count <= threshold become UNK")
+
     p_pre = sub.add_parser(
         "precompute-features",
         help="run a backbone over raw images on-device and write a packed "
@@ -1134,6 +1195,7 @@ def main(argv=None) -> int:
         return 0
     return {"train": cmd_train, "eval": cmd_eval,
             "pack-features": cmd_pack_features,
+            "prepro": cmd_prepro,
             "precompute-features": cmd_precompute_features,
             "fixture": cmd_fixture,
             "convert-snapshot": cmd_convert_snapshot,
