@@ -126,13 +126,22 @@ def _encode(token_lists: Sequence[List[str]], word_to_ix: Dict[str, int],
     return ques, lengths
 
 
+# question-split -> physical COCO image directory.  test-dev2015 is a
+# SUBSET of the test2015 image set: its questions reference files named
+# COCO_test2015_<012d>.jpg under test2015/ (there is no test-dev image
+# folder), and the released bundles' unique_img_test paths confirm it
+# (vqa_prepro_loader.lua:1311 documents 'test2015/COCO_test2015_...jpg').
+_IMG_SPLIT = {"test-dev2015": "test2015"}
+
+
 def _img_index(entries: Sequence[Entry]) -> Tuple[List[str], np.ndarray]:
     """(unique image rel paths, 1-based per-entry img_pos)."""
     unique: List[str] = []
     by_path: Dict[str, int] = {}
     pos = np.zeros((len(entries),), np.int64)
     for i, e in enumerate(entries):
-        path = f"{e.split}/{cocoimg_name(e.split, e.image_id)}"
+        img_split = _IMG_SPLIT.get(e.split, e.split)
+        path = f"{img_split}/{cocoimg_name(img_split, e.image_id)}"
         ix = by_path.get(path)
         if ix is None:
             unique.append(path)

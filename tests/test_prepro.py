@@ -145,6 +145,28 @@ def test_prepro_multi_source_datatypes(tmp_path):
     assert data.test_data.img_paths[0].startswith("test2015/COCO_test2015_")
 
 
+def test_prepro_testdev_images_live_in_test2015(tmp_path):
+    """test-dev2015 questions reference PHYSICAL test2015 images: the
+    unique_img_test paths must be 'test2015/COCO_test2015_<012d>.jpg'
+    (there is no test-dev image folder; the released bundles' paths at
+    vqa_prepro_loader.lua:1311 confirm the convention)."""
+    rs = np.random.RandomState(3)
+    tq, ta = _write_vqa_v1(str(tmp_path), "train2014", 12, rs=rs)
+    dq_path = str(tmp_path / "q_testdev.json")
+    with open(dq_path, "w") as f:
+        json.dump({"questions": [
+            {"question_id": 4000 + i, "image_id": 17 + i,
+             "question": "what is the dog?"} for i in range(3)]}, f)
+
+    out = str(tmp_path / "bundle_dev")
+    build_prepro([("train2014", join_split(tq, ta, "train2014"))],
+                 join_split(dq_path, None, "test-dev2015"), out)
+    with open(os.path.join(out, "data_prepro.json")) as f:
+        uniq = json.load(f)["unique_img_test"]
+    assert uniq == [f"test2015/COCO_test2015_{17 + i:012d}.jpg"
+                    for i in range(3)]
+
+
 def test_cli_prepro(tmp_path):
     from rau_vqa_tpu.cli import main
 
