@@ -437,6 +437,30 @@ def cmd_pack_features(args) -> int:
     return 0
 
 
+def cmd_vqa_accuracy(args) -> int:
+    """Score an OE submission with the official VQA metric locally — the
+    evaluation the reference outsources to the VQA server (it only writes
+    the result JSONs, Ours_SS/...lua:1171-1186)."""
+    from rau_vqa_tpu.eval.vqa_accuracy import evaluate_files
+
+    rep = evaluate_files(args.results, args.annotations,
+                         precision=args.precision)
+    print(f"overall: {rep['overall']:.{args.precision}f}  "
+          f"(n={rep['n']}, unannotated result rows: {rep['missing']})")
+    for section in ("per_answer_type", "per_question_type"):
+        rows = rep[section]
+        if section == "per_question_type" and not args.question_types:
+            continue
+        print(section + ":")
+        for k, v in rows.items():
+            print(f"  {k}: {v:.{args.precision}f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rep, f, indent=1)
+        print(f"report -> {args.out}")
+    return 0
+
+
 def cmd_prepro(args) -> int:
     """Build data_prepro.{json,h5} from the official VQA v1 release JSONs —
     the preprocessing the reference outsources to downloads
@@ -959,6 +983,22 @@ def main(argv=None) -> int:
     p_pp.add_argument("--word-threshold", type=int, default=0,
                       help="words with count <= threshold become UNK")
 
+    p_acc = sub.add_parser(
+        "vqa-accuracy",
+        help="score an OE submission with the official VQA metric "
+             "(10-rater consensus + official normalization) locally")
+    p_acc.add_argument("--results", required=True,
+                       help="OE result JSON (what train/eval write: "
+                            "[{question_id, answer}, ...])")
+    p_acc.add_argument("--annotations", required=True,
+                       help="official VQA v1 annotations JSON for the "
+                            "evaluated split")
+    p_acc.add_argument("--out", default=None,
+                       help="also write the full report JSON here")
+    p_acc.add_argument("--precision", type=int, default=2)
+    p_acc.add_argument("--question-types", action="store_true",
+                       help="print the (long) per-question-type table")
+
     p_pre = sub.add_parser(
         "precompute-features",
         help="run a backbone over raw images on-device and write a packed "
@@ -1196,6 +1236,7 @@ def main(argv=None) -> int:
     return {"train": cmd_train, "eval": cmd_eval,
             "pack-features": cmd_pack_features,
             "prepro": cmd_prepro,
+            "vqa-accuracy": cmd_vqa_accuracy,
             "precompute-features": cmd_precompute_features,
             "fixture": cmd_fixture,
             "convert-snapshot": cmd_convert_snapshot,
