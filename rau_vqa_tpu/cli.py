@@ -34,6 +34,10 @@ def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
                             "test-dev2015"])
     p.add_argument("--gt-anno", default=None,
                    help="comprehend GT json for fast validation")
+    p.add_argument("--official-anno", default=None,
+                   help="official VQA annotations JSON: eval sweeps also "
+                        "report the official 10-rater consensus accuracy "
+                        "(testOEaccOfficial)")
     p.add_argument("--batch-order", default=None,
                    choices=["shuffle", "inorder", "sort", "randsort"])
     p.add_argument("--test-batch-size", type=int, default=None,
@@ -184,6 +188,7 @@ def _apply_overrides(exp, args):
             t[field] = v
     for flag, field in [("vqa_dir", "vqa_dir"), ("split", "split"),
                         ("gt_anno", "gt_anno"),
+                        ("official_anno", "official_anno"),
                         ("batch_order", "batch_order"),
                         ("test_batch_size", "test_batch_size"),
                         ("valid_ratio", "valid_ratio")]:
@@ -332,6 +337,7 @@ def cmd_train(args) -> int:
         print(f"mesh: {dict(mesh.shape)}"
               + (" (TP weight sharding)" if exp.mesh.shard_params_tp else ""))
     trainer = Trainer(exp, data, source, workdir, gt_anno=gt, mesh=mesh,
+                      official_anno=exp.data.official_anno or None,
                       backbone=backbone, bb_params=bb_params)
     if args.init_from:
         trainer.restore(args.init_from)
@@ -387,6 +393,7 @@ def cmd_eval(args) -> int:
         gt = load_gt_annotations(exp.data.gt_anno)
 
     trainer = Trainer(exp, data, source, workdir, gt_anno=gt,
+                      official_anno=exp.data.official_anno or None,
                       backbone=backbone, bb_params=bb_params)
     trainer.restore(args.checkpoint)
     print(f"evaluating snapshot at epoch {trainer.epoch} "

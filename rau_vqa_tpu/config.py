@@ -144,6 +144,9 @@ class DataConfig:
     vqa_dir: str = "./data/VQA_prepro/data_train_val"
     feat_dir: str = "./data/vqa_VGG16Conv_pool5_448/feat_448x448"
     gt_anno: str = "./data/VQA_prepro/comprehend/comprehend_val2014_annotations.json"
+    official_anno: str = ""           # official VQA annotations JSON: if set,
+                                      # eval sweeps also report the official
+                                      # 10-rater consensus accuracy
     batch_order: str = "shuffle"      # [shuffle|inorder|sort|randsort] (reference :41)
     test_batch_size: int = 0          # 0 => derive from split like reference :85-95
     prefetch: bool = True

@@ -144,68 +144,102 @@ def _consensus_accuracy(res_ans: str, gt_rows: Sequence[Dict]) -> float:
     return sum(accs) / len(accs)
 
 
+class VQAAccuracyScorer:
+    """Digest official annotations ONCE, then score many submissions.
+
+    The trainer's eval sweep scores nHop+2 hop outputs per epoch over the
+    same split; per-question GT normalization is the dominant cost and
+    depends only on the annotations, so it happens here in the
+    constructor.  Result-answer normalization is memoized per raw string
+    (submissions draw from a ~1000-answer vocabulary)."""
+
+    def __init__(self, annotations: Dict, *, precision: int = 2):
+        ann_rows = annotations.get("annotations") \
+            if isinstance(annotations, dict) else annotations
+        self.precision = precision
+        # qid -> (gt rows with digested answers, normalize-res flag,
+        #         question_type, answer_type)
+        self._gt: Dict[int, Tuple[List[Dict], bool, str, str]] = {}
+        for a in ann_rows:
+            rows = [dict(r) for r in a["answers"]]
+            for r in rows:
+                r["answer"] = str(r["answer"]).replace("\n", " ") \
+                                              .replace("\t", " ").strip()
+            # the official convention: normalize only when raters disagree
+            disagree = len({r["answer"] for r in rows}) > 1
+            if disagree:
+                for r in rows:
+                    r["answer"] = process_digit_article(
+                        process_punctuation(r["answer"]))
+            self._gt[int(a["question_id"])] = (
+                rows, disagree, a.get("question_type", "unknown"),
+                a.get("answer_type", "unknown"))
+        self._norm_memo: Dict[str, str] = {}
+
+    def _norm_res(self, raw: str) -> str:
+        out = self._norm_memo.get(raw)
+        if out is None:
+            out = process_digit_article(process_punctuation(
+                raw.replace("\n", " ").replace("\t", " ").strip()))
+            self._norm_memo[raw] = out
+        return out
+
+    def score(self, results: Iterable[Dict], *,
+              question_ids: Optional[Sequence[int]] = None) -> Dict:
+        """Score submission rows: iterable of {'question_id', 'answer'}
+        (the OE submission format the framework writes).  Scores every
+        row whose qid is annotated — pass ``question_ids`` to restrict
+        (e.g. a val subset).  Returns {'overall', 'per_question_type',
+        'per_answer_type', 'n', 'missing'} with percentages rounded to
+        ``precision`` decimals; 'missing' counts result rows without
+        annotations (they are excluded, like scoring a partial split)."""
+        want = set(int(q) for q in question_ids) \
+            if question_ids is not None else None
+        per_q: List[float] = []
+        by_qtype: Dict[str, List[float]] = defaultdict(list)
+        by_atype: Dict[str, List[float]] = defaultdict(list)
+        missing = 0
+        for row in results:
+            qid = int(row["question_id"])
+            if want is not None and qid not in want:
+                continue
+            gt = self._gt.get(qid)
+            if gt is None:
+                missing += 1
+                continue
+            gt_rows, disagree, qtype, atype = gt
+            raw = str(row["answer"])
+            res_ans = self._norm_res(raw) if disagree else \
+                raw.replace("\n", " ").replace("\t", " ").strip()
+            acc = _consensus_accuracy(res_ans, gt_rows)
+            per_q.append(acc)
+            by_qtype[qtype].append(acc)
+            by_atype[atype].append(acc)
+
+        if not per_q:
+            raise ValueError("vqa accuracy: no scored questions (empty "
+                             "results, or no qid overlaps the annotations)")
+
+        def pct(vals: List[float]) -> float:
+            return round(100.0 * sum(vals) / len(vals), self.precision)
+
+        return {
+            "overall": pct(per_q),
+            "per_question_type": {k: pct(v)
+                                  for k, v in sorted(by_qtype.items())},
+            "per_answer_type": {k: pct(v)
+                                for k, v in sorted(by_atype.items())},
+            "n": len(per_q),
+            "missing": missing,
+        }
+
+
 def evaluate(results: Iterable[Dict], annotations: Dict, *,
              precision: int = 2,
              question_ids: Optional[Sequence[int]] = None) -> Dict:
-    """Score submission rows against official annotations.
-
-    ``results``: iterable of {'question_id', 'answer'} (the OE submission
-    format the framework writes).  ``annotations``: the official
-    annotations JSON object (or its 'annotations' list).  Scores every
-    result row whose qid is annotated — pass ``question_ids`` to restrict
-    (e.g. a val subset).  Returns {'overall', 'per_question_type',
-    'per_answer_type', 'n', 'missing'} with percentages rounded to
-    ``precision`` decimals; 'missing' counts result rows without
-    annotations (they are excluded, like scoring a partial split)."""
-    ann_rows = annotations.get("annotations") \
-        if isinstance(annotations, dict) else annotations
-    gts = {int(a["question_id"]): a for a in ann_rows}
-    want = set(int(q) for q in question_ids) if question_ids is not None \
-        else None
-
-    per_q: List[float] = []
-    by_qtype: Dict[str, List[float]] = defaultdict(list)
-    by_atype: Dict[str, List[float]] = defaultdict(list)
-    missing = 0
-    for row in results:
-        qid = int(row["question_id"])
-        if want is not None and qid not in want:
-            continue
-        gt = gts.get(qid)
-        if gt is None:
-            missing += 1
-            continue
-        gt_rows = [dict(r) for r in gt["answers"]]
-        for r in gt_rows:
-            r["answer"] = str(r["answer"]).replace("\n", " ") \
-                                          .replace("\t", " ").strip()
-        res_ans = str(row["answer"]).replace("\n", " ") \
-                                    .replace("\t", " ").strip()
-        # the official convention: normalize only when raters disagree
-        if len({r["answer"] for r in gt_rows}) > 1:
-            for r in gt_rows:
-                r["answer"] = process_digit_article(
-                    process_punctuation(r["answer"]))
-            res_ans = process_digit_article(process_punctuation(res_ans))
-        acc = _consensus_accuracy(res_ans, gt_rows)
-        per_q.append(acc)
-        by_qtype[gt.get("question_type", "unknown")].append(acc)
-        by_atype[gt.get("answer_type", "unknown")].append(acc)
-
-    if not per_q:
-        raise ValueError("vqa accuracy: no scored questions (empty "
-                         "results, or no qid overlaps the annotations)")
-
-    def pct(vals: List[float]) -> float:
-        return round(100.0 * sum(vals) / len(vals), precision)
-
-    return {
-        "overall": pct(per_q),
-        "per_question_type": {k: pct(v) for k, v in sorted(by_qtype.items())},
-        "per_answer_type": {k: pct(v) for k, v in sorted(by_atype.items())},
-        "n": len(per_q),
-        "missing": missing,
-    }
+    """One-shot convenience wrapper: see :class:`VQAAccuracyScorer`."""
+    return VQAAccuracyScorer(annotations, precision=precision).score(
+        results, question_ids=question_ids)
 
 
 def evaluate_files(results_json: str, annotations_json: str, *,

@@ -109,6 +109,7 @@ class Trainer:
     def __init__(self, exp: ExperimentConfig, data: VQAData,
                  source: FeatureSource, workdir: str, *,
                  gt_anno: Optional[Dict[int, str]] = None,
+                 official_anno: Optional[str] = None,
                  jit_step=None, mesh=None,
                  backbone: Optional[str] = None, bb_params=None):
         # model dims come from the dataset (reference reads vocab/answer size
@@ -122,6 +123,10 @@ class Trainer:
         self.source = source
         self.workdir = workdir
         self.gt_anno = gt_anno
+        # official VQA metric (10-rater consensus): annotations path,
+        # digested lazily into a scorer at the first eval sweep
+        self.official_anno = official_anno
+        self._official_scorer = None
         self.ckpt_dir = os.path.join(workdir, "snapshot")
         self.logger = MetricsLogger(os.path.join(workdir, "training_log"))
 
@@ -616,12 +621,34 @@ class Trainer:
             if mc_strs is not None:
                 result["testMCacc"] = [float((mc_strs[h] == gt).mean())
                                        for h in range(H2)]
-            if jax.process_index() == 0:
-                self.logger.log(
-                    {"epoch": epoch_f,
-                     **per_hop_record({k: v for k, v in result.items()
-                                       if k != "epoch"})},
-                    kind="test")
+        if self.official_anno:
+            # the official 10-rater consensus metric (the eval server's),
+            # computed locally per hop — annotations digested once
+            if self._official_scorer is None:
+                import json
+
+                from rau_vqa_tpu.eval.vqa_accuracy import VQAAccuracyScorer
+                with open(self.official_anno) as f:
+                    # precision=6: the metric logs as a fraction next to
+                    # testOEacc; the CLI report's 2-decimal rounding would
+                    # be visible noise at this scale
+                    self._official_scorer = VQAAccuracyScorer(
+                        json.load(f), precision=6)
+            sc = self._official_scorer
+            # stored as fractions like testOEacc (CLI `vqa-accuracy`
+            # prints the percentage report with type breakdowns)
+            result["testOEaccOfficial"] = [
+                sc.score(rows_oe[h])["overall"] / 100.0 for h in range(H2)]
+            if mc_strs is not None:
+                result["testMCaccOfficial"] = [
+                    sc.score(rows_mc[h])["overall"] / 100.0
+                    for h in range(H2)]
+        if len(result) > 1 and jax.process_index() == 0:
+            self.logger.log(
+                {"epoch": epoch_f,
+                 **per_hop_record({k: v for k, v in result.items()
+                                   if k != "epoch"})},
+                kind="test")
         if return_rows:
             # the released-checkpoint parity harness diffs these against the
             # result JSONs inside a reference tarball (eval/released.py)

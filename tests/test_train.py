@@ -282,6 +282,36 @@ def test_train_buckets_epoch_parity(fixture_root, tmp_path):
         a.state.params, b.state.params)
 
 
+def test_trainer_official_accuracy(fixture_root, tmp_path):
+    """With --official-anno, the eval sweep also reports the official
+    10-rater consensus metric.  When all 10 raters unanimously give the
+    comprehend GT answer, the official metric degenerates to exact match
+    (unanimity skips normalization; 9 remaining matches cap at 1.0), so
+    testOEaccOfficial must equal testOEacc exactly."""
+    import json
+
+    trainer = make_trainer(fixture_root, str(tmp_path / "runoff"))
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    ann_path = str(tmp_path / "official.json")
+    with open(ann_path, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": qid, "question_type": "what",
+             "answer_type": "other", "multiple_choice_answer": ans,
+             "answers": [{"answer": ans, "answer_confidence": "yes",
+                          "answer_id": i + 1} for i in range(10)]}
+            for qid, ans in gt.items()]}, f)
+    trainer.official_anno = ann_path
+    result = trainer.evaluate(write_submissions=False)
+    h2 = trainer.mcfg.n_hops + 2
+    assert len(result["testOEaccOfficial"]) == h2
+    assert result["testOEaccOfficial"] == pytest.approx(result["testOEacc"])
+    assert result["testMCaccOfficial"] == pytest.approx(result["testMCacc"])
+    # the official record reached the test log alongside the fast-val one
+    rows = trainer.logger.read(kind="test")
+    assert any("testOEaccOfficial_01" in r for r in rows)
+
+
 @pytest.mark.slow
 def test_trainer_learns_fixture(fixture_root, tmp_path):
     trainer = make_trainer(fixture_root, str(tmp_path / "run"))
