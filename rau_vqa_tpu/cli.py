@@ -799,6 +799,7 @@ def cmd_verify_released(args) -> int:
 
     report = verify_released(root, exp, data, source, workdir,
                              epoch=args.epoch, gt_anno=gt,
+                             official_anno=exp.data.official_anno or None,
                              snapshot=(snap_epoch, snap_path, snap))
     out_path = os.path.join(workdir, "verify_released_report.json")
     with open(out_path, "w") as f:
@@ -824,6 +825,10 @@ def cmd_verify_released(args) -> int:
                          f"{d['agree'] * 100:.3f}% ({d['n_common']} qs"
                          + (", QID SET MISMATCH" if d["qid_mismatch"]
                             else "") + ")")
+                if "official_ours" in d:
+                    line += (f" official {d['official_ours'] * 100:.2f}"
+                             f" vs released "
+                             f"{d['official_released'] * 100:.2f}")
         print(line)
     print(f"min agreement {report['min_agree'] * 100:.3f}% "
           f"(threshold {args.min_agree * 100:.1f}%); report: {out_path}")

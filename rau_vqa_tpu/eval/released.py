@@ -133,6 +133,7 @@ def adopt_snapshot_opt(exp, snap_opt: Dict) -> Any:
 def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
                     epoch: Optional[float] = None,
                     gt_anno: Optional[Dict[int, str]] = None,
+                    official_anno: Optional[str] = None,
                     snapshot: Optional[Tuple[float, str, Dict]] = None
                     ) -> Dict[str, Any]:
     """Run the full parity pipeline against an extracted released tarball.
@@ -140,7 +141,11 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
     Returns a report: per-hop OE/MC agreement fractions vs the tarball's
     own result JSONs, plus ``min_agree`` over every hop compared.  A layout
     size mismatch produces ``{"error": "layout", "report": ...}`` with the
-    layout_diag segmentation instead of raising.
+    layout_diag segmentation instead of raising.  With ``official_anno``
+    (official VQA annotations JSON for the split), every hop additionally
+    gets BOTH answer sets scored with the official 10-rater metric —
+    'ours' vs 'released' accuracy side by side, the paper's "within 0.1%"
+    claim as numbers.
     """
     import jax
 
@@ -157,7 +162,8 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
     snap_opt = snap.get("opt", {}) if isinstance(snap, dict) else {}
     exp = adopt_snapshot_opt(exp, snap_opt)
 
-    trainer = Trainer(exp, data, source, workdir, gt_anno=gt_anno)
+    trainer = Trainer(exp, data, source, workdir, gt_anno=gt_anno,
+                      official_anno=official_anno)
     mcfg = trainer.mcfg
 
     flats = tc.flats_from_snapshot(snap)
@@ -193,6 +199,15 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
     }
     if "testOEacc" in result:
         report["testOEacc"] = result["testOEacc"]
+    if "testOEaccOfficial" in result:
+        report["testOEaccOfficial"] = result["testOEaccOfficial"]
+    scorer = trainer._official_scorer   # built by evaluate() if requested
+
+    def _official(rows_dict: Dict[int, str]) -> float:
+        rep = scorer.score([{"question_id": q, "answer": a}
+                            for q, a in rows_dict.items()])
+        return rep["overall"] / 100.0
+
     agrees = []
     for h in range(mcfg.n_hops + 2):
         hop_report = {}
@@ -201,12 +216,24 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
         if released_oe is not None:
             hop_report["oe"] = _diff_rows(result["rows_oe"][h], released_oe)
             agrees.append(hop_report["oe"]["agree"])
+            if scorer is not None:
+                # the paper claim as numbers: our accuracy vs the
+                # tarball's own answers under the official metric
+                hop_report["oe"]["official_ours"] = \
+                    result["testOEaccOfficial"][h]
+                hop_report["oe"]["official_released"] = \
+                    _official(released_oe)
         released_mc = load_result_rows(extracted_root, "MultipleChoice",
                                        h + 1, snap_epoch,
                                        split=exp.data.split)
         if released_mc is not None and result["rows_mc"] is not None:
             hop_report["mc"] = _diff_rows(result["rows_mc"][h], released_mc)
             agrees.append(hop_report["mc"]["agree"])
+            if scorer is not None:
+                hop_report["mc"]["official_ours"] = \
+                    result["testMCaccOfficial"][h]
+                hop_report["mc"]["official_released"] = \
+                    _official(released_mc)
         if hop_report:
             report["hops"][h + 1] = hop_report
     if not agrees:

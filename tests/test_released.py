@@ -115,6 +115,19 @@ def test_verify_released_cli_end_to_end(released, tmp_path):
     model_json = str(tmp_path / "model.json")
     with open(model_json, "w") as f:
         json.dump(dataclasses.asdict(make_exp().model), f)
+    # official annotations (unanimous raters = the comprehend GT): the
+    # harness then scores ours AND the tarball's rows with the official
+    # 10-rater metric
+    gt = load_gt_annotations(os.path.join(released["vqa_dir"],
+                                          "gt_annotations.json"))
+    official_json = str(tmp_path / "official.json")
+    with open(official_json, "w") as f:
+        json.dump({"annotations": [
+            {"question_id": qid, "question_type": "what",
+             "answer_type": "other", "multiple_choice_answer": ans,
+             "answers": [{"answer": ans, "answer_confidence": "yes",
+                          "answer_id": i + 1} for i in range(10)]}
+            for qid, ans in gt.items()]}, f)
     workdir = str(tmp_path / "verify")
     rc = main([
         "verify-released", "--tarball", released["tarball"],
@@ -124,6 +137,7 @@ def test_verify_released_cli_end_to_end(released, tmp_path):
         "--split", "val2014", "--test-batch-size", "8",
         "--save-dir", workdir,
         "--model-json", model_json,
+        "--official-anno", official_json,
     ])
     assert rc == 0
     with open(os.path.join(workdir, "verify_released_report.json")) as f:
@@ -134,6 +148,12 @@ def test_verify_released_cli_end_to_end(released, tmp_path):
     assert len(report["hops"]) == 4
     assert all("oe" in h and "mc" in h for h in report["hops"].values())
     assert not any(h["oe"]["qid_mismatch"] for h in report["hops"].values())
+    # identical weights -> identical rows -> the official accuracies agree
+    # exactly, for both tasks, at every hop
+    for h in report["hops"].values():
+        for task in ("oe", "mc"):
+            assert h[task]["official_ours"] == \
+                pytest.approx(h[task]["official_released"])
 
 
 def _verify_with(released, workdir, exp):
