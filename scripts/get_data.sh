@@ -5,7 +5,7 @@
 # release (data/get_vqa_prepro.sh, data/get_vgg16_pool5_448.sh,
 # data/get_resnet_101_448.sh, experiments/*/download_trained_model.sh).
 #
-# Usage:  scripts/get_data.sh [prepro|vgg|resnet|snapshots|pack|coco|all]
+# Usage:  scripts/get_data.sh [prepro|vgg|resnet|snapshots|pack|coco|official|all]
 # (`coco` fetches the raw COCO images for precompute-features/--image-root
 # runs; not part of `all` since the feature tarballs already cover the
 # reference protocol.)
@@ -53,6 +53,20 @@ do_snapshots() {
   fetch_snapshot Ours_ResNet save_result_vqa_resnet101_448_test-dev2015.tar.gz || true
 }
 
+do_official() {
+  # official VQA v1 release JSONs (visualqa.org, "v1 Real Images"):
+  # the inputs to `rau-vqa prepro` (build the bundle WITHOUT the released
+  # prepro downloads) and `rau-vqa vqa-accuracy` / --official-anno
+  # (score submissions locally with the eval server's metric)
+  mkdir -p vqa_official
+  (cd vqa_official &&
+    fetch_zip https://s3.amazonaws.com/cvmlp/vqa/mscoco/vqa/Annotations_Train_mscoco.zip &&
+    fetch_zip https://s3.amazonaws.com/cvmlp/vqa/mscoco/vqa/Annotations_Val_mscoco.zip &&
+    fetch_zip https://s3.amazonaws.com/cvmlp/vqa/mscoco/vqa/Questions_Train_mscoco.zip &&
+    fetch_zip https://s3.amazonaws.com/cvmlp/vqa/mscoco/vqa/Questions_Val_mscoco.zip &&
+    fetch_zip https://s3.amazonaws.com/cvmlp/vqa/mscoco/vqa/Questions_Test_mscoco.zip)
+}
+
 do_coco() {
   # raw COCO images (VQA v1 uses train2014/val2014/test2015) — the input
   # to `rau-vqa precompute-features` / `--image-root` from-pixels runs;
@@ -79,6 +93,7 @@ case "${1:-all}" in
   snapshots) do_snapshots ;;
   pack)      do_pack ;;
   coco)      do_coco ;;
+  official)  do_official ;;
   all)       do_prepro; do_vgg; do_resnet; do_snapshots; do_pack ;;
-  *) echo "usage: $0 [prepro|vgg|resnet|snapshots|pack|coco|all]" >&2; exit 1 ;;
+  *) echo "usage: $0 [prepro|vgg|resnet|snapshots|pack|coco|official|all]" >&2; exit 1 ;;
 esac

@@ -9,11 +9,23 @@
 # with the server's exact naming.
 #
 # Usage:  scripts/repro_table1.sh [ss|ms|full|resnet|all]
+#
+# SPLIT=val2014 switches to the annotated val split and — when the
+# official VQA v1 annotations are present (scripts/get_data.sh official) —
+# scores every eval sweep locally with the official 10-rater metric
+# (testOEaccOfficial), no eval-server submission needed.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 TARGET="${1:-all}"
 EPOCHS="${EPOCHS:-40}"
+SPLIT="${SPLIT:-test-dev2015}"
+if [ "$SPLIT" = "val2014" ]; then
+  VQA_DIR=data/VQA_prepro/data_train_val
+else
+  VQA_DIR=data/VQA_prepro/data_train-val_test-dev
+fi
+OFFICIAL_ANNO=data/vqa_official/mscoco_val2014_annotations.json
 
 ensure_data() {
   [ -d data/VQA_prepro ] || scripts/get_data.sh prepro
@@ -30,10 +42,14 @@ ensure_resnet_data() {
 }
 
 train_one() {  # preset feat_dir
+  local extra=()
+  if [ "$SPLIT" = "val2014" ] && [ -f "$OFFICIAL_ANNO" ]; then
+    extra+=(--official-anno "$OFFICIAL_ANNO")
+  fi
   python -m rau_vqa_tpu.cli train --preset "$1" \
-      --vqa-dir data/VQA_prepro/data_train-val_test-dev \
+      --vqa-dir "$VQA_DIR" --split "$SPLIT" \
       --feat-dir "$2" --epochs "$EPOCHS" --bf16 \
-      --train-buckets 8,16 --eval-buckets 8,16
+      --train-buckets 8,16 --eval-buckets 8,16 "${extra[@]}"
 }
 
 case "$TARGET" in
