@@ -65,7 +65,13 @@ def render_curves(log_dir: str, out_dir: str, n_hops: int) -> List[str]:
         plot(f"accuracy_curve_hop{hh}.png",
              {"train": _collect(train_rows, f"trainacc_{hh}"),
               "test OE": _collect(test_rows, f"testOEacc_{hh}"),
-              "test MC": _collect(test_rows, f"testMCacc_{hh}")},
+              "test MC": _collect(test_rows, f"testMCacc_{hh}"),
+              # present only under --official-anno (empty series are
+              # skipped by plot())
+              "test OE official": _collect(test_rows,
+                                           f"testOEaccOfficial_{hh}"),
+              "test MC official": _collect(test_rows,
+                                           f"testMCaccOfficial_{hh}")},
              f"train / test accuracy [hop {hh}]", "accuracy")
         plot(f"loss_curve_hop{hh}.png",
              {"train": _collect(train_rows, f"trainloss_{hh}")},
