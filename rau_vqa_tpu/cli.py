@@ -337,7 +337,7 @@ def cmd_train(args) -> int:
         print(f"mesh: {dict(mesh.shape)}"
               + (" (TP weight sharding)" if exp.mesh.shard_params_tp else ""))
     trainer = Trainer(exp, data, source, workdir, gt_anno=gt, mesh=mesh,
-                      official_anno=exp.data.official_anno or None,
+                      official_anno=_checked_official_anno(exp),
                       backbone=backbone, bb_params=bb_params)
     if args.init_from:
         trainer.restore(args.init_from)
@@ -393,7 +393,7 @@ def cmd_eval(args) -> int:
         gt = load_gt_annotations(exp.data.gt_anno)
 
     trainer = Trainer(exp, data, source, workdir, gt_anno=gt,
-                      official_anno=exp.data.official_anno or None,
+                      official_anno=_checked_official_anno(exp),
                       backbone=backbone, bb_params=bb_params)
     trainer.restore(args.checkpoint)
     print(f"evaluating snapshot at epoch {trainer.epoch} "
@@ -442,6 +442,16 @@ def cmd_pack_features(args) -> int:
                              dtype=args.dtype)
     print(f"packed {len(store.index)} images -> {args.out}")
     return 0
+
+
+def _checked_official_anno(exp) -> "str | None":
+    """Fail FAST on a bad --official-anno path: the trainer digests the
+    file lazily at the first eval sweep, which would otherwise cost a full
+    epoch of training before the typo surfaces."""
+    p = exp.data.official_anno
+    if p and not os.path.exists(p):
+        raise SystemExit(f"--official-anno: {p} does not exist")
+    return p or None
 
 
 def cmd_vqa_accuracy(args) -> int:
@@ -799,7 +809,7 @@ def cmd_verify_released(args) -> int:
 
     report = verify_released(root, exp, data, source, workdir,
                              epoch=args.epoch, gt_anno=gt,
-                             official_anno=exp.data.official_anno or None,
+                             official_anno=_checked_official_anno(exp),
                              snapshot=(snap_epoch, snap_path, snap))
     out_path = os.path.join(workdir, "verify_released_report.json")
     with open(out_path, "w") as f:

@@ -59,7 +59,10 @@ _CONTRACTIONS = {
     "hasnt": "hasn't", "havent": "haven't", "hed": "he'd",
     "hed've": "he'd've", "he'dve": "he'd've", "hes": "he's",
     "howd": "how'd", "howll": "how'll", "hows": "how's",
-    "id've": "i'd've", "i'dve": "i'd've", "im": "i'm", "ive": "i've",
+    # NOTE: the official table spells the first-person entries capitalized
+    # ("Im", "Ive", "Id've", "I'dve") — dead keys that can never fire after
+    # its own lowercasing.  Matching observable behavior means NOT mapping
+    # "im"/"ive"/"id've"/"i'dve", so they are deliberately absent here.
     "isnt": "isn't", "itd": "it'd", "itd've": "it'd've",
     "it'dve": "it'd've", "itll": "it'll", "let's": "let's",
     "maam": "ma'am", "mightnt": "mightn't", "mightnt've": "mightn't've",
@@ -154,25 +157,35 @@ class VQAAccuracyScorer:
     (submissions draw from a ~1000-answer vocabulary)."""
 
     def __init__(self, annotations: Dict, *, precision: int = 2):
+        from collections import Counter
+
         ann_rows = annotations.get("annotations") \
             if isinstance(annotations, dict) else annotations
         self.precision = precision
-        # qid -> (gt rows with digested answers, normalize-res flag,
-        #         question_type, answer_type)
-        self._gt: Dict[int, Tuple[List[Dict], bool, str, str]] = {}
+        # qid -> (digested answer strings, their Counter, duplicate full
+        #         rows (or None), normalize-res flag, qtype, atype)
+        self._gt: Dict[int, Tuple[List[str], Dict[str, int],
+                                  Optional[List[Dict]], bool, str, str]] = {}
         for a in ann_rows:
             rows = [dict(r) for r in a["answers"]]
-            for r in rows:
-                r["answer"] = str(r["answer"]).replace("\n", " ") \
-                                              .replace("\t", " ").strip()
-            # the official convention: normalize only when raters disagree
-            disagree = len({r["answer"] for r in rows}) > 1
+            # the official convention: normalize only when raters
+            # DISAGREE, gated on the RAW rater strings (the official code
+            # never whitespace-strips GT answers — only the submission
+            # answer gets the \n/\t flatten)
+            disagree = len({str(r["answer"]) for r in rows}) > 1
             if disagree:
                 for r in rows:
                     r["answer"] = process_digit_article(
-                        process_punctuation(r["answer"]))
+                        process_punctuation(str(r["answer"])))
+            answers = [str(r["answer"]) for r in rows]
+            # leave-one-out removes rows by full-dict equality; keep the
+            # exact-loop fallback only when duplicate FULL rows exist
+            # (real annotations carry distinct answer_ids, so the O(n)
+            # Counter path applies)
+            has_dup = any(rows.count(r) > 1 for r in rows)
             self._gt[int(a["question_id"])] = (
-                rows, disagree, a.get("question_type", "unknown"),
+                answers, Counter(answers), rows if has_dup else None,
+                disagree, a.get("question_type", "unknown"),
                 a.get("answer_type", "unknown"))
         self._norm_memo: Dict[str, str] = {}
 
@@ -207,11 +220,19 @@ class VQAAccuracyScorer:
             if gt is None:
                 missing += 1
                 continue
-            gt_rows, disagree, qtype, atype = gt
+            answers, cnt, dup_rows, disagree, qtype, atype = gt
             raw = str(row["answer"])
             res_ans = self._norm_res(raw) if disagree else \
                 raw.replace("\n", " ").replace("\t", " ").strip()
-            acc = _consensus_accuracy(res_ans, gt_rows)
+            if dup_rows is not None:
+                acc = _consensus_accuracy(res_ans, dup_rows)
+            else:
+                # O(raters): held-out row i leaves cnt[res] matches minus
+                # itself when it matches
+                c = cnt.get(res_ans, 0)
+                n = len(answers)
+                acc = sum(min(1.0, (c - (a == res_ans)) / 3.0)
+                          for a in answers) / n
             per_q.append(acc)
             by_qtype[qtype].append(acc)
             by_atype[atype].append(acc)

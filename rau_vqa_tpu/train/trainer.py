@@ -127,6 +127,7 @@ class Trainer:
         # digested lazily into a scorer at the first eval sweep
         self.official_anno = official_anno
         self._official_scorer = None
+        self._warned_partial_official = False
         self.ckpt_dir = os.path.join(workdir, "snapshot")
         self.logger = MetricsLogger(os.path.join(workdir, "training_log"))
 
@@ -637,8 +638,17 @@ class Trainer:
             sc = self._official_scorer
             # stored as fractions like testOEacc (CLI `vqa-accuracy`
             # prints the percentage report with type breakdowns)
-            result["testOEaccOfficial"] = [
-                sc.score(rows_oe[h])["overall"] / 100.0 for h in range(H2)]
+            oe_reps = [sc.score(rows_oe[h]) for h in range(H2)]
+            result["testOEaccOfficial"] = [r["overall"] / 100.0
+                                           for r in oe_reps]
+            if oe_reps[0]["missing"] and not self._warned_partial_official:
+                self._warned_partial_official = True
+                import warnings
+                warnings.warn(
+                    f"official annotations cover only {oe_reps[0]['n']} of "
+                    f"{oe_reps[0]['n'] + oe_reps[0]['missing']} evaluated "
+                    f"questions — testOEaccOfficial averages that subset, "
+                    f"NOT the split testOEacc covers", stacklevel=2)
             if mc_strs is not None:
                 result["testMCaccOfficial"] = [
                     sc.score(rows_mc[h])["overall"] / 100.0

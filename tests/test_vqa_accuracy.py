@@ -74,6 +74,41 @@ def test_unanimous_skips_normalization():
     assert rep["overall"] > 0.0
 
 
+def test_duplicate_full_rows_follow_official_row_equality():
+    """10 IDENTICAL rater rows (same answer_id): the official leave-one-out
+    removes rows by full-dict equality, so every comparison set is empty
+    and even a perfect match scores 0 — the exact-loop fallback must
+    reproduce that, not the distinct-row fast path."""
+    ann = {"annotations": [{
+        "question_id": 7, "question_type": "q", "answer_type": "other",
+        "multiple_choice_answer": "yes",
+        "answers": [{"answer": "yes", "answer_confidence": "yes",
+                     "answer_id": 1}] * 10}]}
+    assert evaluate([{"question_id": 7, "answer": "yes"}],
+                    ann)["overall"] == 0.0
+
+
+def test_fast_path_matches_exact_loop():
+    """With distinct rater rows (real annotations: unique answer_ids) the
+    Counter fast path must equal the official exact loop."""
+    import random
+
+    from rau_vqa_tpu.eval.vqa_accuracy import _consensus_accuracy
+
+    rng = random.Random(0)
+    pool = ["yes", "no", "2", "red"]
+    for trial in range(20):
+        answers = [rng.choice(pool) for _ in range(10)]
+        rows = [{"answer": a, "answer_id": i + 1}
+                for i, a in enumerate(answers)]
+        res = rng.choice(pool)
+        exact = _consensus_accuracy(res, rows)
+        got = evaluate([{"question_id": 1, "answer": res}],
+                       {"annotations": [_ann(1, answers)]},
+                       precision=9)["overall"] / 100.0
+        assert got == pytest.approx(exact), (answers, res)
+
+
 def test_report_shape_missing_and_types():
     ann = {"annotations": [
         _ann(1, ["yes"] * 10, qtype="is the", atype="yes/no"),
