@@ -875,7 +875,7 @@ def cmd_ask(args) -> int:
     tree, _ = load_checkpoint(args.checkpoint, state._asdict())
     params = tree["params"]
 
-    tokens, length = data.question_to_tokens(args.question)
+    tokens, length = data.question_to_tokens(args.question, normalize=True)
     source = _make_feature_source([exp.data.feat_dir], mcfg)
     feats = source.get_batch([args.feat_name], [1])
 

@@ -144,6 +144,16 @@ class PackedFeatureStore(FeatureSource):
         scales_path = os.path.join(shard_dir, "scales.npy")
         if os.path.exists(scales_path):
             self.scales = np.load(scales_path)
+        if raw_int8 and self.scales is None:
+            # the user asked for 4x-smaller host->device transfers; on this
+            # tunnel-bound rig silently shipping full-width floats instead
+            # would be a large invisible perf regression
+            import warnings
+            warnings.warn(
+                f"raw_int8 requested but {shard_dir} has no scales.npy "
+                f"(dtype {self._store_dtype}): shipping "
+                f"{self._store_dtype} features instead — repack with "
+                f"--dtype int8 to get int8 shipping", stacklevel=2)
         self.raw_int8 = bool(raw_int8 and self.scales is not None)
 
     def get_batch(self, names: Sequence[str], datatypes: Sequence[int]):

@@ -105,6 +105,10 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
     tr = make_split(spec.n_train, train_imgs, 1000)
     te = make_split(spec.n_test, test_imgs, 9000)
 
+    if spec.n_mc - 1 > spec.n_answers:
+        raise ValueError(
+            f"FixtureSpec n_mc={spec.n_mc} needs {spec.n_mc - 1} distinct "
+            f"candidate answers but only n_answers={spec.n_answers} exist")
     mc = np.zeros((spec.n_test, spec.n_mc), np.int32)
     for k in range(spec.n_test):
         cands = rng.permutation(spec.n_answers)[:spec.n_mc - 1]

@@ -241,14 +241,25 @@ class VQAData:
 
     # ---- token/string helpers (vqa_prepro_loader.lua:154-218) ----
 
-    def question_to_tokens(self, question: str):
-        """Whitespace tokenization against the vocab, unknowns -> 'UNK'
+    def question_to_tokens(self, question: str, *, normalize: bool = False):
+        """Tokenization against the vocab, unknowns -> 'UNK'
         (vqa_prepro_loader.lua:167-180).  A vocab without 'UNK' fails
         loudly on the first unknown word — the reference nil-indexes in
         the same situation; mapping unknowns to ZEROPAD would silently
-        feed padding embeddings mid-question."""
+        feed padding embeddings mid-question.
+
+        ``normalize=False`` is the reference-exact raw whitespace split.
+        ``normalize=True`` applies the lowercase + punctuation-splitting
+        convention every bundle's vocab was BUILT with (data/prepro.py
+        tokenize) — without it, serve/ask-time questions like 'What color
+        is the cat?' hit UNK on 'What' and 'cat?' and the model sees a
+        question distribution unlike training."""
         toks = np.zeros((self.seq_len,), np.int32)
-        words = question.split()
+        if normalize:
+            from rau_vqa_tpu.data.prepro import tokenize
+            words = tokenize(question)
+        else:
+            words = question.split()
         unk = self.vocab_map.get("UNK")
         n = min(len(words), self.seq_len)
         for i, w in enumerate(words[:n]):
@@ -322,6 +333,19 @@ def load_vqa_data(vqa_dir: str, batch_size: int, *, split: str = "val2014",
 
     train_imgs = info["unique_img_train"]
     test_imgs = info["unique_img_test"]
+
+    # img_pos is 1-BASED into the unique image lists (schema :1322); a
+    # 0 would silently negative-wrap to the LAST image and pair every
+    # question with the wrong features — guard like features.py does for
+    # the analogous 1-based datatype contract
+    for name, pos, imgs in (("img_pos_train", pos_train, train_imgs),
+                            ("img_pos_test", pos_test, test_imgs)):
+        if pos.size and not (1 <= pos.min() and pos.max() <= len(imgs)):
+            raise ValueError(
+                f"{name} must be 1-based into the unique image list "
+                f"(len {len(imgs)}), got range "
+                f"[{int(pos.min())}, {int(pos.max())}] — a 0-based "
+                f"bundle would silently mis-pair every question's image")
 
     train_fields = dict(
         questions=ques_train, lengths=len_train,

@@ -83,32 +83,42 @@ def load_library(build: bool = True) -> ctypes.CDLL:
             msg = _build_error_message(e)
             _lib_error = RuntimeError(msg)
             raise NativeUnavailable(msg) from e
-    lib.fl_open.restype = ctypes.c_void_p
-    lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
-                            ctypes.c_uint64, ctypes.c_uint64]
-    lib.fl_close.argtypes = [ctypes.c_void_p]
-    lib.fl_gather.argtypes = [ctypes.c_void_p,
-                              ctypes.POINTER(ctypes.c_int64),
-                              ctypes.c_uint64, ctypes.c_char_p]
-    lib.fl_ring_create.restype = ctypes.c_void_p
-    lib.fl_ring_create.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
-                                   ctypes.c_uint64, ctypes.c_int]
-    lib.fl_ring_submit.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                   ctypes.POINTER(ctypes.c_int64),
-                                   ctypes.c_uint64]
-    lib.fl_ring_wait.restype = ctypes.POINTER(ctypes.c_uint8)
-    lib.fl_ring_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-    lib.fl_ring_destroy.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return lib
+        # prototypes + the global publish stay INSIDE the lock: releasing
+        # before `_lib = lib` would let a second thread dlopen a second
+        # CDLL and configure prototypes concurrently (load_image_library
+        # already follows this discipline)
+        lib.fl_open.restype = ctypes.c_void_p
+        lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                ctypes.c_uint64, ctypes.c_uint64]
+        lib.fl_close.argtypes = [ctypes.c_void_p]
+        lib.fl_gather.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.c_uint64, ctypes.c_char_p]
+        lib.fl_ring_create.restype = ctypes.c_void_p
+        lib.fl_ring_create.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                       ctypes.c_uint64, ctypes.c_int]
+        lib.fl_ring_submit.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.c_uint64]
+        lib.fl_ring_wait.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.fl_ring_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fl_ring_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
 
 
 def _npy_data_layout(path: str):
-    """(data_offset, shape, dtype) of a .npy file."""
+    """(data_offset, shape, dtype) of a .npy file — public numpy.lib.format
+    API only (the private _read_array_header can move between releases)."""
     with open(path, "rb") as f:
         version = np.lib.format.read_magic(f)
-        np.lib.format._check_version(version)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if version == (1, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+        elif version == (2, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+        else:
+            raise ValueError(f"{path}: unsupported .npy format version "
+                             f"{version}")
         if fortran:
             raise ValueError(f"{path}: fortran-order npy not supported")
         return f.tell(), shape, dtype

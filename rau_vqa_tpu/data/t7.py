@@ -62,6 +62,10 @@ class _Reader:
     def __init__(self, f: BinaryIO):
         self.f = f
         self.memo: Dict[int, Any] = {}
+        # table idxs re-referenced WHILE still being read (cycles): those
+        # keep their dict identity instead of converting to a list, so
+        # every reference stays the same object (never silently stale)
+        self._reffed: set = set()
 
     def _read(self, fmt: str):
         size = struct.calcsize(fmt)
@@ -104,6 +108,7 @@ class _Reader:
     def _read_table(self) -> Any:
         idx = self.read_int()
         if idx in self.memo:
+            self._reffed.add(idx)
             return self.memo[idx]
         out: Dict[Any, Any] = {}
         self.memo[idx] = out
@@ -112,9 +117,13 @@ class _Reader:
             k = self.read_object()
             v = self.read_object()
             out[k] = v
-        # torch tables with consecutive 1..n numeric keys are Lua arrays
+        # torch tables with consecutive 1..n numeric keys are Lua arrays —
+        # but a table referenced from within itself (cycle) keeps its dict
+        # identity: rebinding the memo to a new list would leave the inner
+        # references pointing at a stale object
         keys = list(out.keys())
-        if keys and all(isinstance(k, float) and k.is_integer() for k in keys):
+        if idx not in self._reffed and keys and all(
+                isinstance(k, float) and k.is_integer() for k in keys):
             ints = sorted(int(k) for k in keys)
             if ints == list(range(1, len(ints) + 1)):
                 arr = [out[float(i)] for i in ints]
@@ -225,6 +234,13 @@ class _Writer:
         }.get(arr.dtype)
         if tensor_cls is None:
             raise TypeError(f"no torch tensor class for dtype {arr.dtype}")
+        if arr.ndim == 0:
+            # Torch7 has no scalar tensor: ndim==0 means EMPTY there, so a
+            # 0-d array would round-trip to an empty (0,) array, silently
+            # losing the value — fail loudly instead
+            raise ValueError(
+                "0-d arrays have no Torch7 tensor representation "
+                "(ndim==0 is an empty tensor there); reshape to (1,)")
         arr = np.ascontiguousarray(arr)
         self.write_int(TYPE_TORCH)
         self.write_int(self.next_idx)

@@ -335,7 +335,7 @@ class RAUService:
         items = []
         with self._qcond:
             for q in questions:
-                tokens, length = self.data.question_to_tokens(q)
+                tokens, length = self.data.question_to_tokens(q, normalize=True)
                 item = {"tokens": tokens, "length": length, "feats": feats,
                         "done": threading.Event(), "question": q,
                         "attention": attention}
@@ -377,7 +377,7 @@ class RAUService:
     def answer(self, question: str, *, feat_name: Optional[str] = None,
                image_b64: Optional[str] = None, topk: int = 5,
                attention: bool = False) -> Dict:
-        tokens, length = self.data.question_to_tokens(question)
+        tokens, length = self.data.question_to_tokens(question, normalize=True)
         feats = self._feats_for(feat_name, image_b64)
         self._ensure_batcher()
         item = {"tokens": tokens, "length": length, "feats": feats,

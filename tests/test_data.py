@@ -85,6 +85,13 @@ def test_loader_contract(fixture_root):
     assert toks[0] == data.vocab_map["w01"]
     assert toks[2] == data.vocab_map["UNK"]
     assert data.tokens_to_question(toks, 2) == "w01 w02"
+    # normalize=True applies the bundle-building convention (lowercase +
+    # punctuation split) so serve/ask questions don't UNK on 'W01'/'w02?'
+    toks, n = data.question_to_tokens("W01 w02?", normalize=True)
+    assert n == 3
+    assert toks[0] == data.vocab_map["w01"]
+    assert toks[1] == data.vocab_map["w02"]
+    assert toks[2] == data.vocab_map["UNK"]       # the '?' token
 
 
 def test_batch_iteration_and_feats(fixture_root):
@@ -336,13 +343,59 @@ def test_packed_store_raw_int8_device_dequant(fixture_root, tmp_path):
                                       jnp.asarray(qf.scales))
     np.testing.assert_array_equal(
         np.asarray(dev), host.get_batch(names, [1] * len(names)))
-    # a shard without scales (f32) silently ignores raw_int8
+    # a shard without scales (f32) falls back to float shipping — LOUDLY
+    # (silently ignoring --ship-int8 would hide a 4x transfer regression)
     out32 = str(tmp_path / "packed32")
     pack_feature_dir([feat_dir], imgs, [1] * len(imgs), out32,
                      SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
-    st = PackedFeatureStore(out32, raw_int8=True)
+    with pytest.warns(UserWarning, match="raw_int8 requested"):
+        st = PackedFeatureStore(out32, raw_int8=True)
     assert not st.raw_int8
     assert isinstance(st.get_batch(names, [1] * len(names)), np.ndarray)
+
+
+def test_zero_based_img_pos_rejected(fixture_root, tmp_path):
+    """img_pos is 1-based (schema :1322): a 0 would negative-wrap to the
+    LAST unique image and silently mis-pair every question — the loader
+    must reject it loudly."""
+    import shutil
+
+    import h5py
+
+    vqa_dir = os.path.join(fixture_root, "vqa_prepro")
+    bad = str(tmp_path / "bad_bundle")
+    shutil.copytree(vqa_dir, bad)
+    with h5py.File(os.path.join(bad, "data_prepro.h5"), "r+") as h5:
+        pos = np.asarray(h5["img_pos_train"])
+        pos[0] = 0
+        del h5["img_pos_train"]
+        h5["img_pos_train"] = pos
+    with pytest.raises(ValueError, match="1-based"):
+        load_vqa_data(bad, batch_size=16, split="val2014",
+                      test_batch_size=8)
+
+
+def test_t7_rejects_0d_arrays(tmp_path):
+    """Torch7's ndim==0 means EMPTY tensor, so a 0-d scalar would
+    round-trip to an empty array — the writer must refuse instead of
+    losing the value."""
+    from rau_vqa_tpu.data.t7 import save_t7
+
+    with pytest.raises(ValueError, match="0-d"):
+        save_t7(str(tmp_path / "s.t7"), np.array(3.5, np.float32))
+
+
+def test_fixture_rejects_oversized_mc(tmp_path):
+    """n_mc - 1 distinct candidates must exist among n_answers; a spec
+    that can't be satisfied fails with a clear error, not a numpy
+    broadcast crash."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+
+    with pytest.raises(ValueError, match="n_mc"):
+        generate_fixture(str(tmp_path / "f"),
+                         dc.replace(SPEC, n_mc=SPEC.n_answers + 2))
 
 
 def test_prefetch_abandoned_generator_rewinds(fixture_root):

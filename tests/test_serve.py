@@ -399,7 +399,7 @@ def test_pixels_artifact_service(served, tmp_path):
     feats = np.asarray(extract_features("vit", bb, arr, vit_cfg=vcfg),
                        np.float32)
     for q, out in zip(qs, outs):
-        toks, length = svc.data.question_to_tokens(q)
+        toks, length = svc.data.question_to_tokens(q, normalize=True)
         tab, _ = predict(params, cfg, toks[None], np.asarray([length]),
                          feats)
         tab = np.asarray(tab)
