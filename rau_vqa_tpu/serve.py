@@ -153,6 +153,7 @@ class RAUService:
         self.max_wait_ms = float(max_wait_ms)
         from collections import OrderedDict, deque
         self._batch_sizes_served = deque(maxlen=1000)  # for tests/metrics
+        self._stats_lock = threading.Lock()   # appender vs GET /stats
         # LRU image-feature cache (see _featurize_image); size it to RAM —
         # a ResNet entry is [1, 196, 2048] f32 ≈ 1.6 MB
         self.feat_cache_size = int(feat_cache_size)
@@ -298,7 +299,8 @@ class RAUService:
         # host transfer of [H+2, bucket, S] otherwise wasted)
         att = (np.asarray(tab_att)
                if any(it.get("attention") for it in group) else None)
-        self._batch_sizes_served.append(n)
+        with self._stats_lock:
+            self._batch_sizes_served.append(n)
         for i, item in enumerate(group):
             item["tab"] = tab[:, i]
             if att is not None and item.get("attention"):
@@ -306,14 +308,18 @@ class RAUService:
             item["done"].set()
 
     def _feats_for(self, feat_name: Optional[str],
-                   image_b64: Optional[str]) -> np.ndarray:
+                   image_b64: Optional[str],
+                   datatype: int = 1) -> np.ndarray:
         if self.pixels_artifact and feat_name is not None:
             raise ValueError(
                 "this service runs a from-pixels artifact (backbone baked "
                 "into the program): send image_b64, not feat_name")
         if feat_name is not None:
             from rau_vqa_tpu.data.features import QuantFeats
-            feats = self.source.get_batch([feat_name], [1])
+            # datatype routes multi-dir feature sources (the test2015
+            # mixed train2014+val2014 layout, vqa_prepro_loader.lua:876);
+            # single-dir/packed stores ignore it
+            feats = self.source.get_batch([feat_name], [int(datatype)])
             if isinstance(feats, QuantFeats):
                 # raw_int8 stores hand back values+scales; serving wants
                 # plain floats (single-question batches are tiny anyway)
@@ -325,12 +331,12 @@ class RAUService:
 
     def answer_many(self, questions, *, feat_name: Optional[str] = None,
                     image_b64: Optional[str] = None, topk: int = 5,
-                    attention: bool = False):
+                    attention: bool = False, datatype: int = 1):
         """Several questions about ONE image — the VQA pattern (~3
         questions/image).  Features are fetched/computed once; the
         questions ride the micro-batcher as one arrival burst (typically
         one device dispatch)."""
-        feats = self._feats_for(feat_name, image_b64)
+        feats = self._feats_for(feat_name, image_b64, datatype)
         self._ensure_batcher()
         items = []
         with self._qcond:
@@ -376,9 +382,9 @@ class RAUService:
 
     def answer(self, question: str, *, feat_name: Optional[str] = None,
                image_b64: Optional[str] = None, topk: int = 5,
-               attention: bool = False) -> Dict:
+               attention: bool = False, datatype: int = 1) -> Dict:
         tokens, length = self.data.question_to_tokens(question, normalize=True)
-        feats = self._feats_for(feat_name, image_b64)
+        feats = self._feats_for(feat_name, image_b64, datatype)
         self._ensure_batcher()
         item = {"tokens": tokens, "length": length, "feats": feats,
                 "done": threading.Event(), "attention": attention}
@@ -393,7 +399,10 @@ class RAUService:
 
     def stats(self) -> Dict:
         """Operator metrics for GET /stats."""
-        sizes = list(self._batch_sizes_served)
+        with self._stats_lock:
+            # snapshot under the lock: the batcher thread's append (plus
+            # maxlen eviction) mutates the deque mid-iteration otherwise
+            sizes = list(self._batch_sizes_served)
         with self._feat_cache_lock:
             cache_entries = len(self._feat_cache)
         return {
@@ -445,14 +454,16 @@ def make_handler(service: RAUService):
                         feat_name=req.get("feat_name"),
                         image_b64=req.get("image_b64"),
                         topk=int(req.get("topk", 5)),
-                        attention=bool(req.get("attention", False)))}
+                        attention=bool(req.get("attention", False)),
+                        datatype=int(req.get("datatype", 1)))}
                 else:
                     result = service.answer(
                         req["question"],
                         feat_name=req.get("feat_name"),
                         image_b64=req.get("image_b64"),
                         topk=int(req.get("topk", 5)),
-                        attention=bool(req.get("attention", False)))
+                        attention=bool(req.get("attention", False)),
+                        datatype=int(req.get("datatype", 1)))
                 self._send(200, result)
             except Exception as e:  # noqa: BLE001 — service boundary
                 self._send(400, {"error": str(e)})

@@ -333,8 +333,7 @@ class Trainer:
                                scales=p(feats.scales))
         else:
             feats = p(np.asarray(feats))
-        import dataclasses as _dc
-        return _dc.replace(
+        return dataclasses.replace(
             batch, feats=feats, tokens=p(batch.tokens),
             lengths=p(batch.lengths), labels=p(batch.labels),
             mc_answers=p(batch.mc_answers), qids=p(batch.qids)), orig_b
@@ -366,6 +365,10 @@ class Trainer:
             metric sums).  Called one step BEHIND the dispatch so reading
             metrics never stalls the device pipeline."""
             nonlocal n_steps, exploded, aborted
+            # ONE host sync for every buffer: per-key float()/np.asarray()
+            # would pay ~14 serial device->host round-trips per step on
+            # the ~30 ms-RTT tunnel
+            metrics = jax.device_get(metrics)
             loss = float(metrics["loss"])
             if not self._guard(loss):
                 exploded += 1
@@ -413,7 +416,17 @@ class Trainer:
             consume(step_base + dispatched, pending)
         dt = time.time() - t0
         if aborted:
-            # restore() already rewound epoch/lr/order; this epoch did not
+            # re-apply the order fast-forward AFTER the generator closed:
+            # breaking out of batches() ran its finally-rewind, which
+            # restored the PRE-abort mid-epoch order snapshot over the
+            # state restore()/the fallback expect (half-consumed
+            # permutation + stale reorder_count).  reorder() is a pure
+            # function of (seed, reorder_count), so this realigns the
+            # stream with the restored epoch counter exactly.
+            td = self.data.train_data
+            td.reorder_count = self.epoch
+            td.reorder()
+            # restore() already rewound epoch/lr; this epoch did not
             # happen (don't bump the counter or decay the LR)
             record = {"epoch": self.epoch, "steps": n_steps,
                       "exploded": exploded, "aborted": True, "sec": dt}
@@ -492,6 +505,12 @@ class Trainer:
                     state = place_state(self.mesh, state,
                                         tp=self.exp.mesh.shard_params_tp)
                 self.state = state
+                # the EMA tracked the poisoned run's (lower) losses; the
+                # restored INITIAL params produce init-scale losses again.
+                # Keeping the stale EMA would trip the guard on the next
+                # epoch's first step, restore-to-init again, and livelock
+                # every remaining epoch into a 2-step no-op.
+                self.loss_ema = None
             return False
         self.loss_ema = loss if self.loss_ema is None else (
             0.9 * self.loss_ema + 0.1 * loss)
@@ -740,9 +759,15 @@ class Trainer:
             for i in range(epochs):
                 if i == 0 and self.exp.profile_dir:
                     with jax.profiler.trace(self.exp.profile_dir):
-                        self.train_epoch()
+                        record = self.train_epoch()
                 else:
-                    self.train_epoch()
+                    record = self.train_epoch()
+                if record.get("aborted"):
+                    # the epoch was rewound to a state already evaluated /
+                    # checkpointed at its own boundary: re-running eval on
+                    # identical params would waste a full test sweep and
+                    # write duplicate same-epoch log rows
+                    continue
                 if (eval_each and self.tcfg.test_interval > 0
                         and self.epoch % self.tcfg.test_interval == 0):
                     last_eval = self.evaluate()

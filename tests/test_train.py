@@ -388,7 +388,20 @@ def test_explosion_guard_restores(fixture_root, tmp_path):
     # order from the epoch counter)
     assert rec["exploded"] == 1 and rec.get("aborted") is True
     assert trainer.epoch == 1   # the aborted epoch did not count
-    # recovery: the next epoch runs clean from the restored state
+    # the abort realigned the order stream with the restored epoch counter
+    # (the generator's finally-rewind would otherwise clobber restore()'s
+    # fast-forward with the mid-epoch snapshot)
+    td = trainer.data.train_data
+    assert td.batch_index == 0
+    assert td.reorder_count == trainer.epoch + 1   # reorder() post-bumps
+    # recovery: the next epoch runs clean from the restored state, and its
+    # data order matches an uninterrupted run's epoch-2 order exactly
+    import copy
+
+    order_before = td.batch_order.copy()
+    clean = np.random.default_rng((td.seed, trainer.epoch))
+    np.testing.assert_array_equal(order_before,
+                                  clean.permutation(td.num_examples))
     rec2 = trainer.train_epoch()
     assert not rec2.get("aborted") and rec2["exploded"] == 0
     assert trainer.epoch == 2
@@ -412,6 +425,16 @@ def test_explosion_guard_pre_checkpoint(fixture_root, tmp_path):
         np.asarray(trainer.state.params["mult"]["cls"]["w"]), w0)
     assert int(trainer.state.step) == step0
     assert trainer.epoch == 0
+    # the stale EMA tracked the poisoned run; the restored INITIAL params
+    # produce init-scale losses — keeping it would livelock every
+    # remaining epoch into an immediate abort
+    assert trainer.loss_ema is None
+    # order stream realigned to the (unbumped) epoch counter
+    assert trainer.data.train_data.batch_index == 0
+    # recovery without any checkpoint: the next epoch trains normally
+    rec2 = trainer.train_epoch()
+    assert not rec2.get("aborted") and rec2["exploded"] == 0
+    assert trainer.epoch == 1
 
 
 def test_evaluate_ships_compute_dtype(fixture_root, tmp_path):
