@@ -186,7 +186,10 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
         lambda t_, s: np.asarray(s, dtype=np.asarray(t_).dtype),
         trainer.state.params, params)
     trainer.state = trainer.state._replace(params=params)
-    trainer.epoch = int(snap_epoch)
+    # keep the FRACTIONAL epoch (snapshot_iter%06d_epoch%.2f, e.g. 3.54):
+    # evaluate() names submissions/attention dumps by it, and int() would
+    # misname them vs the released files this harness diffs against
+    trainer.epoch = snap_epoch
 
     result = trainer.evaluate(write_submissions=True, return_rows=True)
 

@@ -192,9 +192,7 @@ class VQAAccuracyScorer:
     def _norm_res(self, raw: str) -> str:
         out = self._norm_memo.get(raw)
         if out is None:
-            out = process_digit_article(process_punctuation(
-                raw.replace("\n", " ").replace("\t", " ").strip()))
-            self._norm_memo[raw] = out
+            out = self._norm_memo[raw] = normalize_answer(raw)
         return out
 
     def score(self, results: Iterable[Dict], *,

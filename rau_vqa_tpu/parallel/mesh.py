@@ -142,14 +142,29 @@ def shard_batch(mesh: Mesh, *arrays):
     global batch)."""
     multiproc = jax.process_count() > 1
     n_data = int(mesh.shape.get("data", 1))
+    pc = jax.process_count()
+    # multi-process: arrays are per-process LOCAL shards, so the
+    # divisibility requirement is against this process's share of the
+    # 'data' axis, NOT the global axis size (a 2-host global batch of 24
+    # over n_data=8 is a valid 3-per-device sharding with local dim 12)
+    local_div = n_data
+    if multiproc:
+        if n_data % pc:
+            raise ValueError(
+                f"'data' axis ({n_data}) must divide by the process "
+                f"count ({pc}) for host-sharded input")
+        local_div = n_data // pc
     out = []
     for a in arrays:
-        if a.shape[0] % n_data:
+        if a.shape[0] % local_div:
             raise ValueError(
-                f"leading dim {a.shape[0]} not divisible by the 'data' "
-                f"axis ({n_data}) — this JAX build rejects uneven "
-                f"shardings; pad the batch (Trainer._pad_batch_for_mesh) "
-                f"or pick a divisible batch size")
+                f"leading dim {a.shape[0]} "
+                f"{'(per-process local shard) ' if multiproc else ''}not "
+                f"divisible by {'its share of ' if multiproc else ''}the "
+                f"'data' axis ({local_div}) — this JAX build rejects "
+                f"uneven shardings; pad the batch "
+                f"(Trainer._pad_batch_for_mesh) or pick a divisible "
+                f"batch size")
         spec = P("data", *([None] * (a.ndim - 1)))
         sh = NamedSharding(mesh, spec)
         if multiproc:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -63,7 +64,8 @@ def flush_checkpoint_writes() -> None:
     global _pending
     pending, _pending = _pending, []
     first_err = None
-    try:
+    i = 0   # the handler below slices pending[i:]; an interrupt landing
+    try:    # before the first loop binding must re-queue EVERYTHING
         for i, fut in enumerate(pending):
             try:
                 fut.result()
@@ -94,8 +96,16 @@ def _write(ckpt_dir: str, name: str, path: str, host_tree: Any,
     with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
         f.write(name)
     if keep_last is not None and keep_last > 0:
-        snaps = sorted(f for f in os.listdir(ckpt_dir)
-                       if f.startswith("snapshot_") and f.endswith(".msgpack"))
+        # sort by the PARSED step: lexicographic order misranks steps past
+        # the 6-digit zero-padding (iter1000000 < iter999999 as strings),
+        # which would prune the newest snapshot and keep stale ones
+        def step_of(fname: str) -> int:
+            m = re.search(r"iter(\d+)", fname)
+            return int(m.group(1)) if m else -1
+
+        snaps = sorted((f for f in os.listdir(ckpt_dir)
+                        if f.startswith("snapshot_")
+                        and f.endswith(".msgpack")), key=step_of)
         for old in snaps[:-keep_last]:
             for suffix in (".msgpack", ".json"):
                 stale = os.path.join(ckpt_dir,

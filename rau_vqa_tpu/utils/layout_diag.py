@@ -137,13 +137,23 @@ def layout_diff(cfg: ModelConfig, group: str,
 
 
 def _modules(layout: Sequence[Entry]) -> List[List[Entry]]:
-    """Group consecutive entries by their module (path minus the leaf name).
-    Torch's ``:parameters()`` returns each module's weight and bias
-    ADJACENTLY, so a real nngraph order mismatch permutes whole modules —
-    never interleaves one module's tensors with another's."""
+    """Group consecutive entries into torch MODULES: each weight with the
+    bias(es) that follow it under the same path prefix.  Torch's
+    ``:parameters()`` returns each nn.Linear's weight and bias ADJACENTLY,
+    so a real nngraph order mismatch permutes whole modules — never
+    interleaves one module's tensors with another's.
+
+    Grouping by path-prefix alone would be WRONG here: a DeepLSTM layer's
+    i2h and h2h Linears are separate torch modules sharing our
+    ('rnn','layers',L) prefix, and for every layer whose d_in == rnn_size
+    their (weight, bias) signatures are identical — merging them would
+    hide exactly the i2h<->h2h order ambiguity this module exists to
+    enumerate."""
     out: List[List[Entry]] = []
     for entry in layout:
-        if out and out[-1][0][0][:-1] == entry[0][:-1]:
+        leaf = entry[0][-1]
+        if (out and leaf.startswith("b")
+                and out[-1][0][0][:-1] == entry[0][:-1]):
             out[-1].append(entry)
         else:
             out.append([entry])
@@ -156,9 +166,9 @@ def candidate_layouts(cfg: ModelConfig, group: str,
     size signatures.  Modules with unique signatures are pinned (a swap
     would be size-inconsistent somewhere); tensors inside a module never
     move (torch flattens weight/bias adjacently).  Ours-first, so index 0
-    is the null hypothesis.  For the paper dims this is 4 candidates for
-    the mult group ({att_q, att_i} x {h_proj, merge}) and 1 for the
-    others."""
+    is the null hypothesis.  Swappable classes at paper dims include
+    {att_q, att_i}, {h_proj, merge}, and every same-width i2h/h2h LSTM
+    pair (layers with d_in == rnn_size)."""
     layout = GROUP_LAYOUTS[group](cfg)
     mods = _modules(layout)
     by_sig: Dict[Tuple[int, ...], List[int]] = {}

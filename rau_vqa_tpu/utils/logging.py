@@ -34,10 +34,19 @@ class MetricsLogger:
             return []
         rows = []
         with open(self.path) as f:
-            for line in f:
+            lines = f.readlines()
+        for i, line in enumerate(lines):
+            try:
                 row = json.loads(line)
-                if kind is None or row.get("kind") == kind:
-                    rows.append(row)
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    # a reader (dashboard) racing the writer can see a
+                    # torn final line mid-append — skip it; it will be
+                    # complete on the next refresh
+                    break
+                raise
+            if kind is None or row.get("kind") == kind:
+                rows.append(row)
         return rows
 
 

@@ -36,7 +36,9 @@ def tile_batch_images(imgs: np.ndarray, n_cols: int = 0) -> np.ndarray:
     n_rows = int(np.ceil(B / n_cols))
     pad = n_rows * n_cols - B
     if pad:
-        imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        # zeros_like(imgs[:pad]) under-fills when pad > B
+        imgs = np.concatenate(
+            [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
     rows = [np.concatenate(list(imgs[r * n_cols:(r + 1) * n_cols]), axis=1)
             for r in range(n_rows)]
     return np.concatenate(rows, axis=0)

@@ -107,8 +107,27 @@ def test_candidate_layouts_cover_module_swaps():
     scrambled = _scrambled_mult_layout()
     assert any([e[0] for e in c] == [e[0] for e in scrambled]
                for c in cands)
-    # embed/rnn have no module-level ambiguity at these dims
+    # embed has no module-level ambiguity
     assert len(ld.candidate_layouts(CFG, "embed")) == 1
+
+
+def test_candidate_layouts_cover_i2h_h2h_swap():
+    """i2h and h2h are SEPARATE torch Linears sharing our per-layer path
+    prefix; for every layer with d_in == rnn_size their signatures are
+    identical, so the candidate set must include the (wh,bh,wi,bi) order
+    — grouping by path prefix alone would hide it."""
+    rnn_cands = ld.candidate_layouts(CFG, "rnn")
+    ours = GROUP_LAYOUTS["rnn"](CFG)
+    assert rnn_cands[0] == ours
+    L = CFG.rnn_layers - 1          # last layer always has d_in == R
+    prefix = ("rnn", "layers", str(L))
+    idx = next(i for i, e in enumerate(ours) if e[0][:3] == prefix)
+    others = [e for e in ours if e[0][:3] != prefix]
+    wi, bi, wh, bh = [e for e in ours if e[0][:3] == prefix]
+    swapped = others[:idx] + [wh, bh, wi, bi] + others[idx:]
+    assert any([e[0] for e in c] == [e[0] for e in swapped]
+               for c in rnn_cands), \
+        f"{len(rnn_cands)} candidates, i2h/h2h swap not among them"
 
 
 def test_search_recovers_order_from_score_alone():
