@@ -272,6 +272,27 @@ def _make_source_and_backbone(args, exp):
                 "--image-root needs --backbone (+ --backbone-state)")
         _validate_backbone_image_size(args.backbone, args.image_size,
                                       "--image-size")
+        # the backbone's output grid must match the model's attention grid
+        # — catch it BEFORE the dataset load and the ~0.5 GB torch.load,
+        # not as an XLA broadcast error mid-sweep (cmd_export has the same
+        # check for artifacts)
+        mcfg = exp.model
+        if args.backbone == "vit":
+            from rau_vqa_tpu.models.backbones import vit as vit_mod
+            if vit_mod.VIT_L14.seq != mcfg.cnn_spat:
+                raise SystemExit(
+                    f"ViT-L/14 yields {vit_mod.VIT_L14.seq} tokens but the "
+                    f"model config expects cnn_spat={mcfg.cnn_spat} "
+                    f"({mcfg.cnn_w}x{mcfg.cnn_h})")
+        else:
+            grid = args.image_size // 32   # vgg16/resnet101 are stride-32
+            if grid * grid != mcfg.cnn_spat:
+                raise SystemExit(
+                    f"--image-size {args.image_size} gives a {grid}x{grid}"
+                    f"={grid * grid} feature grid but the model config "
+                    f"expects cnn_spat={mcfg.cnn_spat} "
+                    f"({mcfg.cnn_w}x{mcfg.cnn_h}) — use --image-size "
+                    f"{mcfg.cnn_w * 32}")
         from rau_vqa_tpu.data.images import ImageDirSource
         source = ImageDirSource(args.image_root, size=args.image_size,
                                 backend="native")
@@ -366,27 +387,27 @@ def cmd_eval(args) -> int:
 
     from rau_vqa_tpu.config import ModelConfig
 
-    exp = _apply_overrides(get_preset(args.preset), args)
-    meta_path = args.checkpoint.replace(".msgpack", ".json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        # adopt the snapshot's full model config (the reference's Eval.lua
-        # adopts the snapshot's opt table, Eval.lua:116-118)
-        if "model_config" in meta:
-            exp = exp.replace(model=ModelConfig(**meta["model_config"]))
-        elif "n_hops" in meta:
-            exp = exp.replace(
-                model=dataclasses.replace(exp.model, n_hops=meta["n_hops"]))
-        if "alg_name" in meta:
-            exp = exp.replace(alg_name=meta["alg_name"])
+    # adopt the snapshot's self-describing config FIRST (the reference's
+    # Eval.lua adopts the snapshot's opt table, Eval.lua:116-118), THEN
+    # apply runtime flags — the reverse order silently discarded model
+    # overrides like --bf16 under the sidecar's training-time config
+    exp = get_preset(args.preset)
+    meta = _snapshot_meta(args.checkpoint)
+    if "model_config" in meta:
+        exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+    elif "n_hops" in meta:
+        exp = exp.replace(
+            model=dataclasses.replace(exp.model, n_hops=meta["n_hops"]))
+    if "alg_name" in meta:
+        exp = exp.replace(alg_name=meta["alg_name"])
+    exp = _apply_overrides(exp, args)
 
     workdir = args.save_dir or f"save_result_eval_{exp.data.split}"
     os.makedirs(workdir, exist_ok=True)
     data = load_vqa_data(
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),
-        seed=exp.train.seed)
+        valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
     source, backbone, bb_params = _make_source_and_backbone(args, exp)
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
@@ -442,6 +463,17 @@ def cmd_pack_features(args) -> int:
                              dtype=args.dtype)
     print(f"packed {len(store.index)} images -> {args.out}")
     return 0
+
+
+def _snapshot_meta(checkpoint: str) -> dict:
+    """Sidecar metadata of a native snapshot ({} when absent).  splitext,
+    not str.replace: a checkpoint path not ending in .msgpack must never
+    resolve to ITSELF and json.load the msgpack binary."""
+    meta_path = os.path.splitext(checkpoint)[0] + ".json"
+    if meta_path != checkpoint and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
 
 
 def _checked_official_anno(exp) -> "str | None":
@@ -588,12 +620,9 @@ def cmd_convert_snapshot(args) -> int:
         mcfg = ModelConfig(**cfg_dict.get("model", cfg_dict))
     if args.to_torch:
         # adopt the native checkpoint's own (self-describing) model config
-        meta_path = args.input.replace(".msgpack", ".json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                saved = json.load(f)
-            if "model_config" in saved:
-                mcfg = ModelConfig(**saved["model_config"])
+        saved = _snapshot_meta(args.input)
+        if "model_config" in saved:
+            mcfg = ModelConfig(**saved["model_config"])
         state = init_train_state(jax.random.PRNGKey(0), mcfg)
         tree, meta = load_checkpoint(args.input, state._asdict())
         params = jax.tree.map(np.asarray, tree["params"])
@@ -626,15 +655,11 @@ def cmd_export(args) -> int:
 
     exp = get_preset(args.preset)
     mcfg = exp.model
-    meta = {}
-    meta_path = args.checkpoint.replace(".msgpack", ".json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if "model_config" in meta:
-            # self-describing snapshot (the reference's Eval.lua adopts the
-            # snapshot's opt table, Eval.lua:116-118)
-            mcfg = ModelConfig(**meta["model_config"])
+    meta = _snapshot_meta(args.checkpoint)
+    if "model_config" in meta:
+        # self-describing snapshot (the reference's Eval.lua adopts the
+        # snapshot's opt table, Eval.lua:116-118)
+        mcfg = ModelConfig(**meta["model_config"])
     if args.bf16:
         # fast serving artifact: bf16 MXU passes, like bench.py
         mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16",
@@ -801,7 +826,7 @@ def cmd_verify_released(args) -> int:
     data = load_vqa_data(
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),
-        seed=exp.train.seed)
+        valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
     source = _make_feature_source([exp.data.feat_dir], exp.model)
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
@@ -859,13 +884,12 @@ def cmd_ask(args) -> int:
     from rau_vqa_tpu.train.trainer import Trainer, init_train_state
     from rau_vqa_tpu.utils.checkpoint import load_checkpoint
 
-    exp = _apply_overrides(get_preset(args.preset), args)
-    meta_path = args.checkpoint.replace(".msgpack", ".json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if "model_config" in meta:
-            exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+    # snapshot config first, runtime flags second (see cmd_eval)
+    exp = get_preset(args.preset)
+    meta = _snapshot_meta(args.checkpoint)
+    if "model_config" in meta:
+        exp = exp.replace(model=ModelConfig(**meta["model_config"]))
+    exp = _apply_overrides(exp, args)
     data = load_vqa_data(exp.data.vqa_dir, 1, split=exp.data.split,
                          test_batch_size=1)
     mcfg = dataclasses.replace(exp.model, vocab_size=data.vocab_size,
@@ -1213,6 +1237,13 @@ def main(argv=None) -> int:
         return 0
     args = parser.parse_args(argv)
     if args.command == "bench":
+        # bench.py lives at the repo root, outside the package — resolve
+        # like the bench-pixels passthrough (a bare import only works when
+        # invoked from the repo root, not as an installed console script)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__)))
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         import bench as _bench
         _bench.main()
         return 0

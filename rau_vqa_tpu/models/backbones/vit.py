@@ -120,7 +120,12 @@ def vit_apply(params: Dict, cfg: ViTConfig, x: jax.Array) -> jax.Array:
     for blk in params["blocks"]:
         x = x + _mhsa(_ln(x, blk["ln1"], cfg.ln_eps), blk, cfg.heads)
         h = _ln(x, blk["ln2"], cfg.ln_eps)
-        h = jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"])
+        # exact (erf) GELU: timm/torch ViT weights were trained with
+        # nn.GELU's erf form; jax.nn.gelu defaults to the tanh
+        # approximation, which accumulates a systematic delta over the
+        # 24-block stack
+        h = jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"],
+                        approximate=False)
         x = x + (h @ blk["fc2"]["w"] + blk["fc2"]["b"])
     return _ln(x, params["ln_final"], cfg.ln_eps)
 

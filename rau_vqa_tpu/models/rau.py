@@ -114,8 +114,8 @@ def encode_question(params: Params, cfg: ModelConfig, tokens: jax.Array,
     B, T = tokens.shape
     emb = jnp.take(params["embed"]["lookup"], tokens, axis=0)  # [B, T, E]
     if train and cfg.embed_dropout > 0.0 and rng is not None:
-        # rng=None degrades to no-dropout like every other dropout site
-        # (deep_lstm_cell / answering_unit guard their keys the same way)
+        # (train=True with dropout and rng=None is rejected up front in
+        # rau_forward; this guard covers direct encode_question callers)
         # position-indexed masks (one key per timestep, like the reference's
         # per-clone dropout): drawing a single [B, T, E] mask would make the
         # mask depend on T, breaking the exactness of train-time length
@@ -245,6 +245,14 @@ def rau_forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     The hop loop is unrolled (n_hops <= ~10): each hop shares the one `mult`
     parameter set, matching the reference's weight-shared clones (:343-347).
     """
+    if train and rng is None and (cfg.embed_dropout > 0.0
+                                  or cfg.rnn_dropout > 0.0
+                                  or cfg.mult_dropout > 0.0):
+        # only SOME dropout sites guard on rng (key derivation); the
+        # answering-unit / embed_image applications would crash on a None
+        # key deep inside the hop loop — fail here with the real contract
+        raise ValueError(
+            "rau_forward(train=True) with dropout enabled requires rng")
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _rau_forward(params, cfg, tokens, lengths, feats,
                             train=train, rng=rng)

@@ -112,30 +112,11 @@ _WEIGHT_ORDER = [
 ]
 
 
-def _pluck(mp: Dict, path):
-    node = mp
-    for p in path:
-        node = node[p]
-    return node
+from rau_vqa_tpu.ops.treeflat import pluck as _pluck, rebuild
 
 
 def _rebuild(flat) -> Dict:
-    mp: Dict = {}
-    for path, leaf in zip(_WEIGHT_ORDER, flat):
-        node = mp
-        for p in path[:-1]:
-            if isinstance(p, int):
-                holder = node
-                while len(holder) <= p:
-                    holder.append({})
-                node = holder[p]
-            else:
-                if p not in node:
-                    node[p] = [] if isinstance(
-                        path[path.index(p) + 1], int) else {}
-                node = node[p]
-        node[path[-1]] = leaf
-    return mp
+    return rebuild(_WEIGHT_ORDER, flat)
 
 
 def _kernel(n_hops: int, q_ref, ifeat_ref, iatt_ref, *refs):

@@ -82,28 +82,10 @@ _EMITS = [("dpre_q", "M", True), ("dqatt", "F", True),
 _SITE_FEATS, _SITE_Q, _SITE_MERGE = 0, 1, 2
 
 
-def _pluck(mp: Dict, path):
-    node = mp
-    for p in path:
-        node = node[p]
-    return node
-
-
-def _rebuild(order, flat) -> Dict:
-    mp: Dict = {}
-    for path, leaf in zip(order, flat):
-        node = mp
-        for j, p in enumerate(path[:-1]):
-            if isinstance(p, int):
-                while len(node) <= p:
-                    node.append({})
-                node = node[p]
-            else:
-                if p not in node:
-                    node[p] = [] if isinstance(path[j + 1], int) else {}
-                node = node[p]
-        node[path[-1]] = leaf
-    return mp
+from rau_vqa_tpu.ops.treeflat import (  # noqa: E402 — shared helpers
+    pluck as _pluck,
+    rebuild as _rebuild,
+)
 
 
 def _masks(cfg: ModelConfig, shapes, row0, seed, hop):
