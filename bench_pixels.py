@@ -78,6 +78,21 @@ def main() -> None:
     from rau_vqa_tpu.models.rau import init_params
     from rau_vqa_tpu.eval.predict import predict
 
+    # pure-flag validation BEFORE any device touch (init_params dispatches
+    # through the tunnel; a flag typo must not wait on a remote compile)
+    if args.s2d and (args.no_fold_bn or args.int8):
+        raise SystemExit("--s2d needs the folded f32/bf16 tree: it cannot "
+                         "combine with --no-fold-bn or --int8")
+    if args.int8 and args.no_fold_bn:
+        raise SystemExit("--int8 quantizes the FOLDED tree: it cannot "
+                         "combine with --no-fold-bn")
+    if args.backbone != "resnet101" and (args.int8 or args.s2d):
+        raise SystemExit(f"--int8/--s2d are resnet101 variants; the "
+                         f"emitted JSON would mislabel a plain "
+                         f"{args.backbone} run as the requested variant")
+    if args.rounds < 1:
+        raise SystemExit("--rounds must be >= 1")
+
     preset = {"resnet101": "ours_resnet", "vgg16": "ours_ms",
               "vit": "ours_vit"}[args.backbone]
     wdtype = jnp.float32 if args.f32 else jnp.bfloat16
@@ -117,9 +132,6 @@ def main() -> None:
         return jax.tree_util.tree_map_with_path(fill, shapes)
 
     apply_override = None
-    if args.s2d and (args.no_fold_bn or args.int8):
-        raise SystemExit("--s2d needs the folded f32/bf16 tree: it cannot "
-                         "combine with --no-fold-bn or --int8")
     if args.backbone == "resnet101":
         bb = np_params_like(resnet101_init, 1)
         if args.int8 or not args.no_fold_bn:
@@ -155,7 +167,7 @@ def main() -> None:
 
     feat_dt = jnp.float32 if args.f32 else jnp.bfloat16
 
-    def one_step(images_u8, toks):
+    def one_step(bb, params, images_u8, toks):
         if apply_override is not None:
             from rau_vqa_tpu.ops import transforms as T
             x = images_u8.astype(jnp.float32) / 255.0
@@ -169,30 +181,37 @@ def main() -> None:
                               featsq.astype(feat_dt))
         return jnp.argmax(tab_pred, axis=-1)        # [H+2, B*Q]
 
+    n_acc = min(4, B * Q)   # accumulator columns (B*Q can be < 4)
+
+    # weights ride as jit ARGUMENTS like bench.py's params — closure
+    # constants would bake ~100MB+ of weights into the HLO and re-upload
+    # them through the tunnel for every compile (serve_chain AND the MFU
+    # lower below)
     @jax.jit
-    def serve_chain(images, tokens, salt0):
+    def serve_chain(bb, params, images, tokens, salt0):
         def body(k, carry):
             salt, acc = carry
             imgs = images + salt.astype(jnp.uint8)  # wraps mod 256
             toks = jnp.where(tokens > 0,
                              (tokens + salt) % cfg.vocab_size, 0)
-            ans = one_step(imgs, toks)
+            ans = one_step(bb, params, imgs, toks)
             salt = salt + 1 + ans[0, 0].astype(jnp.int32) % 3
-            return salt, acc + ans[:, :4].astype(jnp.int32)
-        zero = jnp.zeros((cfg.n_hops + 2, 4), jnp.int32)
+            return salt, acc + ans[:, :n_acc].astype(jnp.int32)
+        zero = jnp.zeros((cfg.n_hops + 2, n_acc), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (jnp.int32(salt0), zero))
 
     log(f"bench_pixels: compiling {args.backbone} B={B} qpi={Q} "
         f"{'f32' if args.f32 else 'bf16'}")
     t0 = time.perf_counter()
-    np.asarray(serve_chain(images, tokens, jnp.int32(0))[1])
+    np.asarray(serve_chain(bb, params, images, tokens, jnp.int32(0))[1])
     log(f"bench_pixels: compile+first {time.perf_counter() - t0:.1f}s")
-    np.asarray(serve_chain(images, tokens, jnp.int32(5))[1])
+    np.asarray(serve_chain(bb, params, images, tokens, jnp.int32(5))[1])
 
     times = []
     for r in range(args.rounds):
         t0 = time.perf_counter()
-        acc = np.asarray(serve_chain(images, tokens, jnp.int32(100 + r))[1])
+        acc = np.asarray(serve_chain(bb, params, images, tokens,
+                             jnp.int32(100 + r))[1])
         times.append(time.perf_counter() - t0)
     # rig-health canary ADJACENT to the timed rounds (after the variable
     # remote compile) — time-stamps rig capability (utils/rigcheck.py)
@@ -201,7 +220,7 @@ def main() -> None:
     log(f"bench_pixels: rig canary {canary['tflops']} TFLOP/s "
         f"({canary['frac_of_peak'] * 100:.1f}% of v5e bf16 peak)")
 
-    assert acc.shape == (cfg.n_hops + 2, 4)
+    assert acc.shape == (cfg.n_hops + 2, n_acc)
     dt = float(np.median(times))
     spread = (max(times) - min(times)) / dt
     img_ps = K * B / dt
@@ -211,7 +230,8 @@ def main() -> None:
 
     mfu = None
     try:
-        compiled = jax.jit(one_step).lower(images, tokens).compile()
+        compiled = jax.jit(one_step).lower(bb, params, images,
+                                   tokens).compile()
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost["flops"])

@@ -119,7 +119,6 @@ struct Slot {
   std::vector<int64_t> rows;
   std::atomic<uint64_t> remaining{0};
   int64_t seq = -1;           // which batch currently occupies the slot
-  bool ready = false;
   std::mutex mu;
   std::condition_variable cv;
 };
@@ -203,12 +202,13 @@ void fl_ring_submit(void* ring, int64_t seq, const int64_t* rows,
   Slot& s = R->slots[seq % R->n_slots];
   {
     std::unique_lock<std::mutex> lk(s.mu);
-    // the slot must have been consumed (or never used)
+    // publish seq AND arm remaining inside ONE critical section: a waiter
+    // waking between `s.seq = seq` and the remaining store would see the
+    // drained previous batch's remaining==0 and return stale slot data
     s.seq = seq;
-    s.ready = false;
+    std::memcpy(s.rows.data(), rows, n_rows * sizeof(int64_t));
+    s.remaining.store(n_rows);
   }
-  std::memcpy(s.rows.data(), rows, n_rows * sizeof(int64_t));
-  s.remaining.store(n_rows);
   for (uint64_t b = 0; b < n_rows; b += R->chunk) {
     CopyTask t;
     t.loader = R->loader;
@@ -228,7 +228,6 @@ const uint8_t* fl_ring_wait(void* ring, int64_t seq) {
   Slot& s = R->slots[seq % R->n_slots];
   std::unique_lock<std::mutex> lk(s.mu);
   s.cv.wait(lk, [&] { return s.seq == seq && s.remaining.load() == 0; });
-  s.ready = true;
   return s.data.data();
 }
 

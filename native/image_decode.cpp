@@ -97,7 +97,10 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& pixels,
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;   // grayscale/CMYK sources -> RGB
+  // grayscale -> RGB in-decoder.  CMYK/YCCK sources are NOT convertible
+  // by libjpeg (start_decompress ERREXITs) -> status=0; callers fall back
+  // to the PIL decoder for those images
+  cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
@@ -222,8 +225,15 @@ int64_t id_decode_batch(const char** paths, int64_t n, int32_t size,
     for (;;) {
       const int64_t i = next.fetch_add(1);
       if (i >= n) return;
-      const bool ok = decode_one(paths[i], size,
-                                 out + size_t(i) * img_bytes);
+      bool ok = false;
+      try {
+        ok = decode_one(paths[i], size, out + size_t(i) * img_bytes);
+      } catch (...) {
+        // e.g. std::bad_alloc from a corrupt header claiming huge dims:
+        // an uncaught throw in this thread would std::terminate the whole
+        // process; the contract is status[i]=0 and the batch continues
+        ok = false;
+      }
       if (status) status[i] = ok ? 1 : 0;
       if (!ok) {
         int64_t expected = 0;

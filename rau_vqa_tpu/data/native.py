@@ -76,7 +76,11 @@ def load_library(build: bool = True) -> ctypes.CDLL:
                                and os.path.getmtime(src)
                                > os.path.getmtime(_LIB_PATH)))
             if needs_build and build:
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                # target ONLY this library: the default `all` also builds
+                # libimage_decode.so, whose missing libjpeg/libpng dev deps
+                # would otherwise permanently disable THIS loader too
+                subprocess.run(["make", "-C", _NATIVE_DIR,
+                                os.path.basename(_LIB_PATH)], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception as e:  # noqa: BLE001 — toolchain/deps absent
@@ -141,6 +145,16 @@ class NativePackedFeatureStore(FeatureSource):
         if dtype != self.dtype or shape[1:] != (self.spat, self.dim):
             raise ValueError(f"{path}: layout {shape}/{dtype} disagrees with "
                              f"index.json")
+        if self.index:
+            # the C++ gather trusts row indices (no per-row bounds check on
+            # the hot path): a stale index.json pointing past features.npy
+            # would read beyond the mmap and SIGSEGV the process
+            bad = max(self.index.values())
+            if bad >= shape[0] or min(self.index.values()) < 0:
+                raise ValueError(
+                    f"{shard_dir}: index.json rows span "
+                    f"[{min(self.index.values())}, {bad}] but features.npy "
+                    f"has {shape[0]} rows — stale/mismatched shard")
         self.scales = None
         scales_path = os.path.join(shard_dir, "scales.npy")
         if os.path.exists(scales_path):
