@@ -63,6 +63,24 @@ def test_answer_endpoint(served):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_answer_datatype_routing(served):
+    """The request-level datatype field reaches the feature source: with
+    ONE feature dir, datatype=2 must be a loud 400 (the 1-based routing
+    guard), and the default datatype=1 resolves normally."""
+    import urllib.error
+
+    payload = {"question": "w01",
+               "feat_name": "COCO_train2014_000000000000.t7"}
+    out = _post(served, dict(payload, datatype=1))
+    assert out["answers"]
+    try:
+        _post(served, dict(payload, datatype=2))
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
 def test_answer_endpoint_errors(served):
     # missing operand -> clean 400, not a crash
     try:
