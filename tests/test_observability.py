@@ -22,6 +22,60 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert log.read(kind="test")[0]["testOEacc_02"] == 0.4
 
 
+def test_metrics_logger_tolerates_torn_tail(tmp_path):
+    """A dashboard read racing the trainer's append can see a partially
+    flushed final line: skip it (it completes by the next refresh); a
+    corrupt line ANYWHERE ELSE still raises."""
+    import json
+
+    import pytest
+
+    log = MetricsLogger(str(tmp_path))
+    log.log({"epoch": 1, "loss": 1.0}, kind="train")
+    with open(log.path, "a") as f:
+        f.write('{"epoch": 2, "los')          # torn mid-append
+    rows = log.read(kind="train")
+    assert len(rows) == 1 and rows[0]["epoch"] == 1
+    with open(log.path, "a") as f:            # now completed + one more
+        f.write('s": 2.0, "kind": "train"}\n')
+    assert len(log.read(kind="train")) == 2
+    # corruption NOT at the tail is a real error, not a skip
+    with open(log.path, "w") as f:
+        f.write("garbage\n")
+        f.write(json.dumps({"epoch": 1, "kind": "train"}) + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        log.read()
+
+
+def test_checkpoint_keep_last_sorts_by_step(tmp_path):
+    """Pruning ranks snapshots by PARSED step: lexicographic order puts
+    iter1000000 before iter999999 and would delete the newest."""
+    import numpy as np
+
+    from rau_vqa_tpu.utils.checkpoint import save_checkpoint
+
+    d = str(tmp_path / "ck")
+    tree = {"w": np.zeros(2, np.float32)}
+    for step in (999998, 999999, 1000000):
+        save_checkpoint(d, step, float(step), tree, keep_last=2)
+    kept = sorted(f for f in os.listdir(d) if f.endswith(".msgpack"))
+    assert any("iter999999" in f for f in kept)
+    assert any("iter1000000" in f for f in kept)
+    assert not any("iter999998" in f for f in kept)
+
+
+def test_tile_batch_images_pad_exceeds_batch():
+    """pad > B must still fill the grid (zeros_like(imgs[:pad]) under-
+    filled and broke row assembly)."""
+    import numpy as np
+
+    from rau_vqa_tpu.utils.visatt import tile_batch_images
+
+    grid = tile_batch_images(np.ones((2, 4, 4), np.float32), n_cols=5)
+    assert grid.shape == (4, 20)
+    assert grid[:, :8].min() == 1.0 and grid[:, 8:].max() == 0.0
+
+
 def test_render_curves(tmp_path):
     log = MetricsLogger(str(tmp_path / "logs"))
     for e in range(1, 4):
@@ -167,7 +221,10 @@ def test_bench_watchdog_fire_and_cancel():
     t = bench_watchdog("m", "u", timeout_s=60)
     t.cancel()
 
-    # fire path: a subprocess that blocks past a tiny deadline
+    # fire path: a subprocess that blocks past a tiny deadline (cwd pinned
+    # to the repo root so the package imports even when pytest runs from
+    # elsewhere)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [sys.executable, "-c",
          "from rau_vqa_tpu.utils.rigcheck import bench_watchdog\n"
@@ -175,7 +232,7 @@ def test_bench_watchdog_fire_and_cancel():
          "bench_watchdog('vqa_questions_per_sec_per_chip',"
          " 'questions/sec', timeout_s=0.3)\n"
          "time.sleep(30)\n"],
-        capture_output=True, text=True, timeout=60)
+        capture_output=True, text=True, timeout=60, cwd=repo_root)
     assert proc.returncode == 3
     line = json.loads(proc.stdout.strip().splitlines()[-1])
     assert line["metric"] == "vqa_questions_per_sec_per_chip"
