@@ -174,6 +174,46 @@ def _run_two_procs(worker_src, tmp_path, extra_args=()):
         return json.load(f)
 
 
+SHARD_BATCH_WORKER = r"""
+import os, sys, json
+import numpy as np
+proc_id = int(sys.argv[1]); n_procs = int(sys.argv[2])
+port = sys.argv[3]; out_path = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=n_procs, process_id=proc_id,
+                           local_device_ids=[0, 1])
+from rau_vqa_tpu.parallel.mesh import make_multihost_mesh, shard_batch
+
+mesh = make_multihost_mesh(n_model=1)           # data axis = 4
+# GLOBAL batch 4 divides the data axis, but each process's LOCAL shard
+# (2 rows) does NOT — validating local dims against the global axis
+# (the old bug) spuriously rejected exactly this case
+full = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+loc = full[proc_id * 2:(proc_id + 1) * 2]
+arr = shard_batch(mesh, loc)
+assert arr.shape == (4, 3), arr.shape
+got = np.asarray(jax.jit(lambda x: x.sum(), out_shardings=None)(arr))
+if proc_id == 0:
+    with open(out_path, "w") as f:
+        json.dump({"sum": float(got), "want": float(full.sum())}, f)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RAU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+@pytest.mark.slow
+@pytest.mark.multiproc
+def test_shard_batch_local_shard_smaller_than_data_axis(tmp_path):
+    """Regression: a valid multi-host batch whose PER-PROCESS shard is
+    smaller than the global 'data' axis must shard, not raise."""
+    out = _run_two_procs(SHARD_BATCH_WORKER, tmp_path)
+    assert out["sum"] == out["want"]
+
+
 @pytest.mark.skipif(os.environ.get("RAU_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
 @pytest.mark.slow
