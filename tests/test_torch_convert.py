@@ -53,6 +53,66 @@ def test_snapshot_file_roundtrip(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+def test_t7_codec_fuzz_roundtrip(tmp_path):
+    """Randomized nested tables/tensors round-trip bit-exactly through the
+    from-scratch t7 codec (save_t7 -> load_t7)."""
+    import random
+
+    from rau_vqa_tpu.data.t7 import load_t7, save_t7
+
+    rng = random.Random(11)
+    rs = np.random.RandomState(11)
+
+    def rand_obj(depth):
+        kinds = ["f32", "f64", "i64", "u8", "num", "str", "bool", "none"]
+        if depth < 3:
+            kinds += ["dict", "list"] * 2
+        k = rng.choice(kinds)
+        if k == "f32":
+            return rs.randn(rng.randint(1, 5), rng.randint(1, 5)) \
+                     .astype(np.float32)
+        if k == "f64":
+            return rs.randn(rng.randint(1, 6)).astype(np.float64)
+        if k == "i64":
+            return rs.randint(-9, 9, rng.randint(1, 4)).astype(np.int64)
+        if k == "u8":
+            return rs.randint(0, 255, rng.randint(1, 7)).astype(np.uint8)
+        if k == "num":
+            return float(rs.randn())
+        if k == "str":
+            return "".join(rng.choice("abc xyz'?") for _ in range(6))
+        if k == "bool":
+            return bool(rng.getrandbits(1))
+        if k == "none":
+            return None
+        if k == "list":
+            return [rand_obj(depth + 1) for _ in range(rng.randint(1, 4))]
+        return {f"k{j}": rand_obj(depth + 1)
+                for j in range(rng.randint(1, 4))}
+
+    def assert_same(a, b):
+        if isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, b)
+        elif isinstance(a, dict):
+            assert set(a) == set(b)
+            for k in a:
+                assert_same(a[k], b[k])
+        elif isinstance(a, list):
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                assert_same(x, y)
+        elif a is None or isinstance(a, (bool, str)):
+            assert a == b, (a, b)
+        else:   # numbers ride Lua doubles
+            assert float(a) == b, (a, b)
+
+    for trial in range(25):
+        obj = {"root": rand_obj(0)}
+        path = str(tmp_path / f"fuzz{trial}.t7")
+        save_t7(path, obj)
+        assert_same(obj, load_t7(path))
+
+
 def test_wrong_size_fails():
     with pytest.raises(ValueError, match="flat vector"):
         flat_to_group(np.zeros(10, np.float32), CFG, "embed")
