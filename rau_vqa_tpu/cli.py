@@ -286,7 +286,10 @@ def _make_source_and_backbone(args, exp):
                     f"({mcfg.cnn_w}x{mcfg.cnn_h})")
         else:
             grid = args.image_size // 32   # vgg16/resnet101 are stride-32
-            if grid * grid != mcfg.cnn_spat:
+            # exact multiple required: the ceil-behaving strided convs
+            # would produce a BIGGER grid for a non-multiple (479 -> 15x15,
+            # not 14x14) and floor division would wave it through
+            if args.image_size % 32 or grid * grid != mcfg.cnn_spat:
                 raise SystemExit(
                     f"--image-size {args.image_size} gives a {grid}x{grid}"
                     f"={grid * grid} feature grid but the model config "
@@ -714,7 +717,7 @@ def cmd_export(args) -> int:
                 # feature grid dictates the input side
                 args.image_size = mcfg.cnn_w * 32
             grid = args.image_size // 32
-            if grid * grid != mcfg.cnn_spat:
+            if args.image_size % 32 or grid * grid != mcfg.cnn_spat:
                 raise SystemExit(
                     f"--image-size {args.image_size} gives a "
                     f"{grid}x{grid}={grid * grid} feature grid but the "
