@@ -62,24 +62,8 @@ def main() -> None:
                          "dynamic activation quant; resnet101 only)")
     args = ap.parse_args()
 
-    # armed BEFORE the first device touch: a hung tunnel blocks forever
-    # and a hung bench is an uninterpretable artifact
-    from rau_vqa_tpu.utils.rigcheck import bench_watchdog
-    watchdog = bench_watchdog("pixels_questions_per_sec_per_chip",
-                              "questions/sec")
-
-    import jax
-    import jax.numpy as jnp
-
-    from rau_vqa_tpu.config import get_preset
-    from rau_vqa_tpu.models.backbones.resnet import resnet101_init
-    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
-    from rau_vqa_tpu.models.pipeline import extract_features
-    from rau_vqa_tpu.models.rau import init_params
-    from rau_vqa_tpu.eval.predict import predict
-
-    # pure-flag validation BEFORE any device touch (init_params dispatches
-    # through the tunnel; a flag typo must not wait on a remote compile)
+    # pure-flag validation first: a typo must fail instantly,
+    # before the watchdog/preflight/any device touch
     if args.s2d and (args.no_fold_bn or args.int8):
         raise SystemExit("--s2d needs the folded f32/bf16 tree: it cannot "
                          "combine with --no-fold-bn or --int8")
@@ -92,6 +76,26 @@ def main() -> None:
                          f"{args.backbone} run as the requested variant")
     if args.rounds < 1:
         raise SystemExit("--rounds must be >= 1")
+
+    # armed BEFORE the first device touch: a hung tunnel blocks forever
+    # and a hung bench is an uninterpretable artifact
+    from rau_vqa_tpu.utils.rigcheck import bench_watchdog
+    watchdog = bench_watchdog("pixels_questions_per_sec_per_chip",
+                              "questions/sec")
+    # fast hang-proof probe: a hard-hung tunnel fails in ~2 min with the
+    # same parseable error line instead of burning the 2400 s deadline
+    from rau_vqa_tpu.utils.rigcheck import bench_preflight
+    bench_preflight("pixels_questions_per_sec_per_chip", "questions/sec")
+
+    import jax
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.models.backbones.resnet import resnet101_init
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.models.pipeline import extract_features
+    from rau_vqa_tpu.models.rau import init_params
+    from rau_vqa_tpu.eval.predict import predict
 
     preset = {"resnet101": "ours_resnet", "vgg16": "ours_ms",
               "vit": "ours_vit"}[args.backbone]

@@ -115,6 +115,39 @@ def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     return t
 
 
+def bench_preflight(metric: str, unit: str,
+                    timeout_s: float = 120.0) -> Dict[str, object]:
+    """Fast, hang-proof device probe BEFORE the expensive bench body.
+
+    The watchdog alone budgets 2400 s for slow-but-healthy compiles, so a
+    hard-hung tunnel burns 40 minutes before the error line appears.
+    This probes the device in a killable subprocess (the doctor's
+    mechanism) first: unreachable/hung -> print the same driver-parseable
+    error JSON line and exit 3 within ~2 minutes.  Returns the probe
+    result when healthy."""
+    import json
+    import sys
+
+    from rau_vqa_tpu.utils.doctor import _DEVICE_PROBE, _probe
+
+    r = _probe(_DEVICE_PROBE.format(force_cpu=""), timeout_s)
+    if r["status"] != "ok":
+        print(json.dumps({
+            "metric": metric,
+            "value": 0.0,
+            "unit": unit,
+            "vs_baseline": 0.0,
+            "error": f"preflight: device probe {r['status']} "
+                     f"({r.get('detail', '')}) — TPU tunnel "
+                     f"unreachable/hung (see BASELINE.md 'Environment "
+                     f"caveats'; diagnose with `rau-vqa doctor`)",
+        }), flush=True)
+        sys.stderr.write("bench: device preflight failed, aborting\n")
+        sys.stderr.flush()
+        raise SystemExit(3)
+    return r
+
+
 class StallWatchdog:
     """Progress deadline for long-running device jobs (precompute sweeps):
     if ``poke()`` is not called within ``timeout_s``, print a diagnosis and

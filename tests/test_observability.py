@@ -239,6 +239,30 @@ def test_bench_watchdog_fire_and_cancel():
     assert line["value"] == 0.0 and "watchdog" in line["error"]
 
 
+def test_bench_preflight(monkeypatch, capsys):
+    """A hung/erroring device probe exits 3 with the driver-parseable
+    error JSON line (fast path of the watchdog contract); a healthy probe
+    passes through."""
+    import json
+
+    import pytest
+
+    from rau_vqa_tpu.utils import doctor, rigcheck
+
+    monkeypatch.setattr(doctor, "_probe",
+                        lambda code, t: {"status": "hung", "detail": "x"})
+    with pytest.raises(SystemExit) as ex:
+        rigcheck.bench_preflight("m", "u", timeout_s=1.0)
+    assert ex.value.code == 3
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "m" and "preflight" in line["error"]
+
+    monkeypatch.setattr(doctor, "_probe",
+                        lambda code, t: {"status": "ok", "n": 1,
+                                         "platform": "cpu", "kind": "cpu"})
+    assert rigcheck.bench_preflight("m", "u")["n"] == 1
+
+
 def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
     """_probe classifies ok/hung/error via subprocess+timeout (a hung
     tunnel never raises — the timeout IS the detection); the CLI prints a
