@@ -128,6 +128,17 @@ def bench_preflight(metric: str, unit: str,
     import json
     import sys
 
+    try:
+        import jax
+        if str(getattr(jax.config, "jax_platforms", None) or "") \
+                .lower() == "cpu":
+            # this process is pinned to CPU (smoke runs, tests): nothing
+            # to dial, and the subprocess probe would use the DEFAULT env
+            # (the tunnel) and wrongly abort a deliberate CPU run
+            return {"status": "ok", "platform": "cpu"}
+    except Exception:
+        pass
+
     from rau_vqa_tpu.utils.doctor import _DEVICE_PROBE, _probe
 
     r = _probe(_DEVICE_PROBE.format(force_cpu=""), timeout_s)
