@@ -115,8 +115,8 @@ def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     return t
 
 
-def bench_preflight(metric: str, unit: str,
-                    timeout_s: float = 120.0) -> Dict[str, object]:
+def bench_preflight(metric: str, unit: str, timeout_s: float = 120.0,
+                    honor_cpu_pin: bool = True) -> Dict[str, object]:
     """Fast, hang-proof device probe BEFORE the expensive bench body.
 
     The watchdog alone budgets 2400 s for slow-but-healthy compiles, so a
@@ -130,7 +130,8 @@ def bench_preflight(metric: str, unit: str,
 
     try:
         import jax
-        if str(getattr(jax.config, "jax_platforms", None) or "") \
+        if honor_cpu_pin and str(
+                getattr(jax.config, "jax_platforms", None) or "") \
                 .lower() == "cpu":
             # this process is pinned to CPU (smoke runs, tests): nothing
             # to dial, and the subprocess probe would use the DEFAULT env

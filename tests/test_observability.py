@@ -249,10 +249,13 @@ def test_bench_preflight(monkeypatch, capsys):
 
     from rau_vqa_tpu.utils import doctor, rigcheck
 
+    # honor_cpu_pin=False: the test env pins jax to CPU (conftest), which
+    # the production default rightly short-circuits
     monkeypatch.setattr(doctor, "_probe",
                         lambda code, t: {"status": "hung", "detail": "x"})
     with pytest.raises(SystemExit) as ex:
-        rigcheck.bench_preflight("m", "u", timeout_s=1.0)
+        rigcheck.bench_preflight("m", "u", timeout_s=1.0,
+                                 honor_cpu_pin=False)
     assert ex.value.code == 3
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["metric"] == "m" and "preflight" in line["error"]
@@ -260,7 +263,12 @@ def test_bench_preflight(monkeypatch, capsys):
     monkeypatch.setattr(doctor, "_probe",
                         lambda code, t: {"status": "ok", "n": 1,
                                          "platform": "cpu", "kind": "cpu"})
-    assert rigcheck.bench_preflight("m", "u")["n"] == 1
+    assert rigcheck.bench_preflight("m", "u", honor_cpu_pin=False)["n"] == 1
+    # the cpu-pin short-circuit itself: no subprocess probe at all
+    monkeypatch.setattr(doctor, "_probe",
+                        lambda code, t: (_ for _ in ()).throw(
+                            AssertionError("probe must not run")))
+    assert rigcheck.bench_preflight("m", "u")["platform"] == "cpu"
 
 
 def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
