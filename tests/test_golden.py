@@ -36,3 +36,20 @@ def test_golden_answers():
     np.testing.assert_allclose(np.asarray(tab_pred[-1, 0]),
                                np.asarray(gold["select_scores_row0"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_golden_answer_normalization():
+    """Freeze the official-metric normalization pipeline: these pairs pin
+    every quirk (space-aware punctuation, decimal-preserving periods,
+    digit-grouping commas, number words, article drop, contraction
+    repair, the deliberately-dead 'im'/'ive' keys) across rounds — a
+    change here silently changes every reported official accuracy."""
+    import json as _json
+
+    from rau_vqa_tpu.eval.vqa_accuracy import normalize_answer
+
+    with open(os.path.join(GOLDEN, "normalization.json")) as f:
+        frozen = _json.load(f)
+    assert len(frozen) >= 30
+    for raw, want in frozen.items():
+        assert normalize_answer(raw) == want, (raw, want)
