@@ -285,11 +285,16 @@ def _make_source_and_backbone(args, exp):
                     f"model config expects cnn_spat={mcfg.cnn_spat} "
                     f"({mcfg.cnn_w}x{mcfg.cnn_h})")
         else:
-            grid = args.image_size // 32   # vgg16/resnet101 are stride-32
             # exact multiple required: the ceil-behaving strided convs
             # would produce a BIGGER grid for a non-multiple (479 -> 15x15,
             # not 14x14) and floor division would wave it through
-            if args.image_size % 32 or grid * grid != mcfg.cnn_spat:
+            if args.image_size % 32:
+                raise SystemExit(
+                    f"--image-size {args.image_size} is not a multiple of "
+                    f"32 (the conv backbones are stride-32) — use "
+                    f"--image-size {mcfg.cnn_w * 32}")
+            grid = args.image_size // 32   # vgg16/resnet101 are stride-32
+            if grid * grid != mcfg.cnn_spat:
                 raise SystemExit(
                     f"--image-size {args.image_size} gives a {grid}x{grid}"
                     f"={grid * grid} feature grid but the model config "
@@ -716,8 +721,13 @@ def cmd_export(args) -> int:
                 # the conv backbones are stride-32: the snapshot's
                 # feature grid dictates the input side
                 args.image_size = mcfg.cnn_w * 32
+            if args.image_size % 32:
+                raise SystemExit(
+                    f"--image-size {args.image_size} is not a multiple "
+                    f"of 32 (the conv backbones are stride-32) — use "
+                    f"--image-size {mcfg.cnn_w * 32}")
             grid = args.image_size // 32
-            if args.image_size % 32 or grid * grid != mcfg.cnn_spat:
+            if grid * grid != mcfg.cnn_spat:
                 raise SystemExit(
                     f"--image-size {args.image_size} gives a "
                     f"{grid}x{grid}={grid * grid} feature grid but the "

@@ -73,6 +73,24 @@ def matmul_canary(n: int = 4096, iters: int = 400,
     }
 
 
+def _emit_error_line(metric: str, unit: str, error: str,
+                     note: str) -> None:
+    """THE driver-parseable failure artifact — one schema, shared by the
+    watchdog and the preflight so the contract cannot fork."""
+    import json
+    import sys
+
+    print(json.dumps({
+        "metric": metric,
+        "value": 0.0,
+        "unit": unit,
+        "vs_baseline": 0.0,
+        "error": error,
+    }), flush=True)
+    sys.stderr.write(note + "\n")
+    sys.stderr.flush()
+
+
 def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     """Arm a deadline for a benchmark process: if the bench has not
     completed within ``timeout_s``, print ONE driver-parseable JSON line
@@ -90,23 +108,15 @@ def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
 
     Returns the timer; call ``.cancel()`` once the real JSON line is out.
     """
-    import json
     import os
-    import sys
     import threading
 
     def _fire():
-        print(json.dumps({
-            "metric": metric,
-            "value": 0.0,
-            "unit": unit,
-            "vs_baseline": 0.0,
-            "error": f"watchdog: no result within {timeout_s:.0f}s — "
-                     f"TPU tunnel unreachable/hung (see BASELINE.md "
-                     f"'Environment caveats')",
-        }), flush=True)
-        sys.stderr.write("bench: watchdog fired, aborting\n")
-        sys.stderr.flush()
+        _emit_error_line(
+            metric, unit,
+            f"watchdog: no result within {timeout_s:.0f}s — TPU tunnel "
+            f"unreachable/hung (see BASELINE.md 'Environment caveats')",
+            "bench: watchdog fired, aborting")
         os._exit(3)
 
     t = threading.Timer(timeout_s, _fire)
@@ -122,12 +132,12 @@ def bench_preflight(metric: str, unit: str, timeout_s: float = 120.0,
     The watchdog alone budgets 2400 s for slow-but-healthy compiles, so a
     hard-hung tunnel burns 40 minutes before the error line appears.
     This probes the device in a killable subprocess (the doctor's
-    mechanism) first: unreachable/hung -> print the same driver-parseable
-    error JSON line and exit 3 within ~2 minutes.  Returns the probe
-    result when healthy."""
-    import json
-    import sys
-
+    mechanism) first: unreachable/hung — or silently resolved to the CPU
+    FALLBACK backend (the platform list is 'axon,cpu', so a fast-failing
+    plugin lands on cpu and the bench would emit a TPU-labeled number
+    measured on host) -> print the same driver-parseable error JSON line
+    and exit 3 within ~2 minutes.  Returns the probe result when
+    healthy."""
     try:
         import jax
         if honor_cpu_pin and str(
@@ -143,19 +153,20 @@ def bench_preflight(metric: str, unit: str, timeout_s: float = 120.0,
     from rau_vqa_tpu.utils.doctor import _DEVICE_PROBE, _probe
 
     r = _probe(_DEVICE_PROBE.format(force_cpu=""), timeout_s)
+    if r["status"] == "ok" and r.get("platform") == "cpu":
+        r = {"status": "cpu-fallback",
+             "detail": "the accelerator plugin failed fast and "
+                       "jax.devices() resolved to the CPU fallback — a "
+                       "TPU-labeled number measured on host would be "
+                       "garbage"}
     if r["status"] != "ok":
-        print(json.dumps({
-            "metric": metric,
-            "value": 0.0,
-            "unit": unit,
-            "vs_baseline": 0.0,
-            "error": f"preflight: device probe {r['status']} "
-                     f"({r.get('detail', '')}) — TPU tunnel "
-                     f"unreachable/hung (see BASELINE.md 'Environment "
-                     f"caveats'; diagnose with `rau-vqa doctor`)",
-        }), flush=True)
-        sys.stderr.write("bench: device preflight failed, aborting\n")
-        sys.stderr.flush()
+        _emit_error_line(
+            metric, unit,
+            f"preflight: device probe {r['status']} "
+            f"({r.get('detail', '')}) — TPU unreachable/hung/fallback "
+            f"(see BASELINE.md 'Environment caveats'; diagnose with "
+            f"`rau-vqa doctor`)",
+            "bench: device preflight failed, aborting")
         raise SystemExit(3)
     return r
 

@@ -262,8 +262,16 @@ def test_bench_preflight(monkeypatch, capsys):
 
     monkeypatch.setattr(doctor, "_probe",
                         lambda code, t: {"status": "ok", "n": 1,
-                                         "platform": "cpu", "kind": "cpu"})
+                                         "platform": "axon", "kind": "tpu"})
     assert rigcheck.bench_preflight("m", "u", honor_cpu_pin=False)["n"] == 1
+    # an UNPINNED probe resolving to the CPU fallback is a failure too:
+    # the bench would emit a TPU-labeled number measured on host
+    monkeypatch.setattr(doctor, "_probe",
+                        lambda code, t: {"status": "ok", "n": 1,
+                                         "platform": "cpu", "kind": "cpu"})
+    with pytest.raises(SystemExit):
+        rigcheck.bench_preflight("m", "u", honor_cpu_pin=False)
+    assert "fallback" in capsys.readouterr().out
     # the cpu-pin short-circuit itself: no subprocess probe at all
     monkeypatch.setattr(doctor, "_probe",
                         lambda code, t: (_ for _ in ()).throw(
