@@ -23,6 +23,17 @@ import os
 import sys
 
 
+def _pin_platform(name: str) -> None:
+    """Re-pin the JAX platform via jax.config (env vars are too late here:
+    this rig's sitecustomize imports jax at interpreter start and pins the
+    platform through jax.config, so only another config update wins)."""
+    if name not in ("cpu", "tpu", "axon"):
+        raise SystemExit(
+            f"rau-vqa: --platform must be cpu|tpu|axon, got {name!r}")
+    import jax
+    jax.config.update("jax_platforms", name)
+
+
 def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vqa-dir", default=None,
                    help="directory with data_prepro.{json,h5}")
@@ -991,6 +1002,14 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="rau-vqa",
         description="TPU-native Recurrent Answering Units VQA framework")
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="pin the JAX platform before any device use (goes BEFORE the "
+             "subcommand).  '--platform cpu' keeps every subcommand usable "
+             "during a TPU-tunnel outage: the env var JAX_PLATFORMS is too "
+             "late on this rig because a sitecustomize re-pins the platform "
+             "via jax.config at interpreter start — this flag re-pins it "
+             "back (see 'rau-vqa doctor')")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_train = sub.add_parser("train", help="train a preset experiment")
@@ -1236,6 +1255,15 @@ def main(argv=None) -> int:
     _add_common_data_flags(p_serve)
 
     raw = sys.argv[1:] if argv is None else list(argv)
+    # honor a leading --platform before the bench-pixels passthrough too
+    if len(raw) >= 2 and raw[0] == "--platform":
+        _pin_platform(raw[1])
+        raw = raw[2:]
+        argv = raw
+    elif raw and raw[0].startswith("--platform="):
+        _pin_platform(raw[0].split("=", 1)[1])
+        raw = raw[1:]
+        argv = raw
     if raw and raw[0] == "bench-pixels":
         # passthrough: bench_pixels owns its own argparse surface.  It
         # lives at the repo root (outside the package), so resolve it from
@@ -1249,6 +1277,8 @@ def main(argv=None) -> int:
         bench_pixels.main()
         return 0
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):  # e.g. main(["--platform", ...])
+        _pin_platform(args.platform)
     if args.command == "bench":
         # bench.py lives at the repo root, outside the package — resolve
         # like the bench-pixels passthrough (a bare import only works when

@@ -257,3 +257,21 @@ def test_load_backbone_state_vgg(tmp_path):
     assert params["convs"][-1]["w"].shape == (3, 3, 512, 512)
     with pytest.raises(SystemExit):
         _load_backbone_state("vgg16", "")
+
+
+def test_platform_flag(tmp_path):
+    """--platform pins jax_platforms before dispatch (outage escape hatch);
+    both '--platform cpu' and '--platform=cpu' forms; bogus names fail
+    loudly.  Under the test env the pin is already cpu, so asserting the
+    config value is exact."""
+    import jax
+
+    rc = main(["--platform", "cpu", "fixture", "--out",
+               str(tmp_path / "a")])
+    assert rc == 0
+    assert str(jax.config.jax_platforms) == "cpu"
+    rc = main(["--platform=cpu", "fixture", "--out", str(tmp_path / "b")])
+    assert rc == 0
+    with pytest.raises(SystemExit, match="cpu|tpu|axon"):
+        main(["--platform", "bogus", "fixture", "--out",
+              str(tmp_path / "c")])
