@@ -156,6 +156,12 @@ def format_report(report: Dict[str, Any]) -> str:
         else:
             lines.append(f"  {c['status'].upper():5s} {key} — "
                          f"{c.get('detail', '')}")
-    lines.append("healthy" if report["healthy"] else
-                 "UNHEALTHY — see failed checks above")
+    if report["healthy"]:
+        lines.append("healthy")
+    else:
+        lines.append("UNHEALTHY — see failed checks above")
+        if (report.get("device", {}).get("status") != "ok"
+                and report.get("cpu", {}).get("status") == "ok"):
+            lines.append("  hint: every subcommand still works on host via "
+                         "'rau-vqa --platform cpu <command> ...'")
     return "\n".join(lines)

@@ -305,6 +305,8 @@ def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
     }
     text = doc.format_report(fake)
     assert "HUNG" in text and "UNHEALTHY" in text and "8x cpu" in text
+    # hung device + live host -> the report points at the escape hatch
+    assert "--platform cpu" in text
 
     from rau_vqa_tpu import cli
     monkeypatch.setattr(doc, "run_doctor", lambda **kw: fake)
