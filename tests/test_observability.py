@@ -315,3 +315,28 @@ def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
     out = capsys.readouterr()
     assert json.loads(out.out.strip().splitlines()[-1])["healthy"] is False
     assert "UNHEALTHY" in out.err
+
+
+def test_error_line_carries_last_measured(monkeypatch, capsys):
+    """During an outage the failure artifact stays interpretable: the
+    error JSON line embeds the most recent healthy-rig measurement
+    recorded for the same metric under benchmarks/ (value stays 0.0 —
+    nothing was measured THIS run)."""
+    import json
+
+    from rau_vqa_tpu.utils import rigcheck
+
+    rec = rigcheck._last_recorded("vqa_questions_per_sec_per_chip")
+    assert rec is not None and rec["value"] > 0 and rec["round"] >= 3
+
+    rigcheck._emit_error_line("vqa_questions_per_sec_per_chip",
+                              "questions/sec", "boom", "note")
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0.0 and line["error"] == "boom"
+    assert line["last_measured"]["value"] == rec["value"]
+
+    # unknown metric: no last_measured field, never raises
+    assert rigcheck._last_recorded("no_such_metric") is None
+    rigcheck._emit_error_line("no_such_metric", "u", "boom", "note")
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "last_measured" not in line
