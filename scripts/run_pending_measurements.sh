@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# One command to capture every measurement currently blocked on the TPU
+# tunnel outage (BASELINE.md "2026-08-18 tunnel outage").  Run it the
+# moment `rau-vqa doctor` reports the device ok; each step is
+# watchdog-guarded, so a mid-run relapse produces parseable error lines
+# instead of a hang.  Outputs land under benchmarks/pending/ with one
+# .json (last stdout JSON line) and one .log per step.
+#
+# Usage: bash scripts/run_pending_measurements.sh [outdir]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-benchmarks/pending}
+mkdir -p "$OUT"
+
+run() { # name, cmd...
+  local name=$1; shift
+  echo "=== $name: $*" | tee -a "$OUT/$name.log"
+  "$@" >"$OUT/$name.stdout" 2>>"$OUT/$name.log"
+  local rc=$?
+  tail -n 1 "$OUT/$name.stdout" >"$OUT/$name.json"
+  echo "--- $name rc=$rc: $(cat "$OUT/$name.json")"
+}
+
+# preflight once; abort the whole sweep early on a hung tunnel
+if ! timeout 240 python -m rau_vqa_tpu.cli doctor >"$OUT/doctor.json" 2>&1; then
+  echo "doctor UNHEALTHY — not measuring (see $OUT/doctor.json)"; exit 3
+fi
+
+# 1. headline question-path serving (median of 5 + canary)
+run bench python bench.py
+
+# 2. from-pixels serving (ResNet-101-448 B=64 default)
+run bench_pixels python bench_pixels.py
+
+# 3. precompute-features throughput (never measured on the real chip)
+run bench_precompute python scripts/bench_precompute.py
+
+# 4. serving batch-size knee (B=1024..8192 interleaved sweep)
+run probe_serving_batch python scripts/probe_serving_batch.py
+
+echo "all pending measurements captured under $OUT/"
