@@ -164,3 +164,35 @@ def test_image_dir_source_native_backend_and_fallback(tmp_path):
     assert batch2.shape == (2, 48, 48, 3)
     # the JPEG's pixels must NOT depend on its batch-mates
     np.testing.assert_array_equal(batch2[0], batch[0])
+
+
+@pytest.mark.slow
+def test_ring_pool_tsan_clean(tmp_path):
+    """ThreadSanitizer stress harness over the ring + worker pool (the
+    race-detection subsystem, SURVEY.md §5): 200 batches over 3 slots with
+    depth-3 pipelining plus 3 concurrent sync-gather threads, every byte
+    verified, zero TSan reports.  Skips where g++/libtsan is unavailable."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native_dir = os.path.join(repo, "native")
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    build = subprocess.run(["make", "-C", native_dir, "race_test"],
+                           capture_output=True, text=True, timeout=300)
+    if build.returncode != 0:
+        if "tsan" in (build.stdout + build.stderr).lower():
+            pytest.skip("libtsan unavailable: " + build.stderr[-200:])
+        raise AssertionError("race_test build failed:\n" + build.stderr)
+
+    row_bytes, n_rows = 257, 512          # must match race_test.cpp
+    arr = ((np.arange(row_bytes)[None, :]
+            + 31 * np.arange(n_rows)[:, None]) & 0xFF).astype(np.uint8)
+    path = str(tmp_path / "rows.bin")
+    arr.tofile(path)
+    run = subprocess.run([os.path.join(native_dir, "race_test"), path],
+                         capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, (
+        f"race_test rc={run.returncode}\n{run.stdout}\n{run.stderr[-3000:]}")
+    assert "race_test ok" in run.stdout
