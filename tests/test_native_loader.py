@@ -196,3 +196,47 @@ def test_ring_pool_tsan_clean(tmp_path):
     assert run.returncode == 0, (
         f"race_test rc={run.returncode}\n{run.stdout}\n{run.stderr[-3000:]}")
     assert "race_test ok" in run.stdout
+
+
+@pytest.mark.slow
+def test_decode_pool_tsan_clean(tmp_path):
+    """TSan harness for the image-decode pool: 8-thread decode of a mixed
+    jpg/png/corrupt batch is byte-identical to single-threaded, 5 rounds,
+    zero TSan reports."""
+    import shutil
+    import subprocess
+
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native_dir = os.path.join(repo, "native")
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    build = subprocess.run(["make", "-C", native_dir, "decode_race_test"],
+                           capture_output=True, text=True, timeout=300)
+    if build.returncode != 0:
+        blob = (build.stdout + build.stderr).lower()
+        if "tsan" in blob or "ljpeg" in blob or "lpng" in blob:
+            pytest.skip("toolchain unavailable: " + build.stderr[-200:])
+        raise AssertionError("decode_race_test build failed:\n"
+                             + build.stderr)
+
+    rs = np.random.RandomState(0)
+    paths = []
+    for i in range(16):
+        arr = rs.randint(0, 256, (80 + 7 * i, 95 + 5 * i, 3), dtype=np.uint8)
+        p = str(tmp_path / f"i{i}.jpg")
+        Image.fromarray(arr).save(p, quality=80)
+        paths.append(p)
+    png = str(tmp_path / "x.png")
+    Image.fromarray(rs.randint(0, 256, (50, 60, 3), dtype=np.uint8)).save(png)
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8garbage")
+    run = subprocess.run(
+        [os.path.join(native_dir, "decode_race_test"), "64"]
+        + paths + [png, bad],
+        capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, (
+        f"rc={run.returncode}\n{run.stdout}\n{run.stderr[-3000:]}")
+    assert "decode_race_test ok" in run.stdout
