@@ -767,3 +767,68 @@ def test_checkpoint_flush_interrupted_requeues(monkeypatch):
         assert not ck._pending
     finally:
         ck._pending.clear()
+
+
+def test_checkpoint_fuzz_roundtrip(tmp_path):
+    """Randomized nested-pytree save/load fuzz for the msgpack checkpoint
+    codec: arbitrary dict nesting, mixed dtypes (f32/f16/bf16/i32/i8/bool),
+    0-d and zero-length arrays, python scalars — bit-exact roundtrip, and
+    validate_tree_shapes still rejects a shape mutation of a random leaf."""
+    import jax.numpy as jnp
+
+    import rau_vqa_tpu.utils.checkpoint as ck
+
+    rs = np.random.RandomState(7)
+    dtypes = [np.float32, np.float16, jnp.bfloat16, np.int32, np.int8,
+              np.bool_]
+
+    def rand_leaf():
+        dt = dtypes[rs.randint(len(dtypes))]
+        ndim = rs.randint(0, 4)
+        shape = tuple(int(rs.randint(0, 5)) for _ in range(ndim))
+        raw = np.asarray(rs.randn(*shape)) * 100
+        if dt is np.bool_:
+            return np.asarray(raw > 0, np.bool_)
+        return np.asarray(raw.astype(dt))
+
+    def rand_tree(depth):
+        if depth == 0 or rs.rand() < 0.3:
+            return rand_leaf()
+        return {f"k{i}": rand_tree(depth - 1)
+                for i in range(rs.randint(1, 4))}
+
+    for trial in range(10):
+        tree = {"params": rand_tree(3), "step": int(rs.randint(1 << 30)),
+                "epoch_f": float(rs.randn())}
+        d = str(tmp_path / f"fuzz{trial}")
+        path = ck.save_checkpoint(d, trial, float(trial), tree)
+        loaded, meta = ck.load_checkpoint(path, tree)
+        assert meta["step"] == trial
+
+        flat_a = jax.tree_util.tree_leaves_with_path(tree)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(loaded))
+        assert len(flat_a) == len(flat_b)
+        for key, a in flat_a:
+            b = flat_b[key]
+            a = np.asarray(a)
+            b = np.asarray(b)
+            assert a.dtype == b.dtype, (key, a.dtype, b.dtype)
+            assert a.shape == b.shape, (key, a.shape, b.shape)
+            np.testing.assert_array_equal(a, b, err_msg=str(key))
+
+        # template with one mutated array leaf -> loud shape rejection
+        paths = [k for k, v in flat_a if np.asarray(v).ndim > 0]
+        if not paths:
+            continue
+        victim = paths[rs.randint(len(paths))]
+
+        def mutate(p, leaf):
+            if p == victim:
+                return np.zeros(tuple(s + 1 for s in
+                                      np.asarray(leaf).shape),
+                                np.asarray(leaf).dtype)
+            return leaf
+
+        bad = jax.tree_util.tree_map_with_path(mutate, tree)
+        with pytest.raises(ValueError):
+            ck.load_checkpoint(path, bad)
