@@ -245,3 +245,62 @@ def test_prepro_to_training_self_sufficient(tmp_path):
     assert np.isfinite(rec["loss"])
     res = trainer.evaluate(write_submissions=False)
     assert all(np.isfinite(a) for a in res["testOEacc"])
+
+
+def test_prepro_fuzz_adversarial_questions(tmp_path):
+    """Property fuzz over adversarial question text: unicode, regex
+    specials, punctuation runs, empty and >max_length questions.  The
+    bundle must build, load through the standard loader, and keep the
+    contract invariants (0-based tokens < vocab, pads zero past length,
+    length >= 1, truncation at the h5 width)."""
+    import numpy as np
+
+    from rau_vqa_tpu.data import load_vqa_data
+    from rau_vqa_tpu.data.prepro import (
+        Entry,
+        PreproConfig,
+        build_prepro,
+        tokenize,
+    )
+
+    rs = np.random.RandomState(11)
+    pieces = ["what", "is", "Straße", "naïve", "日本", "🤔", "a+b", "50%",
+              "[x]", "(y)", "\\d+", "c:\\\\path", "end.", "--", "''",
+              '"quoted"', "semi;colon", "a\nb", "tab\tsep", "?", "!!!",
+              "<tag>", "x^2", "#1", "$5", "&amp", "*star*", "=eq="]
+    answers = ["yes", "no", "maybe", "2", "répondre"]
+
+    def rand_question(i):
+        if i % 17 == 0:
+            return ""                       # empty question
+        n = 40 if i % 13 == 0 else rs.randint(1, 9)   # some overlong
+        return " ".join(rs.choice(pieces, n))
+
+    def entries(split, n, base, annotated):
+        return [Entry(question_id=base + i, split=split, image_id=i % 3,
+                      question=rand_question(i),
+                      answer=answers[i % len(answers)] if annotated
+                      else None)
+                for i in range(n)]
+
+    cfg = PreproConfig(num_answers=4, max_length=26, word_threshold=0)
+    out = str(tmp_path / "bundle")
+    summary = build_prepro(
+        [("train2014", entries("train2014", 120, 1000, True))],
+        entries("val2014", 40, 2000, True), out, cfg)
+    assert summary["n_train"] > 0 and summary["vocab_size"] > 1
+
+    data = load_vqa_data(out, batch_size=8, split="val2014")
+    for sd in (data.train_data, data.test_data):
+        toks = np.asarray(sd.questions)
+        lens = np.asarray(sd.lengths)
+        assert toks.min() >= 0 and toks.max() < data.vocab_size
+        assert lens.min() >= 1 and lens.max() <= cfg.max_length
+        cols = np.arange(toks.shape[1])[None, :]
+        # 0 = ZEROPAD everywhere at/after each row's length
+        assert (toks[cols >= lens[:, None]] == 0).all()
+
+    # tokenize is total and never emits empties on any fuzz string
+    for i in range(200):
+        for t in tokenize(rand_question(i)):
+            assert t and t != " "
