@@ -16,6 +16,7 @@
 // Usage: race_test <packed_file>   (file laid out as n_rows rows of
 // row_bytes, each row filled with pattern byte (row * 31 + j) & 0xff)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -82,7 +83,7 @@ int main(int argc, char** argv) {
   // background contention: the synchronous gather path hammering the same
   // mmap from 3 threads while the ring pipelines
   std::vector<std::thread> gatherers;
-  int gather_bad = 0;
+  std::atomic<int> gather_bad{0};  // written by all 3 gatherer threads
   for (int t = 0; t < 3; ++t) {
     gatherers.emplace_back([&, t] {
       uint64_t s = 0x9e3779b9u + t;
@@ -91,8 +92,7 @@ int main(int argc, char** argv) {
       for (int it = 0; it < 50; ++it) {
         for (auto& r : rows) r = int64_t(rng_next(&s) % kNRows);
         fl_gather(L, rows.data(), rows.size(), out.data());
-        if (verify_batch(out.data(), rows)) gather_bad = 1;  // racy flag is
-        // fine: only ever 0->1, checked after join
+        if (verify_batch(out.data(), rows)) gather_bad.store(1);
       }
     });
   }

@@ -1264,7 +1264,7 @@ def main(argv=None) -> int:
         _pin_platform(raw[0].split("=", 1)[1])
         raw = raw[1:]
         argv = raw
-    if raw and raw[0] == "bench-pixels":
+    def _run_bench_pixels(extra):
         # passthrough: bench_pixels owns its own argparse surface.  It
         # lives at the repo root (outside the package), so resolve it from
         # this file's location — a bare import only works from the root.
@@ -1273,12 +1273,22 @@ def main(argv=None) -> int:
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
         import bench_pixels
-        sys.argv = ["bench_pixels"] + raw[1:]
+        sys.argv = ["bench_pixels"] + list(extra)
         bench_pixels.main()
         return 0
+
+    if raw and raw[0] == "bench-pixels":
+        return _run_bench_pixels(raw[1:])
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):  # e.g. main(["--platform", ...])
         _pin_platform(args.platform)
+    if args.command == "bench-pixels":
+        # reached when the leading --platform was spelled in a form the
+        # raw pre-parse does not recognize (e.g. the argparse prefix
+        # abbreviation '--plat cpu bench-pixels'); bench_pixels flags
+        # cannot survive parse_args, so only the bare invocation lands
+        # here — still dispatch it rather than KeyError
+        return _run_bench_pixels([])
     if args.command == "bench":
         # bench.py lives at the repo root, outside the package — resolve
         # like the bench-pixels passthrough (a bare import only works when

@@ -112,11 +112,16 @@ def fold_batchnorm(params: Dict) -> Dict:
     optimization: ~104 normalize chains become conv bias adds, guaranteeing
     the epilogue fusion and dropping the 4x per-channel BN tensors).  The
     fold happens in f32 then casts back to the conv dtype; use the unfolded
-    tree for torch-parity tests."""
+    tree for torch-parity tests.
+
+    The tree carries NO flag leaves: apply derives 'folded' from the
+    absence of 'bn1' (a python bool in the pytree would become a traced
+    0-d array whenever the tree rides as a jit ARGUMENT — the serving
+    benches and the sharded predict pass it exactly that way — and
+    `if folded:` would raise TracerBoolConversionError)."""
     out: Dict = {
         "conv1": _fold_conv_bn(params["conv1"], params["bn1"]),
         "stages": [],
-        "folded": True,
     }
     for blocks in params["stages"]:
         fb = []
@@ -161,10 +166,11 @@ def space_to_depth_stem(params: Dict) -> Dict:
                         w8[2 * a + dy, 2 * b + dx]
     dtype = jnp.asarray(conv1["w"]).dtype
     out = dict(params)
+    # no flag leaf: apply recognizes the s2d stem by conv1's static 4x4x12
+    # weight shape (jit-arg safe; see fold_batchnorm docstring)
     out["conv1"] = {"w": jnp.asarray(ws, dtype),
                     "b": jnp.asarray(np.asarray(conv1["b"], np.float32),
-                                     dtype),
-                    "s2d": True}
+                                     dtype)}
     return out
 
 
@@ -189,9 +195,11 @@ def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
     """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
     [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout.  Accepts the
     plain (conv+BN) tree or a ``fold_batchnorm`` tree."""
-    folded = params.get("folded", False)
+    # flags derive from STATIC structure (keys/shapes), never bool leaves,
+    # so the tree can ride as a jit argument (fold_batchnorm docstring)
+    folded = "bn1" not in params
     x = x.astype(params["conv1"]["w"].dtype)  # follow param dtype (bf16 ok)
-    if folded and params["conv1"].get("s2d"):
+    if folded and params["conv1"]["w"].shape[:3] == (4, 4, 12):
         # space-to-depth stem: 4x4/1 conv on the 2x2-s2d grid, asymmetric
         # (2, 1) padding — exact equivalent of conv1 7x7/2 pad 3
         xs = _s2d(x)
@@ -228,7 +236,7 @@ def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
 def quantize_resnet(folded: Dict) -> Dict:
     """fold_batchnorm tree -> int8 tree: per-output-channel symmetric
     weight quantization (w_q int8, w_scale f32 [co]); biases stay f32."""
-    if not folded.get("folded"):
+    if "bn1" in folded or "b" not in folded["conv1"]:
         raise ValueError("quantize_resnet expects a fold_batchnorm tree")
 
     def q(conv):
@@ -239,7 +247,7 @@ def quantize_resnet(folded: Dict) -> Dict:
         return {"wq": jnp.asarray(wq), "wscale": jnp.asarray(scale),
                 "b": jnp.asarray(np.asarray(conv["b"], np.float32))}
 
-    out: Dict = {"conv1": q(folded["conv1"]), "stages": [], "int8": True}
+    out: Dict = {"conv1": q(folded["conv1"]), "stages": []}
     for blocks in folded["stages"]:
         out["stages"].append([
             {k: q(blk[k]) for k in ("conv1", "conv2", "conv3", "down")

@@ -24,7 +24,7 @@ from typing import Dict
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def matmul_canary(n: int = 4096, iters: int = 400,
+def matmul_canary(n: int = None, iters: int = None,
                   rounds: int = 3) -> Dict[str, float]:
     """Time a chained bf16 [n,n]@[n,n] matmul loop; return achieved TFLOP/s.
 
@@ -37,9 +37,21 @@ def matmul_canary(n: int = 4096, iters: int = 400,
     bf16 matmul is ~0.7 ms, so 400 iters ≈ 280+ ms of device time
     (RTT < 10%).  The original iters=50 default measured 100-109 TFLOP/s
     where ~0.6 ms/iter of that was RTT — i.e. the device was actually
-    near ~0.77 ms/matmul (~90% of peak)."""
+    near ~0.77 ms/matmul (~90% of peak).
+
+    ``n``/``iters`` default to 4096/400 on an accelerator.  On a CPU
+    backend (a deliberate smoke of a bench, pinned in-process) the
+    defaults shrink to 512/4 — the full-size canary is ~55 TFLOP of work,
+    minutes-to-hours on host, and the v5e-relative reading is meaningless
+    there anyway.  Explicit arguments always win."""
     import jax
     import jax.numpy as jnp
+
+    on_cpu = jax.default_backend() == "cpu"
+    if n is None:
+        n = 512 if on_cpu else 4096
+    if iters is None:
+        iters = 4 if on_cpu else 400
 
     a0 = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
     b0 = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)

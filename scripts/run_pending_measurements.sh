@@ -12,17 +12,22 @@ cd "$(dirname "$0")/.."
 OUT=${1:-benchmarks/pending}
 mkdir -p "$OUT"
 
+FAILED=0
 run() { # name, cmd...
   local name=$1; shift
   echo "=== $name: $*" | tee -a "$OUT/$name.log"
   "$@" >"$OUT/$name.stdout" 2>>"$OUT/$name.log"
   local rc=$?
   tail -n 1 "$OUT/$name.stdout" >"$OUT/$name.json"
+  if [ "$rc" -ne 0 ]; then FAILED=$((FAILED + 1)); fi
   echo "--- $name rc=$rc: $(cat "$OUT/$name.json")"
 }
 
-# preflight once; abort the whole sweep early on a hung tunnel
-if ! timeout 240 python -m rau_vqa_tpu.cli doctor >"$OUT/doctor.json" 2>&1; then
+# preflight once; abort the whole sweep early on a hung tunnel.  Budget
+# must exceed doctor's own worst-case internal probes (90s device + 90s
+# cpu + 2x180s native rebuilds = 540s), or a slow-but-healthy rig gets
+# SIGTERMed mid-diagnosis and the sweep aborts spuriously.
+if ! timeout 600 python -m rau_vqa_tpu.cli doctor >"$OUT/doctor.json" 2>&1; then
   echo "doctor UNHEALTHY — not measuring (see $OUT/doctor.json)"; exit 3
 fi
 
@@ -38,4 +43,8 @@ run bench_precompute python scripts/bench_precompute.py
 # 4. serving batch-size knee (B=1024..8192 interleaved sweep)
 run probe_serving_batch python scripts/probe_serving_batch.py
 
+if [ "$FAILED" -ne 0 ]; then
+  echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
+  exit 1
+fi
 echo "all pending measurements captured under $OUT/"

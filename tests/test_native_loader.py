@@ -166,6 +166,20 @@ def test_image_dir_source_native_backend_and_fallback(tmp_path):
     np.testing.assert_array_equal(batch2[0], batch[0])
 
 
+def _skip_if_toolchain_missing(build):
+    """Skip ONLY on a missing sanitizer/library, judged from STDERR (make
+    echoes the recipe — which contains '-fsanitize=thread', '-ljpeg' — to
+    stdout, so matching combined output would classify EVERY build break
+    as a toolchain skip and the TSan tests could never fail)."""
+    err = build.stderr.lower()
+    for marker in ("cannot find -ltsan", "cannot find -ljpeg",
+                   "cannot find -lpng", "libtsan",
+                   "unrecognized command-line option",
+                   "unsupported option '-fsanitize"):
+        if marker in err:
+            pytest.skip("toolchain unavailable: " + build.stderr[-200:])
+
+
 @pytest.mark.slow
 def test_ring_pool_tsan_clean(tmp_path):
     """ThreadSanitizer stress harness over the ring + worker pool (the
@@ -182,8 +196,7 @@ def test_ring_pool_tsan_clean(tmp_path):
     build = subprocess.run(["make", "-C", native_dir, "race_test"],
                            capture_output=True, text=True, timeout=300)
     if build.returncode != 0:
-        if "tsan" in (build.stdout + build.stderr).lower():
-            pytest.skip("libtsan unavailable: " + build.stderr[-200:])
+        _skip_if_toolchain_missing(build)
         raise AssertionError("race_test build failed:\n" + build.stderr)
 
     row_bytes, n_rows = 257, 512          # must match race_test.cpp
@@ -215,9 +228,7 @@ def test_decode_pool_tsan_clean(tmp_path):
     build = subprocess.run(["make", "-C", native_dir, "decode_race_test"],
                            capture_output=True, text=True, timeout=300)
     if build.returncode != 0:
-        blob = (build.stdout + build.stderr).lower()
-        if "tsan" in blob or "ljpeg" in blob or "lpng" in blob:
-            pytest.skip("toolchain unavailable: " + build.stderr[-200:])
+        _skip_if_toolchain_missing(build)
         raise AssertionError("decode_race_test build failed:\n"
                              + build.stderr)
 

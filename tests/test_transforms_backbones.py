@@ -288,7 +288,7 @@ def test_space_to_depth_stem_matches_conv1():
     b = jnp.asarray(rs.randn(16).astype(np.float32) * 0.1)
     x = jnp.asarray(rs.randn(2, 32, 32, 3).astype(np.float32))
     ref = jax.nn.relu(R._conv(x, w, stride=2) + b)
-    p2 = R.space_to_depth_stem({"conv1": {"w": w, "b": b}, "folded": True})
+    p2 = R.space_to_depth_stem({"conv1": {"w": w, "b": b}})
     y = jax.lax.conv_general_dilated(
         R._s2d(x), p2["conv1"]["w"], (1, 1), ((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -515,3 +515,45 @@ def test_random_sized_crop_fallback_is_scale_centercrop():
     xs = np.broadcast_to(fx + (i + 0.5) * (W / vw) - 0.5, (B, size))
     want = _np_point_cubic(img, ys, xs)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_backbone_trees_are_jit_argument_safe():
+    """Backbone trees must contain ONLY array leaves: a python bool flag
+    (the old {'folded': True}/{'s2d': True} markers) becomes a tracer when
+    the tree rides as a jit ARGUMENT — exactly how bench_pixels,
+    make_sharded_pixels_predict, precompute-features, and pixels_forward
+    pass it — and `if folded:` raised TracerBoolConversionError.  Flags
+    now derive from static structure (keys/shapes)."""
+    from rau_vqa_tpu.models.backbones import resnet as R
+
+    bb = R.resnet101_init(jax.random.PRNGKey(0))
+    folded = R.fold_batchnorm(bb)
+    s2d = R.space_to_depth_stem(folded)
+    int8 = R.quantize_resnet(folded)
+    for tree in (bb, folded, s2d, int8):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert isinstance(leaf, jax.Array), type(leaf)
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    assert jax.jit(R.resnet101_apply)(folded, x).shape == (1, 4, 2048)
+    assert jax.jit(R.resnet101_apply)(s2d, x).shape == (1, 4, 2048)
+    assert jax.jit(R.resnet101_apply_int8)(int8, x).shape == (1, 4, 2048)
+
+    # the real call shape: pixels_forward takes bb_params as a jit arg
+    import dataclasses
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.models.pipeline import pixels_forward
+    from rau_vqa_tpu.models.rau import init_params
+
+    cfg = dataclasses.replace(get_preset("ours_resnet").model,
+                              cnn_w=2, cnn_h=2, n_hops=1, rnn_size=16,
+                              embed_dim=8, multfeat_dim=16, attfeat_dim=8,
+                              att_rnn_size=16, vocab_size=20,
+                              answer_size=5, seq_len=4)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    out = pixels_forward(params, folded, cfg, "resnet101",
+                         jnp.zeros((2, 64, 64, 3), jnp.uint8),
+                         jnp.ones((2, 4), jnp.int32),
+                         jnp.full((2,), 2, jnp.int32))
+    assert out.scores.shape[1] == 2
