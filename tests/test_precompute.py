@@ -299,3 +299,36 @@ def test_trainer_from_precomputed_shard(tmp_path):
     res = trainer.evaluate(write_submissions=False)
     assert len(res["testOEacc"]) == exp.model.n_hops + 2
     assert all(np.isfinite(a) for a in res["testOEacc"])
+
+
+@pytest.mark.slow
+def test_precompute_folded_resnet_tree(tmp_path):
+    """precompute-features with the FOLDED resnet tree — the exact shape
+    the CLI builds (cli._load_backbone_state folds for serving speed).
+    The extract fn takes the tree as a jit ARGUMENT; a flag leaf in the
+    fold output used to crash tracing (TracerBoolConversionError)."""
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.models.backbones.resnet import (
+        fold_batchnorm,
+        resnet101_init,
+    )
+    from rau_vqa_tpu.models.pipeline import extract_features
+    from rau_vqa_tpu.precompute import precompute_features
+
+    root = str(tmp_path / "imgs")
+    rel = _make_images(root, n=3)
+    bb = fold_batchnorm(resnet101_init(jax.random.PRNGKey(0)))
+    store = precompute_features(root, rel, str(tmp_path / "out"),
+                                "resnet101", bb, size=64, batch_size=2,
+                                backend="pil")
+    from rau_vqa_tpu.data.images import ImageDirSource
+
+    imgs = ImageDirSource(root, size=64, backend="pil").get_batch(rel)
+    want = np.asarray(extract_features("resnet101", bb, jnp.asarray(imgs)))
+    from rau_vqa_tpu.data.features import coco_feat_name
+
+    got = store.get_batch([coco_feat_name(p) for p in rel], [1, 1, 1])
+    # random-init resnet activations reach ~1e5 here; batch-split vs
+    # one-shot reassociation leaves tiny absolute residue near zeros
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1.0)
