@@ -275,3 +275,50 @@ def test_platform_flag(tmp_path):
     with pytest.raises(SystemExit, match="cpu|tpu|axon"):
         main(["--platform", "bogus", "fixture", "--out",
               str(tmp_path / "c")])
+
+
+@pytest.mark.slow
+def test_bench_cpu_smoke():
+    """The driver's exact `python bench.py` entry point runs end-to-end on
+    a pinned-CPU interpreter (env-shrunk sizes, auto-shrunk canary) and
+    emits the one-line JSON contract.  Guards against trace-time breaks
+    that would otherwise surface only as a crashed BENCH_r{N} artifact on
+    the real rig (the backbone-flag-leaf crash shipped exactly that way)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAU_BENCH_B="16", RAU_BENCH_K="2",
+               RAU_BENCH_ROUNDS="1")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import bench; bench.main()"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "vqa_questions_per_sec_per_chip"
+    assert line["value"] > 0 and "error" not in line
+    assert "rig_canary_tflops" in line and "spread" in line
+
+
+@pytest.mark.slow
+def test_bench_pixels_cpu_smoke():
+    """Same contract for `python bench_pixels.py` (tiny flags)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import sys; sys.argv = ['bench_pixels', '--batch', '2',"
+         "'--size', '64', '--chain', '2', '--rounds', '1'];"
+         "import bench_pixels; bench_pixels.main()"],
+        cwd=repo, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "pixels_questions_per_sec_per_chip"
+    assert line["value"] > 0 and "error" not in line
