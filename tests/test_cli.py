@@ -322,3 +322,39 @@ def test_bench_pixels_cpu_smoke():
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert line["metric"] == "pixels_questions_per_sec_per_chip"
     assert line["value"] > 0 and "error" not in line
+
+
+@pytest.mark.slow
+def test_bench_scripts_cpu_smoke():
+    """The auxiliary measurement scripts (precompute throughput bench,
+    serving batch-knee probe) also run end-to-end on a pinned-CPU
+    interpreter with tiny flags — same rationale as the bench smokes."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cases = [
+        ("scripts/bench_precompute.py",
+         ["--backbone", "vgg16", "--n", "6", "--size", "64", "--batch", "2"],
+         "precompute_images_per_sec"),
+        ("scripts/probe_serving_batch.py",
+         ["--batches", "4,8", "--rounds", "1", "--chain", "2",
+          "--canary", "128,2,1"],
+         None),
+    ]
+    for script, flags, metric in cases:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu');"
+             f"import sys; sys.argv = [{script!r}] + {flags!r};"
+             f"import runpy; runpy.run_path({script!r}, "
+             "run_name='__main__')"],
+            cwd=repo, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, (script, r.stderr[-3000:])
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        assert "error" not in line, (script, line)
+        if metric:
+            assert line["metric"] == metric and line["value"] > 0
+        else:
+            assert line["sweep"][0]["qps"] > 0
