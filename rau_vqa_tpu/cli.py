@@ -983,11 +983,26 @@ def cmd_doctor(args) -> int:
 
     from rau_vqa_tpu.utils.doctor import format_report, run_doctor
 
-    report = run_doctor(vqa_dir=args.vqa_dir, canary=args.canary,
-                        device_timeout_s=args.device_timeout)
-    print(format_report(report), file=sys.stderr)
-    print(_json.dumps(report))
-    return 0 if report["healthy"] else 1
+    import time as _time
+
+    deadline = (_time.monotonic() + args.watch_timeout
+                if getattr(args, "watch", False) and args.watch_timeout > 0
+                else None)
+    while True:
+        report = run_doctor(vqa_dir=args.vqa_dir, canary=args.canary,
+                            device_timeout_s=args.device_timeout)
+        if not getattr(args, "watch", False) or report["healthy"]:
+            print(format_report(report), file=sys.stderr)
+            print(_json.dumps(report))
+            return 0 if report["healthy"] else 1
+        dev = report.get("device", {})
+        print(f"doctor --watch: unhealthy (device {dev.get('status')}); "
+              f"next poll in {args.watch_interval:.0f}s", file=sys.stderr)
+        if deadline is not None and _time.monotonic() >= deadline:
+            print("doctor --watch: timeout, giving up", file=sys.stderr)
+            print(_json.dumps(report))
+            return 1
+        _time.sleep(args.watch_interval)
 
 
 def cmd_fixture(args) -> int:
@@ -1141,6 +1156,16 @@ def main(argv=None) -> int:
     p_doc.add_argument("--device-timeout", type=float, default=90.0,
                        help="seconds before a backend probe is declared "
                             "hung (tunnel dial-retry loops never raise)")
+    p_doc.add_argument("--watch", action="store_true",
+                       help="poll until HEALTHY, then exit 0 — e.g. "
+                            "'rau-vqa doctor --watch && bash "
+                            "scripts/run_pending_measurements.sh' rides "
+                            "out a tunnel outage unattended")
+    p_doc.add_argument("--watch-interval", type=float, default=120.0,
+                       help="seconds between --watch polls")
+    p_doc.add_argument("--watch-timeout", type=float, default=0.0,
+                       help="give up (exit 1) after this many seconds; "
+                            "0 = wait forever")
 
     p_fix = sub.add_parser("fixture", help="generate the tiny test fixture")
     p_fix.add_argument("--out", required=True)

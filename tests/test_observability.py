@@ -340,3 +340,32 @@ def test_error_line_carries_last_measured(monkeypatch, capsys):
     rigcheck._emit_error_line("no_such_metric", "u", "boom", "note")
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "last_measured" not in line
+
+
+def test_doctor_watch_polls_until_healthy(monkeypatch, capsys):
+    """doctor --watch: re-polls while unhealthy, exits 0 the moment the
+    device comes back (the unattended outage-recovery gate), exits 1 on
+    --watch-timeout."""
+    import json
+
+    from rau_vqa_tpu import cli
+    from rau_vqa_tpu.utils import doctor as doc
+
+    sick = {"versions": {}, "device": {"status": "hung", "detail": "x"},
+            "cpu": {"status": "ok", "n": 1, "platform": "cpu",
+                    "kind": "cpu"}, "healthy": False}
+    well = dict(sick, device={"status": "ok", "n": 1, "platform": "axon",
+                              "kind": "tpu"}, healthy=True)
+    seq = iter([sick, sick, well])
+    monkeypatch.setattr(doc, "run_doctor", lambda **kw: next(seq))
+    rc = cli.main(["doctor", "--watch", "--watch-interval", "0.01"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert json.loads(out.out.strip().splitlines()[-1])["healthy"]
+    assert out.err.count("next poll") == 2
+
+    monkeypatch.setattr(doc, "run_doctor", lambda **kw: dict(sick))
+    rc = cli.main(["doctor", "--watch", "--watch-interval", "0.01",
+                   "--watch-timeout", "0.02"])
+    assert rc == 1
+    assert "giving up" in capsys.readouterr().err
