@@ -85,7 +85,12 @@ def main() -> None:
     # fast hang-proof probe: a hard-hung tunnel fails in ~2 min with the
     # same parseable error line instead of burning the 2400 s deadline
     from rau_vqa_tpu.utils.rigcheck import bench_preflight
-    bench_preflight("pixels_questions_per_sec_per_chip", "questions/sec")
+    probe = bench_preflight("pixels_questions_per_sec_per_chip",
+                            "questions/sec")
+    if probe.get("platform") == "cpu":
+        # deliberate CPU smoke: cancel — a false 'tunnel hung' error line
+        # on a long host run would be a lie (see bench.py)
+        watchdog.cancel()
 
     import jax
     import jax.numpy as jnp

@@ -995,8 +995,10 @@ def cmd_doctor(args) -> int:
             print(format_report(report), file=sys.stderr)
             print(_json.dumps(report))
             return 0 if report["healthy"] else 1
-        dev = report.get("device", {})
-        print(f"doctor --watch: unhealthy (device {dev.get('status')}); "
+        failing = ", ".join(
+            f"{k}={c.get('status')}" for k, c in report.items()
+            if isinstance(c, dict) and c.get("status") not in (None, "ok"))
+        print(f"doctor --watch: unhealthy ({failing or 'see report'}); "
               f"next poll in {args.watch_interval:.0f}s", file=sys.stderr)
         if deadline is not None and _time.monotonic() >= deadline:
             print("doctor --watch: timeout, giving up", file=sys.stderr)

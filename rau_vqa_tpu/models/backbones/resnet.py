@@ -236,7 +236,8 @@ def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
 def quantize_resnet(folded: Dict) -> Dict:
     """fold_batchnorm tree -> int8 tree: per-output-channel symmetric
     weight quantization (w_q int8, w_scale f32 [co]); biases stay f32."""
-    if "bn1" in folded or "b" not in folded["conv1"]:
+    if ("bn1" in folded or "w" not in folded["conv1"]
+            or "b" not in folded["conv1"]):
         raise ValueError("quantize_resnet expects a fold_batchnorm tree")
 
     def q(conv):

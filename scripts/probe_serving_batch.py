@@ -46,11 +46,17 @@ def main():
     ap.add_argument("--batches", type=str, default="1024,2048,4096,8192")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--chain", type=int, default=30)
-    ap.add_argument("--canary", type=str, default="4096,400,3",
-                    help="matmul_canary n,iters,rounds (shrink for CPU smokes)")
+    ap.add_argument("--canary", type=str, default="auto",
+                    help="matmul_canary n,iters,rounds; 'auto' = the "
+                         "backend-aware defaults (full-size on TPU, tiny "
+                         "on a CPU smoke)")
     args = ap.parse_args()
-    canary_n, canary_iters, canary_rounds = (
-        int(v) for v in args.canary.split(","))
+    if args.canary == "auto":
+        canary_n = canary_iters = None
+        canary_rounds = 3
+    else:
+        canary_n, canary_iters, canary_rounds = (
+            int(v) for v in args.canary.split(","))
     batches = [int(b) for b in args.batches.split(",")]
 
     from rau_vqa_tpu.utils.rigcheck import bench_preflight, bench_watchdog

@@ -27,9 +27,13 @@ run() { # name, cmd...
 # must exceed doctor's own worst-case internal probes (90s device + 90s
 # cpu + 2x180s native rebuilds = 540s), or a slow-but-healthy rig gets
 # SIGTERMed mid-diagnosis and the sweep aborts spuriously.
-if ! timeout 600 python -m rau_vqa_tpu.cli doctor >"$OUT/doctor.json" 2>&1; then
-  echo "doctor UNHEALTHY — not measuring (see $OUT/doctor.json)"; exit 3
+if ! timeout 600 python -m rau_vqa_tpu.cli doctor \
+      >"$OUT/doctor.stdout" 2>"$OUT/doctor.log"; then
+  tail -n 1 "$OUT/doctor.stdout" >"$OUT/doctor.json" 2>/dev/null
+  echo "doctor UNHEALTHY — not measuring (see $OUT/doctor.{json,log})"
+  exit 3
 fi
+tail -n 1 "$OUT/doctor.stdout" >"$OUT/doctor.json"
 
 # 1. headline question-path serving (median of 5 + canary)
 run bench python bench.py
