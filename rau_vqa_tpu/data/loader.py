@@ -176,15 +176,39 @@ class SplitData:
         return self._assemble(idx, feats)
 
     def batches(self, source: FeatureSource, num_batches: Optional[int] = None,
-                prefetch: bool = True) -> Iterator[Batch]:
+                prefetch: bool = True,
+                include_tail: bool = False) -> Iterator[Batch]:
         """Iterate batches; with prefetch the (i+1)-th feature gather overlaps
         consumption of the i-th batch (the reference's 1-worker thread pool,
-        vqa_prepro_loader.lua:66-80,931-958)."""
-        self._check_iterable()   # n == 0 would otherwise no-op silently
+        vqa_prepro_loader.lua:66-80,931-958).
+
+        ``include_tail`` additionally yields one final PARTIAL batch covering
+        the ``num_examples % batch_size`` remainder under the order in force
+        at iteration start, so a full sweep covers every example — the
+        reference instead requires the batch size to divide the split
+        (Ours_SS/...lua:85-95).  The tail fetch is stateless: it does not
+        advance batch_index/reorder, so epoch-order semantics for subsequent
+        epochs are unchanged.  Only meaningful with num_batches=None."""
+        tail_idx = None
+        if include_tail:
+            if num_batches is not None:
+                raise ValueError("include_tail requires num_batches=None "
+                                 "(a full sweep)")
+            # capture NOW: _batch_indices reorders when the next batch would
+            # overflow, replacing batch_order before the loop finishes
+            start = self.batch_index + self.iter_per_epoch * self.batch_size
+            tail_idx = self.batch_order[start:]
+            if self.num_examples == 0:
+                raise ValueError(f"split {self.name!r} is empty")
+        else:
+            self._check_iterable()   # n == 0 would otherwise no-op silently
         n = self.iter_per_epoch if num_batches is None else num_batches
         if not prefetch:
             for _ in range(n):
                 yield self.next_batch(source)
+            if tail_idx is not None and tail_idx.size:
+                yield self._assemble(tail_idx,
+                                     self._fetch_source(source, tail_idx))
             return
         with ThreadPoolExecutor(max_workers=1) as pool:
             def submit():
@@ -201,19 +225,43 @@ class SplitData:
                 return snap, idx, pool.submit(self._fetch_source,
                                               source, idx)
 
+            if n == 0:
+                # include_tail on a split smaller than batch_size: one
+                # partial batch is the whole sweep
+                if tail_idx is not None and tail_idx.size:
+                    yield self._assemble(
+                        tail_idx, self._fetch_source(source, tail_idx))
+                return
             pending = submit()
             try:
                 for i in range(n):
                     snap, idx, fut = pending
                     feats = fut.result()
-                    pending = submit() if i + 1 < n else None
+                    if i + 1 < n:
+                        pending = submit()
+                    elif tail_idx is not None and tail_idx.size:
+                        # prefetch the tail like any other batch (no order
+                        # state to snapshot — the indices were captured at
+                        # iteration start and nothing advances)
+                        pending = (None, tail_idx,
+                                   pool.submit(self._fetch_source, source,
+                                               tail_idx))
+                    else:
+                        pending = None
+                    yield self._assemble(idx, feats)
+                if pending is not None:
+                    _, idx, fut = pending
+                    feats = fut.result()
+                    pending = None
                     yield self._assemble(idx, feats)
             finally:
-                if pending is not None:
+                if pending is not None and pending[0] is not None:
                     # generator closed early (break / islice / error):
                     # the prefetched batch was never yielded — rewind the
                     # order state so its examples are not silently
                     # skipped and the data order matches prefetch=False
+                    # (a pending TAIL fetch has no snapshot: it is
+                    # stateless, nothing to rewind)
                     (self.batch_index, self.reorder_count,
                      self.batch_order) = pending[0]
 

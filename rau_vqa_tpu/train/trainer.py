@@ -308,17 +308,14 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
-    def _pad_batch_for_mesh(self, batch):
-        """Pad an eval batch's leading dim to the mesh 'data'-axis multiple
-        by repeating the last example (exact: the padded answers are
-        sliced away before accumulation).  Returns (batch, orig_B)."""
+    def _pad_batch_to(self, batch, target_b: int):
+        """Pad a batch's leading dim to target_b by repeating the last
+        example (exact: callers slice the padded answers away before
+        accumulation)."""
         orig_b = len(batch.qids)
-        if self.mesh is None:
-            return batch, orig_b
-        n_data = int(self.mesh.shape.get("data", 1))
-        pad = (-orig_b) % n_data
-        if pad == 0:
-            return batch, orig_b
+        pad = target_b - orig_b
+        if pad <= 0:
+            return batch
 
         def p(a):
             if a is None:
@@ -336,7 +333,17 @@ class Trainer:
         return dataclasses.replace(
             batch, feats=feats, tokens=p(batch.tokens),
             lengths=p(batch.lengths), labels=p(batch.labels),
-            mc_answers=p(batch.mc_answers), qids=p(batch.qids)), orig_b
+            mc_answers=p(batch.mc_answers), qids=p(batch.qids))
+
+    def _pad_batch_for_mesh(self, batch):
+        """Pad an eval batch's leading dim to the mesh 'data'-axis multiple
+        (the reference's odd test batch sizes — 83/57 — don't divide
+        meshes).  Returns (batch, orig_B)."""
+        orig_b = len(batch.qids)
+        if self.mesh is None:
+            return batch, orig_b
+        n_data = int(self.mesh.shape.get("data", 1))
+        return self._pad_batch_to(batch, orig_b + (-orig_b) % n_data), orig_b
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
@@ -523,24 +530,19 @@ class Trainer:
         submission files and computes fast-val accuracy when GT is available
         (reference :851-1207)."""
         test = self.data.test_data
-        # iter_per_epoch == 0 fails loudly inside test.batches() below
-        # (SplitData._check_iterable), so no separate guard is needed here.
-        remainder = test.num_examples % test.batch_size
-        if remainder:
-            import warnings
-            warnings.warn(
-                f"test_batch_size {test.batch_size} does not divide the "
-                f"split ({test.num_examples} examples): the last "
-                f"{remainder} questions are NOT evaluated and the "
-                f"submission files will be incomplete — pick a divisor "
-                f"(the reference does, Ours_SS/...lua:85-95)",
-                stacklevel=2)
         test.inorder()
         H2 = self.mcfg.n_hops + 2
         oe_chunks, mc_chunks, qid_chunks = [], [], []
+        n_eval_batches = (test.iter_per_epoch
+                          + (1 if test.num_examples % test.batch_size else 0))
         visatt_left = (self.exp.visatt_batches if self.exp.visatt_batches >= 0
-                       else test.iter_per_epoch)
-        for batch in test.batches(self.source):
+                       else n_eval_batches)
+        # include_tail: any test_batch_size covers the whole split — the
+        # final partial batch is padded (below) to the full batch size so
+        # the compiled predict_step shape is reused, and the padded answers
+        # are sliced away.  The reference instead requires a divisor
+        # (Ours_SS/...lua:85-95).
+        for batch in test.batches(self.source, include_tail=True):
             # _put_batch ships features in compute_dtype (halving bytes in
             # bf16 mode, same as the train path), truncates the token axis
             # to the batch's eval bucket (host-side: max over the GLOBAL
@@ -549,7 +551,9 @@ class Trainer:
             # batches pad to the 'data'-axis multiple (the reference's odd
             # test batch sizes — 83/57 — don't divide meshes) and the
             # padded tail is sliced away below
-            padded, orig_b = self._pad_batch_for_mesh(batch)
+            orig_b = len(batch.qids)
+            padded = self._pad_batch_to(batch, test.batch_size)
+            padded, _ = self._pad_batch_for_mesh(padded)
             dev = self._put_batch(
                 padded, max_t=self._bucket_t(self._eval_ladder,
                                              padded.lengths))

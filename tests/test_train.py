@@ -187,7 +187,8 @@ def fixture_root(tmp_path_factory):
     return str(root)
 
 
-def make_trainer(fixture_root, workdir, n_hops=2, **train_overrides):
+def make_trainer(fixture_root, workdir, n_hops=2, test_batch_size=8,
+                 **train_overrides):
     """Tiny-regime trainer: the reference hyperparameters (lr 3e-3 decayed
     0.9/epoch, grad clip 0.1, noise eta 0.01) are tuned for ~2400-step epochs
     on the full dataset; on a 6-step-epoch fixture they barely move, so the
@@ -211,7 +212,7 @@ def make_trainer(fixture_root, workdir, n_hops=2, **train_overrides):
     )
     vqa_dir = os.path.join(fixture_root, "vqa_prepro")
     data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
-                         test_batch_size=8)
+                         test_batch_size=test_batch_size)
     src = T7DirFeatureSource([os.path.join(fixture_root, "feat")],
                              SPEC.feat_dim, SPEC.feat_w, SPEC.feat_h)
     gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
@@ -280,6 +281,28 @@ def test_train_buckets_epoch_parity(fixture_root, tmp_path):
     jax.tree.map(lambda x, y: np.testing.assert_allclose(
         np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6),
         a.state.params, b.state.params)
+
+
+def test_evaluate_covers_tail_batch(fixture_root, tmp_path):
+    """A test_batch_size that does not divide the split still evaluates
+    EVERY question exactly once, with answers identical to a divisor run
+    (VERDICT r3 #4): the final partial batch is padded to the compiled
+    batch shape and the padding sliced away.  The reference instead
+    requires the user to pick a divisor (Ours_SS/...lua:85-95)."""
+    a = make_trainer(fixture_root, str(tmp_path / "div"), test_batch_size=8)
+    r_a = a.evaluate(write_submissions=False, return_rows=True)
+    for tbs in (5, SPEC.n_test + 7):   # 32%5==2 remainder; tail-only sweep
+        b = make_trainer(fixture_root, str(tmp_path / f"nondiv{tbs}"),
+                         test_batch_size=tbs)
+        # same init params so the answer sets must match exactly
+        b.state = b.state._replace(params=a.state.params)
+        r_b = b.evaluate(write_submissions=False, return_rows=True)
+        for rows_a, rows_b in zip(r_a["rows_oe"], r_b["rows_oe"]):
+            qids_b = [r["question_id"] for r in rows_b]
+            assert len(qids_b) == SPEC.n_test
+            assert len(set(qids_b)) == SPEC.n_test
+            assert ({(r["question_id"], r["answer"]) for r in rows_a}
+                    == {(r["question_id"], r["answer"]) for r in rows_b})
 
 
 def test_trainer_official_accuracy(fixture_root, tmp_path):
