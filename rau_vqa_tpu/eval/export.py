@@ -35,12 +35,14 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-EXPORT_VERSION = 2      # this runtime understands versions <= 2
+EXPORT_VERSION = 3      # this runtime understands versions <= 3
 # per-kind artifact versions: questions-path artifacts keep version 1 so
 # pre-'kind' runtimes still load them; pixels artifacts write 2 so such a
 # runtime REJECTS them with its 'artifact newer than runtime' error
-# instead of calling a 3-operand program with the wrong convention
-_KIND_VERSION = {"predict": 1, "pixels_predict": 2}
+# instead of calling a 3-operand program with the wrong convention; the
+# bench-chain kinds (params as OPERANDS, not baked) are version 3
+_KIND_VERSION = {"predict": 1, "pixels_predict": 2,
+                 "serve_chain": 3, "pixels_chain": 3}
 _META = "meta.json"
 
 
@@ -161,6 +163,117 @@ def export_pixels_predict(params, cfg, backbone: str, bb_params,
     return paths
 
 
+def _sds_tree(tree):
+    """A pytree of ShapeDtypeStructs mirroring ``tree`` (operand specs)."""
+    import jax
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+
+def export_serve_chain(params, cfg, out_dir: str, *, batch: int,
+                       chain: int, n_acc: int = 8,
+                       platforms: Sequence[str] = ("cpu", "tpu"),
+                       extra_meta: Optional[Dict] = None) -> str:
+    """Export bench.py's K-chained measurement program (eval/chain.py).
+
+    Unlike the serving kinds, PARAMS ARE CALL OPERANDS (tiny artifact, one
+    weight upload at call time — the round-3 jit-args lesson); ``params``
+    here only supplies the operand tree's shapes/dtypes.  Batch and chain
+    length are concrete: the artifact IS the measurement protocol.  Export
+    only traces+lowers (no backend compile), so artifacts can be built on
+    a CPU-pinned host while the TPU tunnel is down and consumed later.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from rau_vqa_tpu.eval.chain import make_serve_chain
+
+    os.makedirs(out_dir, exist_ok=True)
+    fn = make_serve_chain(cfg, chain, n_acc)
+    exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
+        _sds_tree(params),
+        jax.ShapeDtypeStruct((batch, cfg.seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((batch, cfg.cnn_spat, cfg.cnn_dim),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32))
+    path = os.path.join(out_dir, "chain.shlo")
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    meta = {
+        "format": "rau_vqa_tpu.export",
+        "version": _KIND_VERSION["serve_chain"], "kind": "serve_chain",
+        "platforms": list(platforms),
+        "batch": int(batch), "chain": int(chain), "n_acc": int(n_acc),
+        "inputs": {
+            "params": "operand pytree (shapes in model_config)",
+            "tokens": [int(batch), int(cfg.seq_len)], "lengths": [int(batch)],
+            "feats": [int(batch), int(cfg.cnn_spat), int(cfg.cnn_dim)],
+            "salt0": [],
+        },
+        "outputs": {"salt": [], "acc": [int(cfg.n_hops) + 2, int(n_acc)]},
+        "model_config": dataclasses.asdict(cfg),
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+def export_pixels_chain(bb_params, params, cfg, backbone: str,
+                        out_dir: str, *, batch: int, chain: int, qpi: int,
+                        image_size: int, n_acc: int,
+                        platforms: Sequence[str] = ("cpu", "tpu"),
+                        vit_cfg=None,
+                        extra_meta: Optional[Dict] = None) -> str:
+    """Export bench_pixels.py's chained from-pixels measurement program.
+
+    Both weight trees (backbone + RAU) are call operands; backbone
+    variants (BN-folded, s2d) are encoded in ``bb_params``'s tree
+    STRUCTURE, so the artifact pins the exact variant it was built from.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from rau_vqa_tpu.eval.chain import make_pixels_chain
+
+    os.makedirs(out_dir, exist_ok=True)
+    fn = make_pixels_chain(cfg, backbone, chain, qpi, n_acc,
+                           vit_cfg=vit_cfg)
+    exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
+        _sds_tree(bb_params), _sds_tree(params),
+        jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch * qpi, cfg.seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((batch * qpi,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32))
+    path = os.path.join(out_dir, "chain.shlo")
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    meta = {
+        "format": "rau_vqa_tpu.export",
+        "version": _KIND_VERSION["pixels_chain"], "kind": "pixels_chain",
+        "platforms": list(platforms),
+        "backbone": backbone, "image_size": int(image_size),
+        "batch": int(batch), "chain": int(chain), "qpi": int(qpi),
+        "n_acc": int(n_acc),
+        "inputs": {
+            "bb_params": "operand pytree (variant pinned by tree structure)",
+            "params": "operand pytree",
+            "images_u8": [int(batch), int(image_size), int(image_size), 3],
+            "tokens": [int(batch * qpi), int(cfg.seq_len)],
+            "lengths": [int(batch * qpi)], "salt0": [],
+        },
+        "outputs": {"salt": [], "acc": [int(cfg.n_hops) + 2, int(n_acc)]},
+        "model_config": dataclasses.asdict(cfg),
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
 class ExportedPredict:
     """Callable wrapper over an exported artifact directory.
 
@@ -179,22 +292,26 @@ class ExportedPredict:
                 f"artifact version {self.meta['version']} is newer than "
                 f"this runtime ({EXPORT_VERSION})")
         self.art_dir = art_dir
-        self.ladder = [int(t) for t in self.meta["ladder"]]
         # pre-"kind" artifacts are all questions-path predicts
         self.kind = self.meta.get("kind", "predict")
-        if self.kind not in ("predict", "pixels_predict"):
+        if self.kind not in ("predict", "pixels_predict",
+                             "serve_chain", "pixels_chain"):
             # unknown kinds must not fall through to some prefix guess and
             # a wrong operand convention (the version gate above should
             # already have caught this for well-formed artifacts)
             raise ValueError(f"unknown artifact kind {self.kind!r}")
+        self._chain = self.kind in ("serve_chain", "pixels_chain")
+        self.ladder = ([] if self._chain
+                       else [int(t) for t in self.meta["ladder"]])
         self._prefix = ("predict" if self.kind == "predict" else "pixels")
         self._programs: Dict[int, object] = {}
 
     def _program(self, T: int):
         if T not in self._programs:
             from jax import export as jexport
-            path = os.path.join(self.art_dir,
-                                f"{self._prefix}_T{T:02d}.shlo")
+            path = (os.path.join(self.art_dir, "chain.shlo") if self._chain
+                    else os.path.join(self.art_dir,
+                                      f"{self._prefix}_T{T:02d}.shlo"))
             with open(path, "rb") as f:
                 self._programs[T] = jexport.deserialize(f.read())
         return self._programs[T]
@@ -215,6 +332,12 @@ class ExportedPredict:
         feats [B,S,D] f32); kind 'pixels_predict': (images [B,H,W,3] u8,
         tokens, lengths).  Returns (tab_pred [H+2,B,A], tab_att
         [H+2,B,S])."""
+        if self._chain:
+            # bench-chain kinds: operands pass through verbatim (the exact
+            # trees/arrays the live bench would hand the jitted program —
+            # shapes are pinned by the export, mismatches abort loudly in
+            # the StableHLO shape check)
+            return self._program(0).call(*operands)
         if self.kind == "pixels_predict":
             images, tokens, lengths = operands
             images = np.asarray(images, np.uint8)

@@ -173,6 +173,34 @@ def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     return t
 
 
+def enable_compile_cache(cache_dir: str) -> bool:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    On this rig the remote-compile latency is 3-460 s for the SAME program
+    (BASELINE.md 'Environment caveats'), so every measurement window
+    re-pays an unpredictable compile tax.  The persistent cache stores the
+    compiled executable keyed by (HLO, compile options, backend); a
+    re-run of an unchanged bench loads the binary instead of re-compiling.
+    Backends whose PJRT plugin cannot serialize executables degrade to a
+    warning from JAX, not an error, so this is safe to enable broadly.
+
+    Disabled by RAU_NO_COMPILE_CACHE=1 (returns False).  Threshold is 1 s
+    so tiny programs don't churn the cache dir.
+    """
+    import os
+
+    if os.environ.get("RAU_NO_COMPILE_CACHE"):
+        return False
+    import jax
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except AttributeError:   # renamed across jax versions; default is fine
+        pass
+    return True
+
+
 def bench_preflight(metric: str, unit: str, timeout_s: float = 120.0,
                     honor_cpu_pin: bool = True) -> Dict[str, object]:
     """Fast, hang-proof device probe BEFORE the expensive bench body.

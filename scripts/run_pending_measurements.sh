@@ -47,6 +47,18 @@ run bench_precompute python scripts/bench_precompute.py
 # 4. serving batch-size knee (B=1024..8192 interleaved sweep)
 run probe_serving_batch python scripts/probe_serving_batch.py
 
+# 5. AOT-artifact re-measurement (VERDICT r3 #6): compile_first_s should
+#    drop toward load+upload vs steps 1-2 (same protocol, no Python
+#    trace, persistent executable cache warm from steps 1-2); the
+#    steady-state value must match within spread
+run bench_artifact python bench.py --artifact
+run bench_pixels_artifact python bench_pixels.py --artifact
+
+# 6. ViT-L stretch config (BASELINE.json configs[4]) — never benchmarked:
+#    from-pixels serving with the S=256 RAU head, B in {32, 64}
+run bench_pixels_vit_b32 python bench_pixels.py --backbone vit --batch 32
+run bench_pixels_vit_b64 python bench_pixels.py --backbone vit --batch 64
+
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
   exit 1
