@@ -420,6 +420,11 @@ class RAUService:
 
 def make_handler(service: RAUService):
     class Handler(BaseHTTPRequestHandler):
+        # TCP_NODELAY: with Nagle on, a small JSON response can sit in
+        # the kernel until the peer's delayed ACK (tens of ms on some
+        # stacks) — never acceptable on a latency-measured service
+        disable_nagle_algorithm = True
+
         def log_message(self, *args):
             pass
 

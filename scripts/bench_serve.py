@@ -1,0 +1,249 @@
+"""HTTP service benchmark: single-question latency + saturated throughput.
+
+serve.py claims its dynamic micro-batching keeps tail latency near the
+single-request floor while throughput scales with concurrency
+(serve.py:15-21) — this measures that claim on the real rig (VERDICT r3
+weak #4).  Two phases against a live in-process `rau-vqa serve` server:
+
+  A. UNLOADED: sequential single requests -> p50/p99 end-to-end latency.
+     On this rig that includes the ~30 ms tunnel RTT per dispatch — which
+     is exactly what a user of THIS deployment pays, so it is reported
+     as-is (a real v5e host would subtract most of it).
+  B. SATURATED: C concurrent clients fire back-to-back requests ->
+     questions/sec plus the mean micro-batch size actually served
+     (GET /stats), p50/p99 under load.
+
+Model: the full-size preset over a SYNTHETIC full-dimension bundle
+(12k-word vocab, 1000 answers, 14x14x512 features) with freshly
+initialized weights — serving throughput does not depend on weight
+values, and no trained full-size checkpoint exists offline.
+
+Every request carries a distinct question/feature pair drawn from a
+pre-built pool: identical device dispatches can be served from a tunnel
+cache (CLAUDE.md), so operand-identical groups would fake the numbers.
+
+Prints ONE JSON line: {"metric": "serve_questions_per_sec", ...,
+"latency_p50_ms", "latency_p99_ms", "loaded_p99_ms", "mean_microbatch"}.
+
+Usage: python scripts/bench_serve.py [--clients 32] [--requests 40]
+                                     [--max-batch 16] [--max-wait-ms 5]
+                                     [--tiny]   (CPU-smoke dimensions)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NORTH_STAR_QPS = 5000.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _post(port: int, payload: dict) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/answer",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=32,
+                    help="concurrent clients in the saturated phase")
+    ap.add_argument("--requests", type=int, default=40,
+                    help="requests per client in the saturated phase")
+    ap.add_argument("--unloaded", type=int, default=50,
+                    help="sequential requests in the latency phase")
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny dims for CPU smokes")
+    args = ap.parse_args()
+
+    from rau_vqa_tpu.utils.rigcheck import (
+        bench_preflight,
+        bench_watchdog,
+        enable_compile_cache,
+    )
+    # budget: up to 4 micro-batch bucket compiles at the 3-460 s remote
+    # tail, plus the measurement itself
+    watchdog = bench_watchdog("serve_questions_per_sec", "questions/sec",
+                              timeout_s=3000.0)
+    probe = bench_preflight("serve_questions_per_sec", "questions/sec")
+    if probe.get("platform") == "cpu":
+        watchdog.cancel()
+    enable_compile_cache(os.path.join(REPO, "benchmarks", "compile_cache"))
+
+    import dataclasses
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.loader import load_vqa_data
+    from rau_vqa_tpu.serve import RAUService, serve
+    from rau_vqa_tpu.train.trainer import init_train_state
+    from rau_vqa_tpu.utils.checkpoint import save_checkpoint
+
+    import jax
+
+    # --- synthetic full-size bundle + untrained full-size checkpoint ----
+    if args.tiny:
+        spec = FixtureSpec(n_train=16, n_test=8, n_images=8)
+    else:
+        spec = FixtureSpec(n_train=64, n_test=32, n_images=32,
+                           n_words=12000, n_answers=1000, seq_len=26,
+                           feat_dim=512, feat_w=14, feat_h=14)
+    root = tempfile.mkdtemp(prefix="bench_serve_")
+    vqa_dir = generate_fixture(root, spec)
+    feat_dir = os.path.join(root, "feat")
+    log(f"bench_serve: synthetic bundle at {root} "
+        f"(vocab {spec.n_words}, answers {spec.n_answers}, "
+        f"feats {spec.feat_w}x{spec.feat_h}x{spec.feat_dim})")
+
+    data = load_vqa_data(vqa_dir, 1, test_batch_size=1)
+    mcfg = dataclasses.replace(
+        get_preset("ours_ms").model, vocab_size=data.vocab_size,
+        answer_size=data.answer_size, seq_len=data.seq_len,
+        cnn_dim=spec.feat_dim, cnn_w=spec.feat_w, cnn_h=spec.feat_h,
+        compute_dtype="bfloat16", matmul_precision="default")
+    state = init_train_state(jax.random.PRNGKey(0), mcfg)
+    ck = save_checkpoint(os.path.join(root, "snapshot"), 0, 0.0,
+                         state._asdict(),
+                         extra={"model_config": dataclasses.asdict(mcfg)})
+    del state
+
+    # length buckets off: bounded compile count (4 batch buckets x 1 T)
+    svc = RAUService(ck, vqa_dir, [feat_dir], preset="ours_ms",
+                     buckets=(), max_batch=args.max_batch,
+                     max_wait_ms=args.max_wait_ms)
+    server = serve(svc, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    # --- distinct-operand request pool (tunnel dispatch-cache proofing) --
+    rs = np.random.RandomState(0)
+    words = [w for w in data.vocab[1:] if w != "UNK"]   # vocab[0]=ZEROPAD
+    feat_names = sorted(os.listdir(feat_dir))
+
+    def make_payload() -> dict:
+        n = int(rs.randint(3, min(12, spec.seq_len) + 1))
+        qs = " ".join(words[j] for j in rs.randint(0, len(words), n))
+        return {"question": qs,
+                "feat_name": feat_names[int(rs.randint(len(feat_names)))]}
+
+    pool = [make_payload() for _ in range(2048)]
+
+    # --- warmup: compile each micro-batch bucket the phases will hit ----
+    log("bench_serve: warmup (compiling micro-batch buckets)")
+    t0 = time.perf_counter()
+    _post(port, pool[0])
+    log(f"bench_serve: first request (compile) {time.perf_counter()-t0:.1f}s")
+    for burst in (4, 8, args.max_batch):
+        errs = []
+
+        def fire(p):
+            try:
+                _post(port, p)
+            except Exception as e:     # noqa: BLE001 — collected below
+                errs.append(e)
+        ts = [threading.Thread(target=fire, args=(pool[i + burst * 7],))
+              for i in range(burst)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        if errs:
+            raise SystemExit(f"warmup burst {burst} failed: {errs[0]}")
+
+    # --- phase A: unloaded latency --------------------------------------
+    lat = []
+    for i in range(args.unloaded):
+        t0 = time.perf_counter()
+        out = _post(port, pool[100 + i])
+        lat.append(time.perf_counter() - t0)
+        assert out["answers"]
+    lat_ms = np.array(lat) * 1e3
+    p50, p99 = float(np.percentile(lat_ms, 50)), float(
+        np.percentile(lat_ms, 99))
+    log(f"bench_serve: unloaded p50 {p50:.1f} ms, p99 {p99:.1f} ms "
+        f"over {args.unloaded} sequential requests")
+
+    # --- phase B: saturated throughput ----------------------------------
+    results: list = []
+    errors: list = []
+    lock = threading.Lock()
+
+    def client(cid: int):
+        rs_c = np.random.RandomState(1000 + cid)
+        for j in range(args.requests):
+            p = pool[int(rs_c.randint(len(pool)))]
+            t0 = time.perf_counter()
+            try:
+                _post(port, p)
+                dt = time.perf_counter() - t0
+                with lock:
+                    results.append(dt)
+            except Exception as e:     # noqa: BLE001 — reported in JSON
+                with lock:
+                    errors.append(repr(e))
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(args.clients)]
+    t0 = time.perf_counter()
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wall = time.perf_counter() - t0
+    n_ok = len(results)
+    qps = n_ok / wall
+    loaded_ms = np.array(results) * 1e3
+    lp50 = float(np.percentile(loaded_ms, 50)) if n_ok else 0.0
+    lp99 = float(np.percentile(loaded_ms, 99)) if n_ok else 0.0
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=60) as r:
+        stats = json.loads(r.read())
+    log(f"bench_serve: saturated {qps:.1f} q/s with {args.clients} clients "
+        f"({n_ok} ok, {len(errors)} errors), loaded p50 {lp50:.1f} / "
+        f"p99 {lp99:.1f} ms, mean micro-batch "
+        f"{stats.get('mean_batch', 0):.2f}")
+
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+    canary = matmul_canary()
+    log(f"bench_serve: rig canary {canary['tflops']} TFLOP/s")
+
+    server.shutdown()
+    watchdog.cancel()
+    if errors:
+        log(f"bench_serve: FIRST ERROR: {errors[0]}")
+    print(json.dumps({
+        "metric": "serve_questions_per_sec",
+        "value": round(qps, 1),
+        "unit": "questions/sec",
+        "vs_baseline": round(qps / NORTH_STAR_QPS, 4),
+        "latency_p50_ms": round(p50, 1),
+        "latency_p99_ms": round(p99, 1),
+        "loaded_p50_ms": round(lp50, 1),
+        "loaded_p99_ms": round(lp99, 1),
+        "clients": args.clients,
+        "errors": len(errors),
+        "mean_microbatch": round(float(stats.get("mean_batch", 0.0)), 2),
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,10 @@ run bench_pixels_artifact python bench_pixels.py --artifact
 run bench_pixels_vit_b32 python bench_pixels.py --backbone vit --batch 32
 run bench_pixels_vit_b64 python bench_pixels.py --backbone vit --batch 64
 
+# 7. HTTP service under real concurrency: unloaded p50/p99 + saturated
+#    micro-batched q/s (VERDICT r3 weak #4 — serve.py's latency claim)
+run bench_serve python scripts/bench_serve.py
+
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
   exit 1

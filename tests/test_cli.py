@@ -352,6 +352,10 @@ def test_bench_scripts_cpu_smoke():
          ["--batches", "4,8", "--rounds", "1", "--chain", "2",
           "--canary", "128,2,1"],
          None),
+        ("scripts/bench_serve.py",
+         ["--tiny", "--clients", "4", "--requests", "2", "--unloaded", "4",
+          "--max-batch", "4"],
+         "serve_questions_per_sec"),
     ]
     for script, flags, metric in cases:
         r = subprocess.run(
