@@ -39,6 +39,7 @@ def make_inputs(cfg, b, max_len=None, seed=0):
     return toks, lens, feats
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_export_roundtrip_symbolic_batch(tmp_path):
     """One artifact serves any batch size, bit-identically to live
     predict."""
@@ -203,6 +204,7 @@ def test_cli_export_pixels_vit(tmp_path, monkeypatch):
                   "--backbone-state", "x"])
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_export_pixels_roundtrip(tmp_path):
     """The from-pixels artifact (uint8 images + tokens -> answers, backbone
     baked in) reproduces the live pixels_forward path bit-identically, with
@@ -271,6 +273,7 @@ def test_export_serve_chain_roundtrip(tmp_path):
     assert int(salt_a) == int(salt_b)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_export_pixels_chain_roundtrip(tmp_path):
     """Same for the from-pixels chain (kind pixels_chain, BOTH weight
     trees as operands, variant pinned by tree structure)."""

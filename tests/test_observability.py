@@ -4,6 +4,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from rau_vqa_tpu.utils.logging import MetricsLogger, per_hop_record
 from rau_vqa_tpu.utils.plots import render_curves
@@ -279,6 +280,7 @@ def test_bench_preflight(monkeypatch, capsys):
     assert rigcheck.bench_preflight("m", "u")["platform"] == "cpu"
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
     """_probe classifies ok/hung/error via subprocess+timeout (a hung
     tunnel never raises — the timeout IS the detection); the CLI prints a

@@ -74,6 +74,7 @@ def test_pallas_kernel_batch_divisibility():
     assert raised
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_predict_fused_matches_predict():
     from rau_vqa_tpu.eval.predict import predict, predict_fused
 

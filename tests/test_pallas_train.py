@@ -87,6 +87,7 @@ def test_mix32_avalanche():
 
 @pytest.mark.parametrize("block_b", [
     4, pytest.param(8, marks=pytest.mark.slow)])
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_fused_forward_matches_reference(data, block_b):
     mp, q, feats, labels, seed = data
     s_k, d_k, a_k, c_k, h_k = rau_train_hops(
@@ -154,6 +155,7 @@ def test_fused_grads_match_reference(data, block_b, bwd):
             err_msg=jax.tree_util.keystr(pk))
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_fused_do_pred_grad_is_zero(data):
     """The DontSelect rule: do_pred params receive exactly zero gradient."""
     mp, q, feats, labels, seed = data

@@ -57,6 +57,7 @@ def test_scan_and_unique(tmp_path):
     assert len(set(names)) == 3
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_precompute_matches_direct(tmp_path):
     """Batched+padded precompute == one direct extract_features call, and
     the shard round-trips through PackedFeatureStore by feature name."""
@@ -109,6 +110,7 @@ def test_shard_writer_validation(tmp_path):
     assert store.get_batch(["b.t7"], [1]).shape == (1, 3, 4)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_precompute_on_mesh_matches_single(tmp_path):
     """Mesh-sharded extraction (images on 'data', replicated backbone)
     writes the same shard as single-device precompute."""

@@ -285,6 +285,7 @@ def test_golden_roundtrip_through_torch_snapshot(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_pytorch_gradient_equivalence():
     """Training-path parity: gradients of the joint per-hop CE loss computed
     by PyTorch autograd on the reference equations must match JAX grads

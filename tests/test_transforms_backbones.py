@@ -396,6 +396,7 @@ def test_cubic_upscale_matches_pil_bicubic():
                                rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_random_scale_crop_degenerate_is_resize():
     """minsize == maxsize == crop size on a square image leaves no crop
     freedom: the result must equal a plain point-bicubic resize."""
@@ -427,6 +428,7 @@ def test_random_scale_crop_integer_origins():
     assert out.shape == (8, size, size, 3)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_random_scale_crop_shapes_and_scale_variation():
     rs = np.random.RandomState(2)
     img = jnp.asarray(rs.rand(4, 40, 30, 3), jnp.float32)  # W < H
@@ -440,6 +442,7 @@ def test_random_scale_crop_shapes_and_scale_variation():
         T.random_scale_crop(img, jax.random.PRNGKey(0), 10, 36, 18)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_random_sized_crop_matches_window_oracle():
     """Replicate the function's RNG draws to get each example's first
     fitting window (reference rejection-loop semantics,
@@ -517,6 +520,7 @@ def test_random_sized_crop_fallback_is_scale_centercrop():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_backbone_trees_are_jit_argument_safe():
     """Backbone trees must contain ONLY array leaves: a python bool flag
     (the old {'folded': True}/{'s2d': True} markers) becomes a tracer when
