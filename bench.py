@@ -110,7 +110,11 @@ def main() -> None:
     # persistent executable cache: a re-run of this unchanged program
     # loads the compiled binary instead of re-paying the remote compile
     from rau_vqa_tpu.utils.rigcheck import enable_compile_cache
-    enable_compile_cache(os.path.join(_REPO, "benchmarks", "compile_cache"))
+    if probe.get("platform") != "cpu":
+        # XLA:CPU AOT cache entries can carry machine-feature
+        # mismatches (SIGILL risk per cpu_aot_loader) — the cache
+        # exists for the remote-TPU compile lottery only
+        enable_compile_cache(os.path.join(_REPO, "benchmarks", "compile_cache"))
 
     import jax
     import jax.numpy as jnp

@@ -61,6 +61,15 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="experimental int8 backbone (s8s8s32 convs, "
                          "dynamic activation quant; resnet101 only)")
+    ap.add_argument("--fused-stages", default="",
+                    help="comma list of ResNet stage indices (0-3) whose "
+                         "identity blocks run through the VMEM-resident "
+                         "Pallas stage kernel (ops/fused_resnet.py) — the "
+                         "VERDICT r3 #2 block-fusion A/B; requires the "
+                         "folded resnet101 tree")
+    ap.add_argument("--fused-block-b", type=int, default=0,
+                    help="batch tile for the fused stage kernel "
+                         "(0 = auto: ~4k matmul rows per grid step)")
     ap.add_argument(
         "--artifact", metavar="DIR", nargs="?",
         const="", default=None,
@@ -89,6 +98,23 @@ def main() -> None:
         # variant) — a cached artifact could silently pin the wrong program
         raise SystemExit("--artifact does not support --int8 (a retired "
                          "A/B variant; run it live)")
+    try:
+        fused_stages = tuple(int(s) for s in
+                             args.fused_stages.split(",") if s != "")
+    except ValueError:
+        raise SystemExit(f"--fused-stages wants comma-separated ints, "
+                         f"got {args.fused_stages!r}")
+    if fused_stages and not set(fused_stages) <= {0, 1, 2, 3}:
+        raise SystemExit("--fused-stages indices must be in 0..3")
+    if fused_stages and (args.backbone != "resnet101" or args.no_fold_bn
+                         or args.int8 or args.s2d):
+        raise SystemExit("--fused-stages needs the plain folded resnet101 "
+                         "tree (no --no-fold-bn/--int8/--s2d)")
+    if fused_stages and args.artifact is not None:
+        # Pallas lowers to a Mosaic custom call; keep the exported
+        # artifacts pure StableHLO
+        raise SystemExit("--fused-stages is a live A/B; it cannot be "
+                         "exported to an --artifact")
 
     # armed BEFORE the first device touch: a hung tunnel blocks forever
     # and a hung bench is an uninterpretable artifact
@@ -108,8 +134,12 @@ def main() -> None:
     # persistent executable cache: a re-run of this unchanged program
     # loads the compiled binary instead of re-paying the remote compile
     from rau_vqa_tpu.utils.rigcheck import enable_compile_cache
-    enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(
-        __file__)), "benchmarks", "compile_cache"))
+    if probe.get("platform") != "cpu":
+        # XLA:CPU AOT cache entries can carry machine-feature
+        # mismatches (SIGILL risk per cpu_aot_loader) — the cache
+        # exists for the remote-TPU compile lottery only
+        enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(
+            __file__)), "benchmarks", "compile_cache"))
 
     import jax
     import jax.numpy as jnp
@@ -204,7 +234,9 @@ def main() -> None:
     def chain_fn(k):
         return make_pixels_chain(cfg, args.backbone, k, Q, n_acc,
                                  feat_dtype=feat_dt,
-                                 apply_override=apply_override)
+                                 apply_override=apply_override,
+                                 fused_stages=fused_stages,
+                                 fused_block_b=args.fused_block_b)
 
     if args.artifact is not None:
         from bench import load_or_build_chain_artifact
@@ -286,6 +318,8 @@ def main() -> None:
         "images_per_sec": round(img_ps, 1),
         "questions_per_image": Q,
         "backbone": args.backbone,
+        **({"fused_stages": list(fused_stages),
+            "fused_block_b": args.fused_block_b} if fused_stages else {}),
         "batch": B,
         "spread": round(spread, 4),
         "compile_first_s": round(t_first, 1),

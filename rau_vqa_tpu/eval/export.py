@@ -225,7 +225,8 @@ def export_pixels_chain(bb_params, params, cfg, backbone: str,
                         out_dir: str, *, batch: int, chain: int, qpi: int,
                         image_size: int, n_acc: int,
                         platforms: Sequence[str] = ("cpu", "tpu"),
-                        vit_cfg=None,
+                        vit_cfg=None, fused_stages=(),
+                        fused_block_b: int = 0,
                         extra_meta: Optional[Dict] = None) -> str:
     """Export bench_pixels.py's chained from-pixels measurement program.
 
@@ -241,7 +242,8 @@ def export_pixels_chain(bb_params, params, cfg, backbone: str,
 
     os.makedirs(out_dir, exist_ok=True)
     fn = make_pixels_chain(cfg, backbone, chain, qpi, n_acc,
-                           vit_cfg=vit_cfg)
+                           vit_cfg=vit_cfg, fused_stages=tuple(fused_stages),
+                           fused_block_b=fused_block_b)
     exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
         _sds_tree(bb_params), _sds_tree(params),
         jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.uint8),

@@ -191,10 +191,18 @@ def _bottleneck_folded(x, blk, stride):
     return jax.nn.relu(x + y)
 
 
-def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
+def resnet101_apply(params: Dict, x: jax.Array,
+                    fused_stages: Tuple[int, ...] = (),
+                    fused_block_b: int = 0,
+                    fused_interpret: bool = False) -> jax.Array:
     """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
     [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout.  Accepts the
-    plain (conv+BN) tree or a ``fold_batchnorm`` tree."""
+    plain (conv+BN) tree or a ``fold_batchnorm`` tree.
+
+    ``fused_stages`` (STATIC, folded trees only) runs those stages' runs
+    of identity blocks through the VMEM-resident Pallas stage kernel
+    (ops/fused_resnet.py) — the block-fusion experiment of VERDICT r3 #2;
+    the stage-opening downsample block stays on XLA."""
     # flags derive from STATIC structure (keys/shapes), never bool leaves,
     # so the tree can ride as a jit argument (fold_batchnorm docstring)
     folded = "bn1" not in params
@@ -217,7 +225,25 @@ def resnet101_apply(params: Dict, x: jax.Array) -> jax.Array:
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
     block_fn = _bottleneck_folded if folded else _bottleneck
+    if fused_stages and not folded:
+        raise ValueError("fused_stages requires a fold_batchnorm tree")
     for stage, blocks in enumerate(params["stages"]):
+        if stage in fused_stages and len(blocks) > 1:
+            from rau_vqa_tpu.ops.fused_resnet import (
+                fused_identity_stage,
+                pick_block_b,
+                stack_identity_blocks,
+            )
+            x = block_fn(x, blocks[0], 2 if stage > 0 else 1)
+            # block_b=0 is auto: target ~4k matmul rows per grid step
+            # (bb*H*W) so the MXU sees well-shaped operands at every stage
+            want = fused_block_b or max(
+                1, min(8, 4096 // (x.shape[1] * x.shape[2])))
+            x = fused_identity_stage(
+                x, stack_identity_blocks(blocks[1:]),
+                block_b=pick_block_b(x.shape[0], want),
+                interpret=fused_interpret)
+            continue
         for b, blk in enumerate(blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
             x = block_fn(x, blk, stride)

@@ -1,0 +1,152 @@
+"""Stage-fused ResNet identity bottlenecks as ONE Pallas kernel.
+
+The measured 448-px from-pixels gap (BASELINE.md: ResNet-101 37.9% MFU vs
+VGG's 47.8%) localizes to the bottleneck stages: between the three convs
+of every block, XLA materializes the [B, H, W, C] activations to HBM —
+~9.6 MB/image/block of traffic of which only the block input and output
+(3.2 MB) are fundamental.  This kernel keeps a batch tile's activations
+VMEM-RESIDENT across an entire run of identity blocks (stride 1, no
+downsample): grid = (batch_tiles, n_blocks) with the block index
+innermost, per-block weights streamed as windowed inputs from a stacked
+[N, ...] tree, and the running activation carried in the OUTPUT ref's
+VMEM window (its index map ignores the block axis, so Mosaic fetches the
+input once per batch tile and flushes the output once — the same
+carry-across-grid-steps pattern as ops/rau_train_hops.py).
+
+Per mid-network stage at 448 px (28x28x1024, 22 identity blocks), HBM
+traffic drops from ~22 x 9.6 MB to ~3.2 MB + streamed weights per image.
+
+Mosaic constraints honored (docs/mosaic_notes.md): the block loop is a
+grid dimension, not a kernel-body loop (#1); no 1-D reductions (#2); no
+mixed newaxis+int indexing (#3); no cross-grid accumulation outputs (#6).
+The 3x3 conv is 9 shifted [bb*H*W, Cw] @ [Cw, Cw] MXU matmuls over a
+zero-padded VMEM scratch plane.
+
+Kill criterion (VERDICT r3 #2): paired same-hour A/B at B=64; retire at
+<=1.0x like s2d and int8 were.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def stack_identity_blocks(blocks: List[Dict]) -> Dict:
+    """Stack a run of FOLDED identity-block param dicts (no 'down') into
+    the [N, ...] tree the kernel streams per grid step.  1x1 convs lose
+    their unit spatial dims; the 3x3 becomes 9 stacked taps."""
+    assert blocks and all("down" not in b for b in blocks)
+
+    def cat(get):
+        return jnp.stack([get(b) for b in blocks])
+
+    return {
+        "w1": cat(lambda b: b["conv1"]["w"].reshape(
+            b["conv1"]["w"].shape[2], b["conv1"]["w"].shape[3])),
+        "b1": cat(lambda b: b["conv1"]["b"].reshape(
+            1, b["conv1"]["b"].shape[0])),
+        "w2": cat(lambda b: b["conv2"]["w"].reshape(
+            9, b["conv2"]["w"].shape[2], b["conv2"]["w"].shape[3])),
+        "b2": cat(lambda b: b["conv2"]["b"].reshape(
+            1, b["conv2"]["b"].shape[0])),
+        "w3": cat(lambda b: b["conv3"]["w"].reshape(
+            b["conv3"]["w"].shape[2], b["conv3"]["w"].shape[3])),
+        "b3": cat(lambda b: b["conv3"]["b"].reshape(
+            1, b["conv3"]["b"].shape[0])),
+    }
+
+
+def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                  o_ref, y1p_ref):
+    h = pl.program_id(1)
+    bb, H, W, C = o_ref.shape
+    Cw = w1_ref.shape[2]
+    f32 = jnp.float32
+
+    @pl.when(h == 0)
+    def _():
+        # adopt the stage input; also zero the padded plane's borders
+        # (only the interior is written below, every step)
+        o_ref[...] = x_ref[...]
+        y1p_ref[...] = jnp.zeros_like(y1p_ref)
+
+    xv = o_ref[...]                                  # [bb, H, W, C]
+    dt = xv.dtype
+    xf = xv.reshape(bb * H * W, C)
+
+    # 1x1 reduce: [bb*H*W, C] @ [C, Cw], bias+ReLU epilogue
+    y1 = jnp.dot(xf, w1_ref[0], preferred_element_type=f32)
+    y1 = jnp.maximum(y1 + b1_ref[0].astype(f32), 0.0).astype(dt)
+    y1p_ref[:, 1:H + 1, 1:W + 1, :] = y1.reshape(bb, H, W, Cw)
+
+    # 3x3 as 9 shifted MXU matmuls over the zero-padded plane
+    acc = jnp.zeros((bb * H * W, Cw), f32) + b2_ref[0].astype(f32)
+    for t in range(9):
+        dy, dx = t // 3, t % 3
+        sl = y1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(bb * H * W, Cw)
+        acc = acc + jnp.dot(sl, w2_ref[0, t], preferred_element_type=f32)
+    y2 = jnp.maximum(acc, 0.0).astype(dt)
+
+    # 1x1 expand + residual + ReLU; the result is the next block's input
+    y3 = jnp.dot(y2, w3_ref[0], preferred_element_type=f32)
+    o = jnp.maximum(xf.astype(f32) + y3 + b3_ref[0].astype(f32), 0.0)
+    o_ref[...] = o.astype(dt).reshape(bb, H, W, C)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_b", "interpret"))
+def fused_identity_stage(x: jax.Array, stack: Dict, *, block_b: int = 2,
+                         interpret: bool = False) -> jax.Array:
+    """Run N stacked identity bottlenecks over x [B, H, W, C] in one
+    pallas_call.  B must divide by block_b (callers pick a divisor)."""
+    B, H, W, C = x.shape
+    N, _, Cw = stack["w1"].shape
+    if B % block_b:
+        raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    if not interpret and jax.default_backend() == "cpu":
+        # Mosaic only targets TPU; CPU smokes of the fused path run the
+        # interpreter (same math — the parity tests pin it)
+        interpret = True
+
+    act = pl.BlockSpec((block_b, H, W, C), lambda i, h: (i, 0, 0, 0))
+    per_block = [
+        pl.BlockSpec((1, C, Cw), lambda i, h: (h, 0, 0)),        # w1
+        pl.BlockSpec((1, 1, Cw), lambda i, h: (h, 0, 0)),        # b1
+        pl.BlockSpec((1, 9, Cw, Cw), lambda i, h: (h, 0, 0, 0)),  # w2
+        pl.BlockSpec((1, 1, Cw), lambda i, h: (h, 0, 0)),        # b2
+        pl.BlockSpec((1, Cw, C), lambda i, h: (h, 0, 0)),        # w3
+        pl.BlockSpec((1, 1, C), lambda i, h: (h, 0, 0)),         # b3
+    ]
+    flops = 2 * B * N * H * W * (C * Cw * 2 + 9 * Cw * Cw)
+    return pl.pallas_call(
+        _stage_kernel,
+        grid=(B // block_b, N),
+        in_specs=[act] + per_block,
+        out_specs=act,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H + 2, W + 2, Cw), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(x.size * x.dtype.itemsize * 2
+                               + sum(np.prod(v.shape) * v.dtype.itemsize
+                                     for v in stack.values())),
+            transcendentals=0),
+        interpret=interpret,
+    )(x, stack["w1"], stack["b1"], stack["w2"], stack["b2"],
+      stack["w3"], stack["b3"])
+
+
+def pick_block_b(batch: int, want: int) -> int:
+    """Largest divisor of ``batch`` that is <= want (>=1)."""
+    b = max(1, min(want, batch))
+    while batch % b:
+        b -= 1
+    return b

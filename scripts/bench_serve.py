@@ -88,7 +88,12 @@ def main() -> None:
     probe = bench_preflight("serve_questions_per_sec", "questions/sec")
     if probe.get("platform") == "cpu":
         watchdog.cancel()
-    enable_compile_cache(os.path.join(REPO, "benchmarks", "compile_cache"))
+    if probe.get("platform") != "cpu":
+        # XLA:CPU AOT cache entries can carry machine-feature
+        # mismatches (SIGILL risk per cpu_aot_loader) — the cache
+        # exists for the remote-TPU compile lottery only
+        enable_compile_cache(os.path.join(REPO, "benchmarks",
+                                          "compile_cache"))
 
     import dataclasses
 

@@ -63,6 +63,15 @@ run bench_pixels_vit_b64 python bench_pixels.py --backbone vit --batch 64
 #    micro-batched q/s (VERDICT r3 weak #4 — serve.py's latency claim)
 run bench_serve python scripts/bench_serve.py
 
+# 8. Pallas stage-fused bottleneck A/B (VERDICT r3 #2) — paired against
+#    step 2's live baseline in the same window.  KILL CRITERION: <=1.0x
+#    of the paired baseline retires it to the measured-negative ledger
+#    like s2d and int8; a win extends per-stage toward the ~53% MFU the
+#    5k/448px target needs.  Stage 2 alone is the 22-identity-block
+#    bulk; 1,2,3 adds the cheap neighbors.
+run bench_pixels_fused_s2 python bench_pixels.py --fused-stages 2
+run bench_pixels_fused_s123 python bench_pixels.py --fused-stages 1,2,3
+
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
   exit 1

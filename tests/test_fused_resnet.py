@@ -1,0 +1,102 @@
+"""Stage-fused ResNet bottleneck kernel (ops/fused_resnet.py): parity vs
+the XLA folded path — the VERDICT r3 #2 block-fusion A/B candidate.
+
+CPU runs the kernel under the Pallas interpreter (same math); the Mosaic
+compile + the measured verdict happen on the rig via
+`bench_pixels --fused-stages` (scripts/run_pending_measurements.sh)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rau_vqa_tpu.models.backbones.resnet import (
+    _bottleneck_folded,
+    fold_batchnorm,
+    resnet101_apply,
+    resnet101_init,
+)
+from rau_vqa_tpu.ops.fused_resnet import (
+    fused_identity_stage,
+    pick_block_b,
+    stack_identity_blocks,
+)
+
+
+def _blocks(rs, n, c, cw, dtype=jnp.float32):
+    def blk():
+        return {
+            "conv1": {"w": jnp.asarray(rs.randn(1, 1, c, cw) * .2, dtype),
+                      "b": jnp.asarray(rs.randn(cw) * .1, dtype)},
+            "conv2": {"w": jnp.asarray(rs.randn(3, 3, cw, cw) * .2, dtype),
+                      "b": jnp.asarray(rs.randn(cw) * .1, dtype)},
+            "conv3": {"w": jnp.asarray(rs.randn(1, 1, cw, c) * .2, dtype),
+                      "b": jnp.asarray(rs.randn(c) * .1, dtype)},
+        }
+    return [blk() for _ in range(n)]
+
+
+@pytest.mark.parametrize("block_b", [1, 2, 4])
+def test_fused_stage_matches_xla(block_b):
+    """The kernel IS the folded identity-block sequence: f32 highest
+    precision parity at the accumulation-reassociation floor."""
+    rs = np.random.RandomState(0)
+    B, H, W, C, Cw, N = 4, 6, 6, 32, 8, 3
+    blocks = _blocks(rs, N, C, Cw)
+    x = jnp.asarray(rs.randn(B, H, W, C), jnp.float32)
+    ref = x
+    for b in blocks:
+        ref = _bottleneck_folded(ref, b, 1)
+    out = fused_identity_stage(x, stack_identity_blocks(blocks),
+                               block_b=block_b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_stage_bf16():
+    """bf16 operands (the serving dtype): f32 accumulation inside, output
+    within bf16 rounding of the XLA bf16 path."""
+    rs = np.random.RandomState(1)
+    blocks = _blocks(rs, 2, 32, 8, jnp.bfloat16)
+    x = jnp.asarray(rs.randn(2, 4, 4, 32), jnp.bfloat16)
+    ref = x
+    for b in blocks:
+        ref = _bottleneck_folded(ref, b, 1)
+    out = fused_identity_stage(x, stack_identity_blocks(blocks),
+                               block_b=1, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_pick_block_b():
+    assert pick_block_b(64, 4) == 4
+    assert pick_block_b(64, 0) == 1     # want clamps to >= 1
+    assert pick_block_b(6, 4) == 3      # largest divisor <= want
+    assert pick_block_b(7, 4) == 1
+    with pytest.raises(ValueError, match="not divisible"):
+        rs = np.random.RandomState(2)
+        blocks = _blocks(rs, 1, 32, 8)
+        fused_identity_stage(jnp.zeros((3, 4, 4, 32), jnp.float32),
+                             stack_identity_blocks(blocks), block_b=2,
+                             interpret=True)
+
+
+@pytest.mark.slow   # full resnet101 through the interpreter (~10 s)
+def test_resnet_apply_fused_stages_parity():
+    """resnet101_apply(fused_stages=(0,1,2,3)) equals the plain folded
+    apply at f32 highest precision — the integration the bench A/B runs
+    (each stage's downsample block stays on XLA, identity runs fuse)."""
+    rs = np.random.RandomState(0)
+    bb = fold_batchnorm(resnet101_init(jax.random.PRNGKey(1)))
+    x = jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32))
+    ref = resnet101_apply(bb, x)
+    out = resnet101_apply(bb, x, fused_stages=(0, 1, 2, 3),
+                          fused_interpret=True)
+    ref = np.asarray(ref)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
+                               atol=3e-5)
