@@ -48,36 +48,6 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def load_or_build_chain_artifact(art_dir, build, expect_meta, log=log):
-    """Shared --artifact plumbing for both benches: load the chained
-    measurement program from ``art_dir``, (re)building it via ``build()``
-    when the directory is missing or its meta does not match
-    ``expect_meta`` (the artifact is a cache of the protocol, not a
-    contract — a changed flag rebuilds rather than errors).  Returns the
-    callable ExportedPredict."""
-    from rau_vqa_tpu.eval.export import load_exported
-
-    meta_path = os.path.join(art_dir, "meta.json")
-    why = None
-    if not os.path.exists(meta_path):
-        why = "missing"
-    else:
-        with open(meta_path) as f:
-            meta = json.load(f)
-        stale = [k for k, v in expect_meta.items() if meta.get(k) != v]
-        if stale:
-            why = ("protocol mismatch: "
-                   + ", ".join(f"{k}={meta.get(k)!r}!={expect_meta[k]!r}"
-                               for k in stale))
-    if why is not None:
-        log(f"bench: building chain artifact at {art_dir} ({why})")
-        t0 = time.perf_counter()
-        build()
-        log(f"bench: artifact built in {time.perf_counter() - t0:.1f}s "
-            f"(trace+lower only — no backend compile)")
-    return load_exported(art_dir)
-
-
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -109,12 +79,8 @@ def main() -> None:
 
     # persistent executable cache: a re-run of this unchanged program
     # loads the compiled binary instead of re-paying the remote compile
-    from rau_vqa_tpu.utils.rigcheck import enable_compile_cache
-    if probe.get("platform") != "cpu":
-        # XLA:CPU AOT cache entries can carry machine-feature
-        # mismatches (SIGILL risk per cpu_aot_loader) — the cache
-        # exists for the remote-TPU compile lottery only
-        enable_compile_cache(os.path.join(_REPO, "benchmarks", "compile_cache"))
+    from rau_vqa_tpu.utils.rigcheck import enable_compile_cache_for_probe
+    enable_compile_cache_for_probe(probe, _REPO)
 
     import jax
     import jax.numpy as jnp
@@ -140,13 +106,16 @@ def main() -> None:
                                  cfg.cnn_dim).astype(np.float32))
 
     if args.artifact:
-        from rau_vqa_tpu.eval.export import export_serve_chain
-        exported = load_or_build_chain_artifact(
+        from rau_vqa_tpu.eval.export import (
+            export_serve_chain,
+            load_or_build_chain_artifact,
+        )
+        serve_chain = load_or_build_chain_artifact(
             args.artifact,
             lambda: export_serve_chain(params, cfg, args.artifact,
                                        batch=B, chain=K),
-            {"kind": "serve_chain", "batch": B, "chain": K})
-        serve_chain = exported
+            {"kind": "serve_chain", "batch": B, "chain": K,
+             "model_config": dataclasses.asdict(cfg)}, log=log)
         log("bench: timing from AOT artifact (no Python trace)")
     else:
         serve_chain = jax.jit(make_serve_chain(cfg, K))

@@ -133,13 +133,9 @@ def main() -> None:
 
     # persistent executable cache: a re-run of this unchanged program
     # loads the compiled binary instead of re-paying the remote compile
-    from rau_vqa_tpu.utils.rigcheck import enable_compile_cache
-    if probe.get("platform") != "cpu":
-        # XLA:CPU AOT cache entries can carry machine-feature
-        # mismatches (SIGILL risk per cpu_aot_loader) — the cache
-        # exists for the remote-TPU compile lottery only
-        enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(
-            __file__)), "benchmarks", "compile_cache"))
+    from rau_vqa_tpu.utils.rigcheck import enable_compile_cache_for_probe
+    enable_compile_cache_for_probe(
+        probe, os.path.dirname(os.path.abspath(__file__)))
 
     import jax
     import jax.numpy as jnp
@@ -239,8 +235,10 @@ def main() -> None:
                                  fused_block_b=args.fused_block_b)
 
     if args.artifact is not None:
-        from bench import load_or_build_chain_artifact
-        from rau_vqa_tpu.eval.export import export_pixels_chain
+        from rau_vqa_tpu.eval.export import (
+            export_pixels_chain,
+            load_or_build_chain_artifact,
+        )
         variant = args.backbone + str(args.size) + \
             ("_s2d" if args.s2d else "") + \
             ("_nofold" if args.no_fold_bn else "") + \
@@ -255,7 +253,8 @@ def main() -> None:
                 qpi=Q, image_size=args.size, n_acc=n_acc,
                 extra_meta={"variant": variant}),
             {"kind": "pixels_chain", "batch": B, "chain": K, "qpi": Q,
-             "image_size": args.size, "variant": variant}, log=log)
+             "image_size": args.size, "variant": variant,
+             "model_config": dataclasses.asdict(cfg)}, log=log)
         log("bench_pixels: timing from AOT artifact (no Python trace)")
     else:
         serve_chain = jax.jit(chain_fn(K))

@@ -194,6 +194,15 @@ class SplitData:
             if num_batches is not None:
                 raise ValueError("include_tail requires num_batches=None "
                                  "(a full sweep)")
+            if self.batch_index != 0:
+                # mid-epoch, 'one full sweep' is unsatisfiable: the loop
+                # would cross the reorder boundary (repeating examples)
+                # and the captured tail could be empty — fail loudly
+                # instead of silently breaking the every-example promise
+                raise ValueError(
+                    f"include_tail requires an epoch boundary "
+                    f"(batch_index={self.batch_index}); call inorder()/"
+                    f"reorder() first")
             # capture NOW: _batch_indices reorders when the next batch would
             # overflow, replacing batch_order before the loop finishes
             start = self.batch_index + self.iter_per_epoch * self.batch_size

@@ -364,3 +364,41 @@ class ExportedPredict:
 
 def load_exported(art_dir: str) -> ExportedPredict:
     return ExportedPredict(art_dir)
+
+
+def load_or_build_chain_artifact(art_dir: str, build, expect_meta: Dict,
+                                 log=print) -> ExportedPredict:
+    """--artifact plumbing shared by the benches: load the chained
+    measurement program from ``art_dir``, (re)building via ``build()``
+    when the directory is missing or its meta does not match
+    ``expect_meta`` (the artifact is a cache of the protocol, not a
+    contract — a changed flag rebuilds rather than errors).
+
+    Callers MUST include "model_config" in expect_meta: artifact dirs
+    persist across commits, and without it a stale chain.shlo with
+    matching shapes would silently measure an old program.  Values are
+    normalized through JSON so dataclass tuples compare equal to the
+    lists meta.json stores."""
+    import time
+
+    expect = json.loads(json.dumps(expect_meta))
+    if "model_config" not in expect:
+        raise ValueError("expect_meta must pin model_config "
+                         "(stale-artifact guard)")
+    meta_path = os.path.join(art_dir, _META)
+    why = None
+    if not os.path.exists(meta_path):
+        why = "missing"
+    else:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        stale = [k for k, v in expect.items() if meta.get(k) != v]
+        if stale:
+            why = "protocol/model mismatch: " + ", ".join(stale)
+    if why is not None:
+        log(f"bench: building chain artifact at {art_dir} ({why})")
+        t0 = time.perf_counter()
+        build()
+        log(f"bench: artifact built in {time.perf_counter() - t0:.1f}s "
+            f"(trace+lower only — no backend compile)")
+    return load_exported(art_dir)

@@ -237,6 +237,12 @@ def resnet101_apply(params: Dict, x: jax.Array,
             x = block_fn(x, blocks[0], 2 if stage > 0 else 1)
             # block_b=0 is auto: target ~4k matmul rows per grid step
             # (bb*H*W) so the MXU sees well-shaped operands at every stage
+            if fused_block_b and x.shape[0] % fused_block_b:
+                # an explicit tile that silently shrank would mislabel
+                # A/B ledger entries (the bench reports the requested one)
+                raise ValueError(
+                    f"fused_block_b {fused_block_b} does not divide "
+                    f"batch {x.shape[0]} (use 0 for auto)")
             want = fused_block_b or max(
                 1, min(8, 4096 // (x.shape[1] * x.shape[2])))
             x = fused_identity_stage(

@@ -86,12 +86,19 @@ def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     y1 = jnp.maximum(y1 + b1_ref[0].astype(f32), 0.0).astype(dt)
     y1p_ref[:, 1:H + 1, 1:W + 1, :] = y1.reshape(bb, H, W, Cw)
 
-    # 3x3 as 9 shifted MXU matmuls over the zero-padded plane
-    acc = jnp.zeros((bb * H * W, Cw), f32) + b2_ref[0].astype(f32)
-    for t in range(9):
-        dy, dx = t // 3, t % 3
-        sl = y1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(bb * H * W, Cw)
-        acc = acc + jnp.dot(sl, w2_ref[0, t], preferred_element_type=f32)
+    # 3x3 as 9 shifted MXU matmuls over the zero-padded plane.  A
+    # fori_loop, NOT a Python unroll: unrolled matmul loops in kernel
+    # bodies have been Mosaic compile pathologies on this rig
+    # (CLAUDE.md; docs/mosaic_notes.md #1)
+    def tap(t, acc):
+        dy = t // 3
+        dx = t - dy * 3
+        sl = y1p_ref[:, pl.ds(dy, H), pl.ds(dx, W), :]
+        w = w2_ref[0, pl.ds(t, 1)].reshape(Cw, Cw)
+        return acc + jnp.dot(sl.reshape(bb * H * W, Cw), w,
+                             preferred_element_type=f32)
+    acc = jax.lax.fori_loop(
+        0, 9, tap, jnp.zeros((bb * H * W, Cw), f32) + b2_ref[0].astype(f32))
     y2 = jnp.maximum(acc, 0.0).astype(dt)
 
     # 1x1 expand + residual + ReLU; the result is the next block's input

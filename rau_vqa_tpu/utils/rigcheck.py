@@ -173,6 +173,20 @@ def bench_watchdog(metric: str, unit: str, timeout_s: float = 2400.0):
     return t
 
 
+def enable_compile_cache_for_probe(probe: Dict, repo_root: str) -> bool:
+    """Benches call this right after ``bench_preflight``: enables the
+    persistent executable cache under <repo_root>/benchmarks/compile_cache
+    UNLESS the probe resolved to CPU — XLA:CPU AOT cache entries can carry
+    machine-feature mismatches (SIGILL risk per cpu_aot_loader), and the
+    cache exists for the remote-TPU compile lottery only."""
+    import os
+
+    if probe.get("platform") == "cpu":
+        return False
+    return enable_compile_cache(
+        os.path.join(repo_root, "benchmarks", "compile_cache"))
+
+
 def enable_compile_cache(cache_dir: str) -> bool:
     """Point JAX's persistent compilation cache at ``cache_dir``.
 

@@ -79,7 +79,7 @@ def main() -> None:
     from rau_vqa_tpu.utils.rigcheck import (
         bench_preflight,
         bench_watchdog,
-        enable_compile_cache,
+        enable_compile_cache_for_probe,
     )
     # budget: up to 4 micro-batch bucket compiles at the 3-460 s remote
     # tail, plus the measurement itself
@@ -88,12 +88,7 @@ def main() -> None:
     probe = bench_preflight("serve_questions_per_sec", "questions/sec")
     if probe.get("platform") == "cpu":
         watchdog.cancel()
-    if probe.get("platform") != "cpu":
-        # XLA:CPU AOT cache entries can carry machine-feature
-        # mismatches (SIGILL risk per cpu_aot_loader) — the cache
-        # exists for the remote-TPU compile lottery only
-        enable_compile_cache(os.path.join(REPO, "benchmarks",
-                                          "compile_cache"))
+    enable_compile_cache_for_probe(probe, REPO)
 
     import dataclasses
 
@@ -187,6 +182,13 @@ def main() -> None:
         f"over {args.unloaded} sequential requests")
 
     # --- phase B: saturated throughput ----------------------------------
+    # snapshot dispatch stats FIRST: the warmup + phase-A single-request
+    # dispatches would otherwise dilute the saturated mean micro-batch
+    # (the exact number this script exists to measure)
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=60) as r:
+        pre = json.loads(r.read())
+
     results: list = []
     errors: list = []
     lock = threading.Lock()
@@ -220,10 +222,17 @@ def main() -> None:
     with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/stats", timeout=60) as r:
         stats = json.loads(r.read())
+    # phase-B-only mean micro-batch: diff the request/dispatch totals
+    # (mean_batch * dispatches) across the phase; exact while the server's
+    # 1000-entry stats window isn't exceeded (it isn't at these volumes)
+    d0, d1 = pre.get("dispatches", 0), stats.get("dispatches", 0)
+    req0 = pre.get("mean_batch", 0.0) * d0
+    req1 = stats.get("mean_batch", 0.0) * d1
+    mean_b = (req1 - req0) / max(1, d1 - d0)
     log(f"bench_serve: saturated {qps:.1f} q/s with {args.clients} clients "
         f"({n_ok} ok, {len(errors)} errors), loaded p50 {lp50:.1f} / "
-        f"p99 {lp99:.1f} ms, mean micro-batch "
-        f"{stats.get('mean_batch', 0):.2f}")
+        f"p99 {lp99:.1f} ms, mean micro-batch {mean_b:.2f} "
+        f"over {d1 - d0} dispatches")
 
     from rau_vqa_tpu.utils.rigcheck import matmul_canary
     canary = matmul_canary()
@@ -244,7 +253,7 @@ def main() -> None:
         "loaded_p99_ms": round(lp99, 1),
         "clients": args.clients,
         "errors": len(errors),
-        "mean_microbatch": round(float(stats.get("mean_batch", 0.0)), 2),
+        "mean_microbatch": round(float(mean_b), 2),
         "rig_canary_tflops": canary["tflops"],
         "rig_canary_frac_peak": canary["frac_of_peak"],
     }))
