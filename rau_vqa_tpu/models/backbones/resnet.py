@@ -194,7 +194,7 @@ def _bottleneck_folded(x, blk, stride):
 def resnet101_apply(params: Dict, x: jax.Array,
                     fused_stages: Tuple[int, ...] = (),
                     fused_block_b: int = 0,
-                    fused_interpret: bool = False) -> jax.Array:
+                    fused_interpret=None) -> jax.Array:
     """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
     [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout.  Accepts the
     plain (conv+BN) tree or a ``fold_batchnorm`` tree.

@@ -110,17 +110,20 @@ def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
 @functools.partial(jax.jit,
                    static_argnames=("block_b", "interpret"))
 def fused_identity_stage(x: jax.Array, stack: Dict, *, block_b: int = 2,
-                         interpret: bool = False) -> jax.Array:
+                         interpret=None) -> jax.Array:
     """Run N stacked identity bottlenecks over x [B, H, W, C] in one
-    pallas_call.  B must divide by block_b (callers pick a divisor)."""
+    pallas_call.  B must divide by block_b (callers pick a divisor).
+
+    ``interpret=None`` (auto) runs the Pallas interpreter on a CPU
+    backend (Mosaic only targets TPU — same math, parity-pinned);
+    pass False explicitly to force the Mosaic lowering regardless
+    (the no-hardware TPU-lowering smoke test does)."""
     B, H, W, C = x.shape
     N, _, Cw = stack["w1"].shape
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
-    if not interpret and jax.default_backend() == "cpu":
-        # Mosaic only targets TPU; CPU smokes of the fused path run the
-        # interpreter (same math — the parity tests pin it)
-        interpret = True
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
 
     act = pl.BlockSpec((block_b, H, W, C), lambda i, h: (i, 0, 0, 0))
     per_block = [

@@ -100,3 +100,33 @@ def test_resnet_apply_fused_stages_parity():
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
                                atol=3e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    (64, 28, 1024, 256, 22, 4),   # stage 2 at 448 px (the A/B target)
+    (64, 14, 2048, 512, 2, 8),    # stage 3
+    (64, 56, 512, 128, 3, 1),     # stage 1
+])
+def test_tpu_lowering_no_hardware(shape):
+    """jax.export lowers for the TPU platform WITHOUT a TPU device, which
+    runs the client-side Pallas->Mosaic lowering rules at the REAL A/B
+    shapes — catching unsupported-op/layout lowering failures offline
+    (the tunnel outage means the first Mosaic compile otherwise happens
+    unattended mid-sweep).  Backend passes (VMEM fit, compile time) still
+    only run on the rig."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    B, H, C, Cw, N, bb = shape
+    stack_s = {k: jax.ShapeDtypeStruct(s, jnp.bfloat16) for k, s in {
+        "w1": (N, C, Cw), "b1": (N, 1, Cw), "w2": (N, 9, Cw, Cw),
+        "b2": (N, 1, Cw), "w3": (N, Cw, C), "b3": (N, 1, C)}.items()}
+    x_s = jax.ShapeDtypeStruct((B, H, H, C), jnp.bfloat16)
+    exp = jexport.export(
+        jax.jit(lambda x, st: fused_identity_stage(
+            x, st, block_b=bb, interpret=False)),
+        platforms=("tpu",))(x_s, stack_s)
+    # the Mosaic kernel module must actually be embedded (a silently
+    # interpreted path would "lower" trivially)
+    assert b"tpu_custom_call" in exp.mlir_module_serialized or \
+        "tpu_custom_call" in exp.mlir_module()
