@@ -302,3 +302,80 @@ def test_export_pixels_chain_roundtrip(tmp_path):
     salt_b, acc_b = live(bb, params, images, toks, lens, np.int32(5))
     np.testing.assert_array_equal(np.asarray(acc_a), np.asarray(acc_b))
     assert int(salt_a) == int(salt_b)
+
+
+@pytest.mark.slow   # traces full-size programs (~1 min)
+def test_sweep_programs_tpu_lowering_no_hardware():
+    """TPU-platform-lower (jax.export, no device needed) the EXACT
+    programs scripts/run_pending_measurements.sh will compile on the rig:
+    the questions chain at B=2048/K=30, the from-pixels chain over the
+    folded ResNet-101 at 448/B=64, and the ViT-L chain at B=32.  The
+    round-3 jit-args regression shipped because nothing exercised these
+    paths during the outage; CPU smokes catch trace bugs, this also
+    catches TPU-only lowering failures."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from rau_vqa_tpu.eval.chain import make_pixels_chain, make_serve_chain
+    from rau_vqa_tpu.models.backbones.resnet import (
+        fold_batchnorm,
+        resnet101_init,
+    )
+    from rau_vqa_tpu.models.rau import init_params
+
+    def sds(tree):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+
+    # questions path: flagship ours_ms at the bench protocol dims
+    cfg = dataclasses.replace(get_preset("ours_ms").model,
+                              matmul_precision="default",
+                              compute_dtype="bfloat16")
+    params_s = sds(jax.eval_shape(lambda k: init_params(k, cfg),
+                                  jax.random.PRNGKey(0)))
+    B = 2048
+    jexport.export(jax.jit(make_serve_chain(cfg, 30)), platforms=("tpu",))(
+        params_s,
+        jax.ShapeDtypeStruct((B, cfg.seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B, cfg.cnn_spat, cfg.cnn_dim), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32))
+
+    # from-pixels: folded bf16 ResNet-101 at 448, B=64, qpi=3 (headline)
+    rcfg = dataclasses.replace(get_preset("ours_resnet").model,
+                               cnn_w=14, cnn_h=14,
+                               matmul_precision="default",
+                               compute_dtype="bfloat16")
+    rparams_s = sds(jax.eval_shape(lambda k: init_params(k, rcfg),
+                                   jax.random.PRNGKey(0)))
+    # fold_batchnorm is numpy-eager (host math) — build the tree for real
+    bb_s = sds(fold_batchnorm(resnet101_init(jax.random.PRNGKey(1),
+                                             dtype=jnp.bfloat16)))
+    Bi = 64
+    jexport.export(jax.jit(make_pixels_chain(rcfg, "resnet101", 10, 3, 4)),
+                   platforms=("tpu",))(
+        bb_s, rparams_s,
+        jax.ShapeDtypeStruct((Bi, 448, 448, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((Bi * 3, rcfg.seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((Bi * 3,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32))
+
+    # ViT-L stretch config (BASELINE.json configs[4]) at B=32
+    from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_init
+    vcfg = dataclasses.replace(get_preset("ours_vit").model,
+                               cnn_w=VIT_L14.grid, cnn_h=VIT_L14.grid,
+                               matmul_precision="default",
+                               compute_dtype="bfloat16")
+    vparams_s = sds(jax.eval_shape(lambda k: init_params(k, vcfg),
+                                   jax.random.PRNGKey(0)))
+    vbb_s = sds(jax.eval_shape(
+        lambda k: vit_init(k, VIT_L14, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(1)))
+    Bv, s = 32, VIT_L14.image_size
+    jexport.export(jax.jit(make_pixels_chain(vcfg, "vit", 10, 3, 4)),
+                   platforms=("tpu",))(
+        vbb_s, vparams_s,
+        jax.ShapeDtypeStruct((Bv, s, s, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((Bv * 3, vcfg.seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((Bv * 3,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32))
