@@ -235,8 +235,12 @@ def resnet101_apply(params: Dict, x: jax.Array,
                 stack_identity_blocks,
             )
             x = block_fn(x, blocks[0], 2 if stage > 0 else 1)
-            # block_b=0 is auto: target ~4k matmul rows per grid step
-            # (bb*H*W) so the MXU sees well-shaped operands at every stage
+            # block_b=0 is auto: target ~2k matmul rows per grid step
+            # (bb*H*W) — enough sublane tiles to shape the MXU operands
+            # while keeping stage 2's nominal VMEM well inside the 2-3x
+            # headroom Mosaic's allocator needs (docs/mosaic_notes.md #5);
+            # push higher explicitly via --fused-block-b once the rig
+            # confirms the fit
             if fused_block_b and x.shape[0] % fused_block_b:
                 # an explicit tile that silently shrank would mislabel
                 # A/B ledger entries (the bench reports the requested one)
@@ -244,7 +248,7 @@ def resnet101_apply(params: Dict, x: jax.Array,
                     f"fused_block_b {fused_block_b} does not divide "
                     f"batch {x.shape[0]} (use 0 for auto)")
             want = fused_block_b or max(
-                1, min(8, 4096 // (x.shape[1] * x.shape[2])))
+                1, min(8, 2048 // (x.shape[1] * x.shape[2])))
             x = fused_identity_stage(
                 x, stack_identity_blocks(blocks[1:]),
                 block_b=pick_block_b(x.shape[0], want),
