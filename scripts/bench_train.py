@@ -51,6 +51,20 @@ def main() -> None:
                     help="experiment preset (ours_ms, ours_resnet, ...)")
     args = ap.parse_args()
 
+    # outage guards (CLAUDE.md): deadline + hang-proof probe BEFORE any
+    # device touch; a CPU-pinned smoke cancels the watchdog
+    from rau_vqa_tpu.utils.rigcheck import (
+        bench_preflight,
+        bench_watchdog,
+        enable_compile_cache_for_probe,
+    )
+    watchdog = bench_watchdog("train_ms_per_step", "ms")
+    probe = bench_preflight("train_ms_per_step", "ms")
+    if probe.get("platform") == "cpu":
+        watchdog.cancel()
+    enable_compile_cache_for_probe(
+        probe, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +150,20 @@ def main() -> None:
                 f"({eps:,.0f} examples/sec)")
             results[f"{variant}_b{B}"] = round(ms, 3)
 
-    print(json.dumps(results))
+    from rau_vqa_tpu.utils.rigcheck import matmul_canary
+    canary = matmul_canary()
+    log(f"bench_train: rig canary {canary['tflops']} TFLOP/s")
+    watchdog.cancel()
+    # headline = the first variant/batch requested; 32.8 ms/step is the
+    # measured round-2 plain-b512 baseline (BASELINE.md training table)
+    head = next(iter(results.values()))
+    print(json.dumps({
+        "metric": "train_ms_per_step", "value": head, "unit": "ms",
+        "vs_baseline": round(32.8 / head, 3) if head else 0.0,
+        "results": results,
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
+    }))
 
 
 if __name__ == "__main__":

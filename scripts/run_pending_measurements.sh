@@ -72,6 +72,11 @@ run bench_serve python scripts/bench_serve.py
 run bench_pixels_fused_s2 python bench_pixels.py --fused-stages 2
 run bench_pixels_fused_s123 python bench_pixels.py --fused-stages 1,2,3
 
+# 9. training step re-baseline on the post-refactor tree (the round-3
+#    consume()/one-device_get change touched this path; expect ~32.8
+#    ms/step plain b512 and the ~-3.9% trunc16 delta)
+run bench_train python scripts/bench_train.py --variants plain,trunc16
+
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
   exit 1

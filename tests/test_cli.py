@@ -356,6 +356,10 @@ def test_bench_scripts_cpu_smoke():
          ["--tiny", "--clients", "4", "--requests", "2", "--unloaded", "4",
           "--max-batch", "4"],
          "serve_questions_per_sec"),
+        ("scripts/bench_train.py",
+         ["--batch", "8", "--steps", "1", "--rounds", "1",
+          "--variants", "plain"],
+         "train_ms_per_step"),
     ]
     for script, flags, metric in cases:
         r = subprocess.run(
