@@ -29,7 +29,10 @@ BN_EPS = 1e-5
 
 def _conv_init(key, kh, kw, c_in, c_out, dtype):
     fan_in = kh * kw * c_in
-    std = np.sqrt(2.0 / fan_in)
+    # Python float, NOT np.sqrt: a NumPy f64 scalar is a strong f32 under
+    # jax promotion and silently upcast every bf16 conv weight to f32
+    # (every "bf16" resnet bench through round 3 actually ran f32 tensors)
+    std = float(np.sqrt(2.0 / fan_in))
     return jax.random.normal(key, (kh, kw, c_in, c_out), dtype) * std
 
 

@@ -47,7 +47,9 @@ def vgg16_pool5_init(key: jax.Array, dtype=jnp.float32) -> Dict:
             continue
         key, k = jax.random.split(key)
         fan_in = 3 * 3 * c_in
-        std = np.sqrt(2.0 / fan_in)
+        # Python float: a NumPy scalar is strong-typed and would upcast
+        # bf16 weights to f32 (see resnet._conv_init)
+        std = float(np.sqrt(2.0 / fan_in))
         params.append({
             "w": jax.random.normal(k, (3, 3, c_in, v), dtype) * std,
             "b": jnp.zeros((v,), dtype),

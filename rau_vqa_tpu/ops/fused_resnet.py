@@ -68,12 +68,13 @@ def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     h = pl.program_id(1)
     bb, H, W, C = o_ref.shape
     Cw = w1_ref.shape[2]
+    Wp = y1p_ref.shape[2]
     f32 = jnp.float32
 
     @pl.when(h == 0)
     def _():
         # adopt the stage input; also zero the padded plane's borders
-        # (only the interior is written below, every step)
+        # (only the y1 region is written below, every step)
         o_ref[...] = x_ref[...]
         y1p_ref[...] = jnp.zeros_like(y1p_ref)
 
@@ -81,19 +82,35 @@ def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     dt = xv.dtype
     xf = xv.reshape(bb * H * W, C)
 
-    # 1x1 reduce: [bb*H*W, C] @ [C, Cw], bias+ReLU epilogue
+    # 1x1 reduce: [bb*H*W, C] @ [C, Cw], bias+ReLU epilogue.  y1 lands at
+    # W-offset 0 — Mosaic requires 8-aligned offsets on the second-minor
+    # (sublane) dim; columns W..Wp-1 stay zero and double as the conv's
+    # zero padding via roll wraparound below.  The plane is f32: Mosaic's
+    # dynamic rotate only handles 32-bit lanes ("Rotate with non-32-bit
+    # data"); operands are cast back to the serving dtype AT the matmul,
+    # so the MXU still runs bf16 and the rounding matches the unfused
+    # path (which also materializes y1 in the serving dtype).
     y1 = jnp.dot(xf, w1_ref[0], preferred_element_type=f32)
-    y1 = jnp.maximum(y1 + b1_ref[0].astype(f32), 0.0).astype(dt)
-    y1p_ref[:, 1:H + 1, 1:W + 1, :] = y1.reshape(bb, H, W, Cw)
+    y1 = jnp.maximum(y1 + b1_ref[0].astype(f32), 0.0)
+    y1p_ref[:, 1:H + 1, 0:W, :] = y1.reshape(bb, H, W, Cw)
 
     # 3x3 as 9 shifted MXU matmuls over the zero-padded plane.  A
     # fori_loop, NOT a Python unroll: unrolled matmul loops in kernel
     # bodies have been Mosaic compile pathologies on this rig
-    # (CLAUDE.md; docs/mosaic_notes.md #1)
+    # (CLAUDE.md; docs/mosaic_notes.md #1).  The H shift is a dynamic
+    # ref offset (untiled dim — allowed); the W shift CANNOT be a ref
+    # offset (sublane dim, must be 8-aligned: mosaic_notes.md #7), so it
+    # is a dynamic circular roll whose wraparound pulls the zero columns
+    # W..Wp-1 in at the borders — exactly the conv's zero padding, since
+    # Wp >= W + 2 leaves >= 1 zero column for each of dx in {0, 2}.
     def tap(t, acc):
         dy = t // 3
         dx = t - dy * 3
-        sl = y1p_ref[:, pl.ds(dy, H), pl.ds(dx, W), :]
+        rows = y1p_ref[:, pl.ds(dy, H), :, :]        # [bb, H, Wp, Cw] f32
+        # want sl[w] = rows[w + dx - 1] (zero off both ends): roll right
+        # by (1 - dx) mod Wp, then keep columns 0..W-1
+        rolled = pltpu.roll(rows, (1 - dx) % Wp, 2)
+        sl = rolled[:, :, 0:W, :].astype(dt)
         w = w2_ref[0, pl.ds(t, 1)].reshape(Cw, Cw)
         return acc + jnp.dot(sl.reshape(bb * H * W, Cw), w,
                              preferred_element_type=f32)
@@ -142,13 +159,23 @@ def fused_identity_stage(x: jax.Array, stack: Dict, *, block_b: int = 2,
         out_specs=act,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_b, H + 2, W + 2, Cw), x.dtype)],
+            # W-pad rounded up to the 8-sublane tile so y1 stores at
+            # offset 0; the extra zero columns feed the roll wraparound.
+            # f32: Mosaic dynamic rotate is 32-bit-only (see kernel)
+            pltpu.VMEM((block_b, H + 2, -(-(W + 2) // 8) * 8, Cw),
+                       jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=int(x.size * x.dtype.itemsize * 2
                                + sum(np.prod(v.shape) * v.dtype.itemsize
                                      for v in stack.values())),
             transcendentals=0),
+        # the default 16 MB scoped-vmem budget rejects the stage-2 shape
+        # (~20 MB working set at block_b=2); this chip has ~128 MB VMEM
+        # of which a 96 MB single scratch measures allocatable
+        # (docs/mosaic_notes.md #5) — leave the allocator 2x headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, stack["w1"], stack["b1"], stack["w2"], stack["b2"],
       stack["w3"], stack["b3"])

@@ -24,6 +24,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)

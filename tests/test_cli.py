@@ -362,10 +362,15 @@ def test_bench_scripts_cpu_smoke():
          "train_ms_per_step"),
     ]
     for script, flags, metric in cases:
+        # sys.path[0] = scripts/ replicates `python scripts/foo.py` (the
+        # sweep's invocation): cwd is NOT importable, so a script missing
+        # its repo-root path shim fails here like it would on the rig.
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; jax.config.update('jax_platforms', 'cpu');"
-             f"import sys; sys.argv = [{script!r}] + {flags!r};"
+             "import sys, os.path;"
+             f"sys.path[0] = os.path.dirname(os.path.abspath({script!r}));"
+             f"sys.argv = [{script!r}] + {flags!r};"
              f"import runpy; runpy.run_path({script!r}, "
              "run_name='__main__')"],
             cwd=repo, capture_output=True, text=True, timeout=900)

@@ -130,3 +130,42 @@ def test_tpu_lowering_no_hardware(shape):
     # interpreted path would "lower" trivially)
     assert b"tpu_custom_call" in exp.mlir_module_serialized or \
         "tpu_custom_call" in exp.mlir_module()
+
+
+@pytest.mark.slow   # three real backend compiles, ~40 s total
+@pytest.mark.parametrize("shape", [
+    (64, 28, 1024, 256, 22, 2),   # stage 2 at 448 px (the A/B target)
+    (64, 14, 2048, 512, 8, 8),    # stage 3 width at a deeper-N stress
+    (64, 56, 512, 128, 3, 1),     # stage 1
+])
+def test_tpu_backend_compile(shape):
+    """Chipless AOT compile through the LOCAL libtpu backend — the same
+    TpuAotCompiler the tunnel's remote helper runs.  Unlike the
+    jax.export lowering smoke above, this executes Mosaic's backend
+    passes (alignment legality, rotate dtype support, scoped-vmem fit)
+    and reproduced all three on-rig fused-kernel failures offline
+    (docs/mosaic_notes.md #8-10)."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    try:
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name="v5e:1x1x1",
+            chips_per_host_bounds=[1, 1, 1])
+    except Exception as e:  # noqa: BLE001 — no local libtpu on this host
+        pytest.skip(f"chipless TPU topology unavailable: {e}")
+    mesh = Mesh(np.array(topo.devices), ("d",))
+    sh = NamedSharding(mesh, PartitionSpec())
+
+    B, H, C, Cw, N, bb = shape
+    x = jax.ShapeDtypeStruct((B, H, H, C), jnp.bfloat16, sharding=sh)
+    st = {k: jax.ShapeDtypeStruct(s, jnp.bfloat16, sharding=sh)
+          for k, s in {
+              "w1": (N, C, Cw), "b1": (N, 1, Cw), "w2": (N, 9, Cw, Cw),
+              "b2": (N, 1, Cw), "w3": (N, Cw, C), "b3": (N, 1, C)}.items()}
+    # serving precision: conftest pins matmul precision "highest" for
+    # parity tests, but Mosaic rejects fp32 contract precision on bf16
+    # operands ("Bad lhs type") — the benches run "default"
+    with jax.default_matmul_precision("default"):
+        jax.jit(lambda xx, stt: fused_identity_stage(
+            xx, stt, block_b=bb, interpret=False)).lower(x, st).compile()

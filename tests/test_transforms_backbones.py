@@ -561,3 +561,42 @@ def test_backbone_trees_are_jit_argument_safe():
                          jnp.ones((2, 4), jnp.int32),
                          jnp.full((2,), 2, jnp.int32))
     assert out.scores.shape[1] == 2
+
+
+def test_backbone_bf16_init_stays_bf16():
+    """A bf16 init must produce UNIFORMLY bf16 trees end to end.  NumPy
+    scalar factors (np.sqrt std) are strong f32 under jax promotion and
+    silently upcast conv weights — every "bf16" resnet/vgg serving bench
+    through round 3 actually moved f32 tensors (2x HBM traffic, and the
+    fused-stage kernel VMEM-OOMed on f32 operands it was never meant to
+    see).  eval_shape only: no FLOPs, catches the dtype graph."""
+    from rau_vqa_tpu.models.backbones import resnet as R
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_init
+
+    def all_dtypes(tree):
+        return {str(leaf.dtype) for leaf in jax.tree_util.tree_leaves(tree)}
+
+    key = jax.random.PRNGKey(0)
+    # real arrays for resnet: fold_batchnorm is a host-numpy fold and
+    # cannot run under eval_shape
+    rn = R.resnet101_init(key, dtype=jnp.bfloat16)
+    assert all_dtypes(rn) == {"bfloat16"}
+    folded = R.fold_batchnorm(rn)
+    assert all_dtypes(folded) == {"bfloat16"}
+    assert all_dtypes(jax.eval_shape(
+        lambda k: vgg16_pool5_init(k, dtype=jnp.bfloat16),
+        key)) == {"bfloat16"}
+    vit = jax.eval_shape(
+        lambda k: vit_init(k, VIT_L14, dtype=jnp.bfloat16), key)
+    assert all_dtypes(vit) == {"bfloat16"}
+
+    # apply fns must keep the param dtype (the vit attention scale was a
+    # strong-f32 np scalar: scores AND every post-residual layer ran f32)
+    from rau_vqa_tpu.models.backbones.vit import vit_apply
+    x = jax.ShapeDtypeStruct((2, 224, 224, 3), jnp.float32)
+    out = jax.eval_shape(lambda p, im: vit_apply(p, VIT_L14, im), vit, x)
+    assert out.dtype == jnp.bfloat16
+    xr = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    outr = jax.eval_shape(R.resnet101_apply, folded, xr)
+    assert outr.dtype == jnp.bfloat16
