@@ -160,6 +160,13 @@ class RAUService:
         self._feat_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._feat_inflight: Dict[str, threading.Event] = {}
         self._feat_cache_lock = threading.Lock()
+        # DEVICE-resident per-image feature LRU (live-params path): repeat
+        # requests about a known image upload ZERO feature bytes — the
+        # per-dispatch [bucket, S, D] f32 feature upload measured as 784 ms
+        # of the 851 ms unloaded p50 on the rig tunnel (bench_serve
+        # decompose phase); production serving keeps hot features in HBM
+        self._dev_feat_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._zero_feat = None     # device zeros for bucket padding
 
     def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
         import hashlib
@@ -269,18 +276,9 @@ class RAUService:
         bucket = next(b for b in (1, 4, 8, self.max_batch) if b >= n)
         tokens = np.zeros((bucket, self.mcfg.seq_len), np.int32)
         lengths = np.ones((bucket,), np.int32)
-        if self.pixels_artifact:
-            # the micro-batch visual operand is raw pixels; the artifact's
-            # program runs preprocess + backbone + RAU in one call
-            feats = np.zeros((bucket, self.image_size, self.image_size, 3),
-                             np.uint8)
-        else:
-            feats = np.zeros((bucket, self.mcfg.cnn_spat, self.mcfg.cnn_dim),
-                             np.float32)
         for i, item in enumerate(group):
             tokens[i] = item["tokens"]
             lengths[i] = item["length"]
-            feats[i] = item["feats"]
         with self.lock:
             if self.params is None:
                 # AOT artifact: ExportedPredict consumes NUMPY operands
@@ -288,12 +286,36 @@ class RAUService:
                 # jnp.asarray here would round-trip the whole batch
                 # host->device->host first, tripling tunnel traffic on
                 # the request hot path (worst for uint8 pixel batches)
+                if self.pixels_artifact:
+                    # the micro-batch visual operand is raw pixels; the
+                    # artifact runs preprocess + backbone + RAU in one call
+                    feats = np.zeros(
+                        (bucket, self.image_size, self.image_size, 3),
+                        np.uint8)
+                else:
+                    feats = np.zeros(
+                        (bucket, self.mcfg.cnn_spat, self.mcfg.cnn_dim),
+                        np.float32)
+                for i, item in enumerate(group):
+                    feats[i] = item["feats"]
                 tab_pred, tab_att = self.predict(self.params, tokens,
                                                  lengths, feats)
             else:
+                # live path: per-image feats are DEVICE-resident (LRU in
+                # _feats_for) — the batch is stacked on device, so the
+                # dispatch uploads only the [bucket, seq] token block.
+                # The f32 feature upload was 784 of 851 ms unloaded p50
+                # through the rig tunnel (bench_serve decompose).
+                if self._zero_feat is None:
+                    import jax
+                    self._zero_feat = jax.device_put(np.zeros(
+                        (self.mcfg.cnn_spat, self.mcfg.cnn_dim),
+                        np.float32))
+                fs = [item["feats"] for item in group]
+                fs += [self._zero_feat] * (bucket - n)
                 tab_pred, tab_att = self.predict(
                     self.params, jnp.asarray(tokens), lengths,
-                    jnp.asarray(feats))
+                    jnp.stack(fs))
         tab = np.asarray(tab_pred)                 # [H+2, bucket, A]
         # fetch attention only if someone in the group asked (a second
         # host transfer of [H+2, bucket, S] otherwise wasted)
@@ -307,26 +329,57 @@ class RAUService:
                 item["att"] = att[:, i]
             item["done"].set()
 
+    def _device_feats(self, key: tuple, load) -> "object":
+        """Device-resident feature LRU (live-params path only).  On a hit
+        the request uploads no feature bytes at all; on a miss ``load()``
+        produces the host array, staged once with device_put."""
+        import jax
+
+        with self._feat_cache_lock:
+            hit = self._dev_feat_cache.get(key)
+            if hit is not None:
+                self._dev_feat_cache.move_to_end(key)
+                return hit
+        arr = jax.device_put(load())
+        with self._feat_cache_lock:
+            self._dev_feat_cache[key] = arr
+            while len(self._dev_feat_cache) > self.feat_cache_size:
+                self._dev_feat_cache.popitem(last=False)
+        return arr
+
     def _feats_for(self, feat_name: Optional[str],
                    image_b64: Optional[str],
-                   datatype: int = 1) -> np.ndarray:
+                   datatype: int = 1):
         if self.pixels_artifact and feat_name is not None:
             raise ValueError(
                 "this service runs a from-pixels artifact (backbone baked "
                 "into the program): send image_b64, not feat_name")
+        live = self.params is not None   # artifacts consume NUMPY operands
+
         if feat_name is not None:
-            from rau_vqa_tpu.data.features import QuantFeats
-            # datatype routes multi-dir feature sources (the test2015
-            # mixed train2014+val2014 layout, vqa_prepro_loader.lua:876);
-            # single-dir/packed stores ignore it
-            feats = self.source.get_batch([feat_name], [int(datatype)])
-            if isinstance(feats, QuantFeats):
-                # raw_int8 stores hand back values+scales; serving wants
-                # plain floats (single-question batches are tiny anyway)
-                feats = feats.dequantize()
-            return feats[0]
+            def load():
+                from rau_vqa_tpu.data.features import QuantFeats
+                # datatype routes multi-dir feature sources (the test2015
+                # mixed train2014+val2014 layout,
+                # vqa_prepro_loader.lua:876); single-dir/packed ignore it
+                feats = self.source.get_batch([feat_name], [int(datatype)])
+                if isinstance(feats, QuantFeats):
+                    # raw_int8 stores hand back values+scales; serving
+                    # wants plain floats (single-question batches)
+                    feats = feats.dequantize()
+                return feats[0]
+            if live:
+                return self._device_feats(
+                    ("f", feat_name, int(datatype)), load)
+            return load()
         if image_b64 is not None:
-            return self._featurize_image(base64.b64decode(image_b64))[0]
+            raw = base64.b64decode(image_b64)
+            if live:
+                import hashlib
+                key = ("i", hashlib.sha256(raw).hexdigest())
+                return self._device_feats(
+                    key, lambda: self._featurize_image(raw)[0])
+            return self._featurize_image(raw)[0]
         raise ValueError("need feat_name or image_b64")
 
     def answer_many(self, questions, *, feat_name: Optional[str] = None,
@@ -405,12 +458,14 @@ class RAUService:
             sizes = list(self._batch_sizes_served)
         with self._feat_cache_lock:
             cache_entries = len(self._feat_cache)
+            dev_cache_entries = len(self._dev_feat_cache)
         return {
             "requests_served": int(sum(sizes)),
             "dispatches": len(sizes),
             "mean_batch": round(float(np.mean(sizes)), 3) if sizes else 0.0,
             "max_batch_seen": int(max(sizes)) if sizes else 0,
             "feat_cache_entries": cache_entries,
+            "device_feat_cache_entries": dev_cache_entries,
             "pixels_artifact": bool(self.pixels_artifact),
             "image_size": int(self.image_size),
             "max_batch": self.max_batch,
@@ -476,7 +531,15 @@ def make_handler(service: RAUService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # default listen backlog is 5: a 32-client burst overflows it and the
+    # kernel RSTs the overflow (measured: 5x ConnectionResetError in the
+    # round-4 rig bench).  The batcher absorbs bursts fine once accepted.
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(service: RAUService, port: int = 8080) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    server = _Server(("0.0.0.0", port), make_handler(service))
     print(f"rau-vqa inference service on :{port}")
     return server

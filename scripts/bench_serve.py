@@ -181,6 +181,40 @@ def main() -> None:
     log(f"bench_serve: unloaded p50 {p50:.1f} ms, p99 {p99:.1f} ms "
         f"over {args.unloaded} sequential requests")
 
+    # --- phase A2: where does the unloaded latency live? ----------------
+    # time each layer with distinct operands: the raw predict dispatch
+    # (bucket 1 and bucket max_batch), then service.answer (tokenize +
+    # batcher + dispatch, no HTTP).  p50 - answer = HTTP layer;
+    # answer - dispatch = batcher/queueing; dispatch = tunnel+device.
+    import jax.numpy as jnp
+    mc = svc.mcfg
+
+    def time_direct(n, i):
+        toks = np.zeros((n, mc.seq_len), np.int32)
+        toks[:, :5] = 1 + (i % 50)
+        lens = np.full((n,), 5, np.int32)
+        fts = rs.rand(n, mc.cnn_spat, mc.cnn_dim).astype(np.float32)
+        t0 = time.perf_counter()
+        np.asarray(svc.predict(svc.params, jnp.asarray(toks), lens,
+                               jnp.asarray(fts))[0])
+        return time.perf_counter() - t0
+
+    time_direct(1, 0), time_direct(args.max_batch, 0)   # warm
+    lat_d1 = [time_direct(1, i) for i in range(1, 11)]
+    lat_dB = [time_direct(args.max_batch, i) for i in range(1, 11)]
+    ans = []
+    for i in range(10):
+        p = pool[300 + i]
+        t0 = time.perf_counter()
+        svc.answer(p["question"], feat_name=p["feat_name"])
+        ans.append(time.perf_counter() - t0)
+    dispatch1_ms = float(np.median(lat_d1)) * 1e3
+    dispatchB_ms = float(np.median(lat_dB)) * 1e3
+    answer_ms = float(np.median(ans)) * 1e3
+    log(f"bench_serve: decompose — dispatch b1 {dispatch1_ms:.1f} ms, "
+        f"b{args.max_batch} {dispatchB_ms:.1f} ms, service.answer "
+        f"{answer_ms:.1f} ms, http p50 {p50:.1f} ms")
+
     # --- phase B: saturated throughput ----------------------------------
     # snapshot dispatch stats FIRST: the warmup + phase-A single-request
     # dispatches would otherwise dilute the saturated mean micro-batch
@@ -254,6 +288,9 @@ def main() -> None:
         "clients": args.clients,
         "errors": len(errors),
         "mean_microbatch": round(float(mean_b), 2),
+        "dispatch_b1_ms": round(dispatch1_ms, 1),
+        "dispatch_bmax_ms": round(dispatchB_ms, 1),
+        "service_answer_ms": round(answer_ms, 1),
         "rig_canary_tflops": canary["tflops"],
         "rig_canary_frac_peak": canary["frac_of_peak"],
     }))
