@@ -37,7 +37,10 @@ NORTH_STAR_QPS = 5000.0
 # runs this exact entry point on a pinned-CPU interpreter so a trace-time
 # break can never wait for the real rig to surface).  The driver runs
 # `python bench.py` bare — defaults are the measured protocol.
-_B = int(os.environ.get("RAU_BENCH_B", 2048))
+_B = int(os.environ.get("RAU_BENCH_B", 4096))   # knee of the measured
+# B=1024..8192 throughput sweep (benchmarks/pending_r4): 151.4k q/s at
+# 4096 vs 145.9k at 2048 — the per-chip serving config a throughput
+# deployment would pick
 _K = int(os.environ.get("RAU_BENCH_K", 30))
 _ROUNDS = int(os.environ.get("RAU_BENCH_ROUNDS", 5))
 

@@ -42,10 +42,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="resnet101",
                     choices=["resnet101", "vgg16", "vit"])
-    ap.add_argument("--batch", type=int, default=96,
-                    help="images per step (96 measured fastest per image "
-                         "on the true-bf16 tree: 1792 img/s vs 1494 at 64 "
-                         "and 1682 at 128, ResNet-101-448)")
+    ap.add_argument("--batch", type=int, default=120,
+                    help="images per step; the measured ResNet-101-448 "
+                         "bf16 curve (img/s): 64:1494 80:1715 96:1792 "
+                         "104:1627 112:1834 120:1862 128:1682 — ragged "
+                         "XLA tiling effects, 120 is the measured peak")
     ap.add_argument("--qpi", type=int, default=3, help="questions per image")
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=5)

@@ -123,7 +123,12 @@ class RAUService:
         else:
             state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
             tree, _ = load_checkpoint(checkpoint, state._asdict())
-            self.params = tree["params"]
+            # device_put ONCE: flax from_bytes hands back NUMPY leaves,
+            # and numpy jit args are re-staged on EVERY dispatch — the
+            # whole model re-uploaded per request measured as ~780 ms of
+            # the ~850 ms unloaded p50 on the rig tunnel (bench_serve
+            # decompose; same class as the bench_pixels weight fix)
+            self.params = jax.device_put(tree["params"])
             # length buckets cut single-question latency: a short question
             # encodes in 8 scan steps instead of seq_len (exact —
             # predict.py)

@@ -737,6 +737,13 @@ class Trainer:
             from rau_vqa_tpu.parallel.mesh import place_state
             self.state = place_state(self.mesh, self.state,
                                      tp=self.exp.mesh.shard_params_tp)
+        else:
+            # flax from_bytes hands back NUMPY leaves; device_put once or
+            # a restore-then-eval run re-uploads the full model on every
+            # eval batch (numpy jit args are re-staged per dispatch —
+            # ~780 ms each through the rig tunnel, bench_serve decompose)
+            import jax
+            self.state = TrainState(**jax.device_put(tree))
         if "lr" in meta:
             self.lr = meta["lr"]
             self.mult_lr = meta["mult_lr"]
