@@ -318,9 +318,13 @@ class RAUService:
                         np.float32))
                 fs = [item["feats"] for item in group]
                 fs += [self._zero_feat] * (bucket - n)
+                # tokens stay NUMPY: with a live bucket ladder the step fn
+                # slices tokens[:, :T] BEFORE the jit call — on a device
+                # array that slice is its own eager dispatch (~30 ms RTT
+                # + a first-time remote compile per (bucket, T) shape);
+                # the host upload of [bucket, seq] int32 is negligible
                 tab_pred, tab_att = self.predict(
-                    self.params, jnp.asarray(tokens), lengths,
-                    jnp.stack(fs))
+                    self.params, tokens, lengths, jnp.stack(fs))
         tab = np.asarray(tab_pred)                 # [H+2, bucket, A]
         # fetch attention only if someone in the group asked (a second
         # host transfer of [H+2, bucket, S] otherwise wasted)
@@ -381,9 +385,17 @@ class RAUService:
             raw = base64.b64decode(image_b64)
             if live:
                 import hashlib
-                key = ("i", hashlib.sha256(raw).hexdigest())
-                return self._device_feats(
-                    key, lambda: self._featurize_image(raw)[0])
+                sha = hashlib.sha256(raw).hexdigest()
+                out = self._device_feats(
+                    ("i", sha), lambda: self._featurize_image(raw)[0])
+                # drop the host copy once the features are HBM-resident:
+                # both LRUs share size and access order, so keeping it
+                # duplicates ~feat_cache_size x 1.6 MB of RAM for entries
+                # the device cache already serves (the host cache's
+                # in-flight dedupe already did its job during compute)
+                with self._feat_cache_lock:
+                    self._feat_cache.pop(sha, None)
+                return out
             return self._featurize_image(raw)[0]
         raise ValueError("need feat_name or image_b64")
 
@@ -541,7 +553,6 @@ class _Server(ThreadingHTTPServer):
     # kernel RSTs the overflow (measured: 5x ConnectionResetError in the
     # round-4 rig bench).  The batcher absorbs bursts fine once accepted.
     request_queue_size = 128
-    daemon_threads = True
 
 
 def serve(service: RAUService, port: int = 8080) -> ThreadingHTTPServer:

@@ -742,8 +742,7 @@ class Trainer:
             # a restore-then-eval run re-uploads the full model on every
             # eval batch (numpy jit args are re-staged per dispatch —
             # ~780 ms each through the rig tunnel, bench_serve decompose)
-            import jax
-            self.state = TrainState(**jax.device_put(tree))
+            self.state = jax.device_put(self.state)
         if "lr" in meta:
             self.lr = meta["lr"]
             self.mult_lr = meta["mult_lr"]

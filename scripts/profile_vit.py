@@ -48,7 +48,10 @@ def main():
     args = ap.parse_args()
 
     from rau_vqa_tpu.utils.rigcheck import bench_preflight, bench_watchdog
-    watchdog = bench_watchdog("vit_profile", "ms")
+    # 7 remote compiles (6 chained cases + canary) at the documented
+    # 3-460 s/compile tail: budget beyond the 2400 s default or a
+    # slow-but-healthy rig trips a spurious 'tunnel hung' abort
+    watchdog = bench_watchdog("vit_profile", "ms", timeout_s=4200.0)
     probe = bench_preflight("vit_profile", "ms")
     if probe.get("platform") == "cpu":
         watchdog.cancel()
@@ -170,6 +173,7 @@ def main():
     watchdog.cancel()
     print(json.dumps({
         "metric": "vit_profile_ms", "batch": B, "chain": K,
+        "value": out["vit_full"], "unit": "ms",
         "components_ms": out,
         "rig_canary_tflops": canary["tflops"],
         "rig_canary_frac_peak": canary["frac_of_peak"],

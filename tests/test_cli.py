@@ -360,6 +360,9 @@ def test_bench_scripts_cpu_smoke():
          ["--batch", "8", "--steps", "1", "--rounds", "1",
           "--variants", "plain"],
          "train_ms_per_step"),
+        ("scripts/profile_vit.py",
+         ["--batch", "2", "--chain", "1", "--rounds", "1"],
+         "vit_profile_ms"),
     ]
     for script, flags, metric in cases:
         # sys.path[0] = scripts/ replicates `python scripts/foo.py` (the

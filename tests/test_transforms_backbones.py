@@ -578,11 +578,25 @@ def test_backbone_bf16_init_stays_bf16():
         return {str(leaf.dtype) for leaf in jax.tree_util.tree_leaves(tree)}
 
     key = jax.random.PRNGKey(0)
-    # real arrays for resnet: fold_batchnorm is a host-numpy fold and
-    # cannot run under eval_shape
-    rn = R.resnet101_init(key, dtype=jnp.bfloat16)
-    assert all_dtypes(rn) == {"bfloat16"}
-    folded = R.fold_batchnorm(rn)
+    rn_s = jax.eval_shape(lambda k: R.resnet101_init(k, dtype=jnp.bfloat16),
+                          key)
+    assert all_dtypes(rn_s) == {"bfloat16"}
+    # fold_batchnorm is a host-numpy fold (cannot run under eval_shape);
+    # exercise its dtype handling on a minimal real tree instead of the
+    # 15-second full resnet101 materialization (fast-loop budget)
+    def conv(ci, co, k=1):
+        return {"w": jnp.zeros((k, k, ci, co), jnp.bfloat16)}
+    def bn(c):
+        return {"scale": jnp.ones((c,), jnp.bfloat16),
+                "offset": jnp.zeros((c,), jnp.bfloat16),
+                "mean": jnp.zeros((c,), jnp.bfloat16),
+                "var": jnp.ones((c,), jnp.bfloat16)}
+    tiny = {"conv1": conv(3, 8, 7), "bn1": bn(8),
+            "stages": [[{"conv1": conv(8, 4), "bn1": bn(4),
+                         "conv2": conv(4, 4, 3), "bn2": bn(4),
+                         "conv3": conv(4, 8), "bn3": bn(8),
+                         "down": conv(8, 8), "down_bn": bn(8)}]]}
+    folded = R.fold_batchnorm(tiny)
     assert all_dtypes(folded) == {"bfloat16"}
     assert all_dtypes(jax.eval_shape(
         lambda k: vgg16_pool5_init(k, dtype=jnp.bfloat16),
