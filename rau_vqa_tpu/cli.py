@@ -423,6 +423,15 @@ def cmd_eval(args) -> int:
 
     workdir = args.save_dir or f"save_result_eval_{exp.data.split}"
     os.makedirs(workdir, exist_ok=True)
+    if args.fixture:
+        # route to the deterministic tiny fixture (regenerated in this
+        # workdir — generate_fixture is seed-stable, so it matches the
+        # bundle a `train --fixture` snapshot was trained on).  Only the
+        # DATA config is adopted: the model config must stay whatever the
+        # snapshot self-describes (the flag was previously accepted by
+        # the parser and silently ignored — eval then crashed looking
+        # for the real VQA bundle).
+        exp = exp.replace(data=_fixture_setup(exp, workdir).data)
     data = load_vqa_data(
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),

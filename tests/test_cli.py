@@ -63,6 +63,21 @@ def test_standalone_eval_adopts_snapshot_config(trained_run, tmp_path):
                                   "hop_01", "vqa_OpenEnded_*"))
 
 
+def test_eval_fixture_flag(trained_run, tmp_path):
+    """`eval --fixture` routes to the deterministic fixture bundle while
+    keeping the snapshot's self-described model config — the flag was
+    accepted by the parser but silently ignored (eval then crashed
+    looking for the real VQA bundle at the preset path)."""
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    out = str(tmp_path / "eval_fix_out")
+    rc = main(["eval", "--checkpoint", ck, "--preset", "ours_ms",
+               "--fixture", "--save-dir", out])
+    assert rc == 0
+    assert glob.glob(os.path.join(out, "results", "hop_01",
+                                  "vqa_OpenEnded_*"))
+
+
 def test_eval_wrong_config_fails_loudly(trained_run, tmp_path):
     """Restoring a snapshot into a mismatched model must raise, not return
     garbage (flax from_bytes alone silently accepts any shapes)."""
