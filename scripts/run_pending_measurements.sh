@@ -35,46 +35,37 @@ if ! timeout 600 python -m rau_vqa_tpu.cli doctor \
 fi
 tail -n 1 "$OUT/doctor.stdout" >"$OUT/doctor.json"
 
-# 1. headline question-path serving (median of 5 + canary)
+# (Round-4 recovery completed 2026-08-18 — results in
+# benchmarks/pending_r4/ and BASELINE.md.  The steps below are the
+# CURRENT re-baseline set for any future outage recovery; retired A/Bs
+# — fused stages, s2d, int8 — are not re-run, their verdicts stand.)
+
+# 1. headline question-path serving (B=4096 knee; expect ~151.8k q/s)
 run bench python bench.py
 
-# 2. from-pixels serving (ResNet-101-448 B=64 default)
+# 2. from-pixels serving (ResNet-101-448 B=120 default; expect ~5.6k q/s)
 run bench_pixels python bench_pixels.py
 
-# 3. precompute-features throughput (never measured on the real chip)
+# 3. precompute-features throughput (tunnel-bandwidth-bound on this rig:
+#    ~7 img/s; the on-device backbone sustains ~1.8k img/s)
 run bench_precompute python scripts/bench_precompute.py
 
 # 4. serving batch-size knee (B=1024..8192 interleaved sweep)
 run probe_serving_batch python scripts/probe_serving_batch.py
 
-# 5. AOT-artifact re-measurement (VERDICT r3 #6): compile_first_s should
-#    drop toward load+upload vs steps 1-2 (same protocol, no Python
-#    trace, persistent executable cache warm from steps 1-2); the
-#    steady-state value must match within spread
+# 5. AOT-artifact re-measurement: compile_first_s should drop toward
+#    load+upload vs steps 1-2; steady state must match within spread
 run bench_artifact python bench.py --artifact
 run bench_pixels_artifact python bench_pixels.py --artifact
 
-# 6. ViT-L stretch config (BASELINE.json configs[4]) — never benchmarked:
-#    from-pixels serving with the S=256 RAU head, B in {32, 64}
-run bench_pixels_vit_b32 python bench_pixels.py --backbone vit --batch 32
-run bench_pixels_vit_b64 python bench_pixels.py --backbone vit --batch 64
+# 6. ViT-L stretch config (B=48 measured best; expect ~2.0k q/s)
+run bench_pixels_vit python bench_pixels.py --backbone vit --batch 48
 
-# 7. HTTP service under real concurrency: unloaded p50/p99 + saturated
-#    micro-batched q/s (VERDICT r3 weak #4 — serve.py's latency claim)
+# 7. HTTP service under real concurrency (expect ~270 q/s saturated,
+#    ~50 ms unloaded p50 = tunnel RTT floor, 0 errors)
 run bench_serve python scripts/bench_serve.py
 
-# 8. Pallas stage-fused bottleneck A/B (VERDICT r3 #2) — paired against
-#    step 2's live baseline in the same window.  KILL CRITERION: <=1.0x
-#    of the paired baseline retires it to the measured-negative ledger
-#    like s2d and int8; a win extends per-stage toward the ~53% MFU the
-#    5k/448px target needs.  Stage 2 alone is the 22-identity-block
-#    bulk; 1,2,3 adds the cheap neighbors.
-run bench_pixels_fused_s2 python bench_pixels.py --fused-stages 2
-run bench_pixels_fused_s123 python bench_pixels.py --fused-stages 1,2,3
-
-# 9. training step re-baseline on the post-refactor tree (the round-3
-#    consume()/one-device_get change touched this path; expect ~32.8
-#    ms/step plain b512 and the ~-3.9% trunc16 delta)
+# 8. training step re-baseline (expect ~31.5 ms/step plain b512)
 run bench_train python scripts/bench_train.py --variants plain,trunc16
 
 if [ "$FAILED" -ne 0 ]; then
