@@ -78,6 +78,7 @@ def test_eval_fixture_flag(trained_run, tmp_path):
                                   "vqa_OpenEnded_*"))
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_eval_wrong_config_fails_loudly(trained_run, tmp_path):
     """Restoring a snapshot into a mismatched model must raise, not return
     garbage (flax from_bytes alone silently accepts any shapes)."""

@@ -60,6 +60,7 @@ def test_export_roundtrip_symbolic_batch(tmp_path):
         np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta2))
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_export_bucket_dispatch_exact(tmp_path):
     """A short-question batch dispatches to the small-T program and still
     equals the full-length live program exactly (the eval-ladder
@@ -161,6 +162,7 @@ def test_cli_export_shape_mismatch_fails_loudly(tmp_path):
               "--out", str(tmp_path / "art")])
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_cli_export_pixels_vit(tmp_path, monkeypatch):
     """export --backbone vit derives the ViT config's fixed input size
     (not the stride-32 rule) and validates size/grid up front."""

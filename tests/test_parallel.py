@@ -145,6 +145,7 @@ def test_trainer_on_mesh(tmp_path):
     assert max(res["testOEacc"]) > 0.3   # well above 20% chance by epoch 15
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 @pytest.mark.parametrize("tp", [False, True])
 def test_sharded_predict_bucketed_matches_full(tp):
     """Length buckets compose with the mesh (VERDICT r2 #4): the sharded

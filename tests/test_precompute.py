@@ -80,6 +80,7 @@ def test_precompute_matches_direct(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-4)
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_precompute_int8_shard(tmp_path):
     """int8 storage: per-image symmetric scales, dequantized read within
     half a quantization step of the float features."""

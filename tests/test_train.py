@@ -284,6 +284,7 @@ def test_train_buckets_epoch_parity(fixture_root, tmp_path):
         a.state.params, b.state.params)
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_evaluate_covers_tail_batch(fixture_root, tmp_path):
     """A test_batch_size that does not divide the split still evaluates
     EVERY question exactly once, with answers identical to a divisor run

@@ -410,6 +410,7 @@ def test_random_scale_crop_degenerate_is_resize():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_random_scale_crop_integer_origins():
     """Crop origins are integers in the virtual image (torch.random(0, n),
     transforms.lua:80): with min==max the sampled grid offset of every
@@ -482,6 +483,7 @@ def test_random_sized_crop_matches_window_oracle():
     assert np.all(ch == np.round(ch)) and np.all(cy == np.round(cy))
 
 
+@pytest.mark.slow   # >5 s: fast-loop budget (CLAUDE.md)
 def test_random_sized_crop_fallback_is_scale_centercrop():
     """A min_area floor of ~1.0 with extreme aspect draws can never fit?
     No — force the fallback deterministically instead: attempts=0 is not
