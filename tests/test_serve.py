@@ -455,3 +455,44 @@ def test_attention_in_response_and_stats(served):
     assert stats["dispatches"] >= 1 and stats["requests_served"] >= 2
     assert stats["mean_batch"] >= 1.0
     assert stats["pixels_artifact"] is False
+
+
+def test_device_feat_cache_lru_and_eviction(served):
+    """The live path keeps per-image features DEVICE-resident (round 4:
+    the per-dispatch feature upload was 784 of 851 ms p50 on the rig
+    tunnel).  Contract: repeat feat_names hit the same device buffer,
+    the LRU evicts at feat_cache_size, and answers are identical across
+    an eviction/re-stage cycle."""
+    import jax
+    import numpy as np
+
+    fx = globals()["served"]          # fixture exposes the service object
+    svc = fx.svc
+    names = sorted(os.listdir(os.path.join(fx.fix, "feat")))[:3]
+
+    a0 = svc._feats_for(names[0], None)
+    assert isinstance(a0, jax.Array)          # device-resident
+    assert svc._feats_for(names[0], None) is a0   # LRU hit, same buffer
+
+    old_size, svc.feat_cache_size = svc.feat_cache_size, 2
+    try:
+        before = _post(served, {"question": "w01 w02",
+                                "feat_name": names[0]})
+        svc._feats_for(names[1], None)
+        svc._feats_for(names[2], None)        # capacity 2: evicts names[0]
+        with svc._feat_cache_lock:
+            assert ("f", names[0], 1) not in svc._dev_feat_cache
+        # re-staged features must answer identically post-eviction
+        after = _post(served, {"question": "w01 w02",
+                               "feat_name": names[0]})
+        assert [a["answer"] for a in after["answers"]] == \
+            [a["answer"] for a in before["answers"]]
+        np.testing.assert_allclose(
+            [a["score"] for a in after["answers"]],
+            [a["score"] for a in before["answers"]], rtol=1e-5)
+    finally:
+        svc.feat_cache_size = old_size
+
+    st = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{served}/stats", timeout=30).read())
+    assert st["device_feat_cache_entries"] >= 1
