@@ -73,7 +73,8 @@ def main() -> None:
                          "folded resnet101 tree")
     ap.add_argument("--fused-block-b", type=int, default=0,
                     help="batch tile for the fused stage kernel "
-                         "(0 = auto: ~4k matmul rows per grid step)")
+                         "(0 = auto: ~2k matmul rows per grid step, "
+                         "matching resnet101_apply)")
     ap.add_argument(
         "--artifact", metavar="DIR", nargs="?",
         const="", default=None,

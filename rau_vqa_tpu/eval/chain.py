@@ -33,7 +33,10 @@ def make_serve_chain(cfg, K: int, n_acc: int = 8) -> Callable:
     """bench.py's program: K chained question-path serving steps.
 
     Returns ``fn(params, tokens[B,T] i32, lengths[B] i32, feats[B,S,D]
-    f32, salt0 i32) -> (salt, acc[H+2, n_acc] i32)``.
+    f32, salt0 i32) -> (salt, acc[H+2, min(n_acc, B)] i32)``.  n_acc is
+    clamped to the batch at trace time (the RAU_BENCH_B CPU-smoke knob
+    can shrink B below 8; an unclamped ans[:, :8] slice then
+    shape-mismatches the fori_loop carry).
     """
     import jax
     import jax.numpy as jnp
@@ -41,6 +44,8 @@ def make_serve_chain(cfg, K: int, n_acc: int = 8) -> Callable:
     from rau_vqa_tpu.eval.predict import predict
 
     def serve_chain(params, tokens, lengths, feats, salt0):
+        na = min(n_acc, tokens.shape[0])
+
         def body(k, carry):
             salt, acc = carry
             toks = jnp.where(tokens > 0, (tokens + salt) % cfg.vocab_size, 0)
@@ -48,8 +53,8 @@ def make_serve_chain(cfg, K: int, n_acc: int = 8) -> Callable:
             ans = jnp.argmax(tab_pred, axis=-1)        # [H+2, B]
             # data dependence: next round's tokens derive from this answer
             salt = salt + 1 + ans[0, 0].astype(jnp.int32) % 3
-            return salt, acc + ans[:, :n_acc].astype(jnp.int32)
-        zero = jnp.zeros((cfg.n_hops + 2, n_acc), jnp.int32)
+            return salt, acc + ans[:, :na].astype(jnp.int32)
+        zero = jnp.zeros((cfg.n_hops + 2, na), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (salt0, zero))
 
     return serve_chain
@@ -97,6 +102,8 @@ def make_pixels_chain(cfg, backbone: str, K: int, qpi: int, n_acc: int,
         return jnp.argmax(tab_pred, axis=-1)        # [H+2, B*qpi]
 
     def pixels_chain(bb, params, images, tokens, lengths, salt0):
+        na = min(n_acc, tokens.shape[0])   # clamp like make_serve_chain
+
         def body(k, carry):
             salt, acc = carry
             imgs = images + salt.astype(jnp.uint8)  # wraps mod 256
@@ -104,8 +111,8 @@ def make_pixels_chain(cfg, backbone: str, K: int, qpi: int, n_acc: int,
                              (tokens + salt) % cfg.vocab_size, 0)
             ans = one_step(bb, params, imgs, toks, lengths)
             salt = salt + 1 + ans[0, 0].astype(jnp.int32) % 3
-            return salt, acc + ans[:, :n_acc].astype(jnp.int32)
-        zero = jnp.zeros((cfg.n_hops + 2, n_acc), jnp.int32)
+            return salt, acc + ans[:, :na].astype(jnp.int32)
+        zero = jnp.zeros((cfg.n_hops + 2, na), jnp.int32)
         return jax.lax.fori_loop(0, K, body, (jnp.int32(salt0), zero))
 
     return pixels_chain

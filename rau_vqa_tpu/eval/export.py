@@ -46,6 +46,22 @@ _KIND_VERSION = {"predict": 1, "pixels_predict": 2,
 _META = "meta.json"
 
 
+def _code_rev() -> str:
+    """Repo git revision (or "unknown" outside a checkout).  Chain
+    artifacts pin this: shapes/model_config can't see a SOURCE change to
+    the traced program (the round-4 ViT attention fix changed the math
+    with identical config), and artifact dirs persist across commits."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 — no git / not a checkout
+        return "unknown"
+
+
 def export_predict(params, cfg, out_dir: str, *,
                    buckets: Sequence[int] = (),
                    platforms: Sequence[str] = ("cpu", "tpu"),
@@ -214,6 +230,7 @@ def export_serve_chain(params, cfg, out_dir: str, *, batch: int,
         },
         "outputs": {"salt": [], "acc": [int(cfg.n_hops) + 2, int(n_acc)]},
         "model_config": dataclasses.asdict(cfg),
+        "code_rev": _code_rev(),
         **(extra_meta or {}),
     }
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -269,6 +286,7 @@ def export_pixels_chain(bb_params, params, cfg, backbone: str,
         },
         "outputs": {"salt": [], "acc": [int(cfg.n_hops) + 2, int(n_acc)]},
         "model_config": dataclasses.asdict(cfg),
+        "code_rev": _code_rev(),
         **(extra_meta or {}),
     }
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -385,6 +403,12 @@ def load_or_build_chain_artifact(art_dir: str, build, expect_meta: Dict,
     if "model_config" not in expect:
         raise ValueError("expect_meta must pin model_config "
                          "(stale-artifact guard)")
+    # shapes/model_config cannot see SOURCE changes to the traced program
+    # (e.g. the round-4 vit attention fix) — pin the git revision too,
+    # unless it is unknown on either side (no false rebuilds off-checkout)
+    rev = _code_rev()
+    if rev != "unknown":
+        expect["code_rev"] = rev
     meta_path = os.path.join(art_dir, _META)
     why = None
     if not os.path.exists(meta_path):

@@ -106,6 +106,16 @@ class RAUService:
                     f"but {vqa_dir!r} provides "
                     f"{(self.data.vocab_size, self.data.answer_size, self.data.seq_len)}")
             self.params = None
+            if runner.kind in ("serve_chain", "pixels_chain"):
+                # the K-chained MEASUREMENT programs (bench.py --artifact)
+                # take (params..., salt) operands and loop internally —
+                # wiring one as a predict fn would start the server fine
+                # and then fail every request with a StableHLO
+                # operand-arity error
+                raise ValueError(
+                    f"artifact kind {runner.kind!r} is a benchmark chain "
+                    f"program, not a serving program — export one with "
+                    f"`rau-vqa export` (kind 'predict'/'pixels_predict')")
             if runner.kind == "pixels_predict":
                 # from-pixels artifact: backbone is BAKED INTO the program
                 # (rau-vqa export --backbone); requests must carry images,
@@ -166,10 +176,11 @@ class RAUService:
         self._feat_inflight: Dict[str, threading.Event] = {}
         self._feat_cache_lock = threading.Lock()
         # DEVICE-resident per-image feature LRU (live-params path): repeat
-        # requests about a known image upload ZERO feature bytes — the
-        # per-dispatch [bucket, S, D] f32 feature upload measured as 784 ms
-        # of the 851 ms unloaded p50 on the rig tunnel (bench_serve
-        # decompose phase); production serving keeps hot features in HBM
+        # requests about a known image upload ZERO feature bytes (~0.4 MB
+        # = ~27 ms of tunnel time per bucket-1 dispatch; the 784 ms the
+        # decompose phase measured was the numpy PARAMS re-staging, fixed
+        # at load with device_put); production serving keeps hot features
+        # in HBM either way
         self._dev_feat_cache: "OrderedDict[tuple, object]" = OrderedDict()
         self._zero_feat = None     # device zeros for bucket padding
 
@@ -308,9 +319,9 @@ class RAUService:
             else:
                 # live path: per-image feats are DEVICE-resident (LRU in
                 # _feats_for) — the batch is stacked on device, so the
-                # dispatch uploads only the [bucket, seq] token block.
-                # The f32 feature upload was 784 of 851 ms unloaded p50
-                # through the rig tunnel (bench_serve decompose).
+                # dispatch uploads only the [bucket, seq] token block
+                # (saves the ~0.4 MB/question feature upload; the big
+                # 784-of-851-ms win was the params device_put at load).
                 if self._zero_feat is None:
                     import jax
                     self._zero_feat = jax.device_put(np.zeros(
@@ -386,16 +397,14 @@ class RAUService:
             if live:
                 import hashlib
                 sha = hashlib.sha256(raw).hexdigest()
-                out = self._device_feats(
+                # the host copy stays cached too: popping it after the
+                # device_put races _featurize_image's in-flight dedupe (a
+                # concurrent same-image miss would re-run the backbone)
+                # and turns every device-LRU eviction into a full backbone
+                # recompute — the ~1.6 MB/entry host RAM is the cheaper
+                # side of that trade
+                return self._device_feats(
                     ("i", sha), lambda: self._featurize_image(raw)[0])
-                # drop the host copy once the features are HBM-resident:
-                # both LRUs share size and access order, so keeping it
-                # duplicates ~feat_cache_size x 1.6 MB of RAM for entries
-                # the device cache already serves (the host cache's
-                # in-flight dedupe already did its job during compute)
-                with self._feat_cache_lock:
-                    self._feat_cache.pop(sha, None)
-                return out
             return self._featurize_image(raw)[0]
         raise ValueError("need feat_name or image_b64")
 

@@ -155,11 +155,14 @@ def main() -> None:
     log(f"bench_train: rig canary {canary['tflops']} TFLOP/s")
     watchdog.cancel()
     # headline = the first variant/batch requested; 32.8 ms/step is the
-    # measured round-2 plain-b512 baseline (BASELINE.md training table)
+    # measured round-2 plain-b512 baseline (BASELINE.md training table),
+    # so the ratio is only meaningful when THAT config was measured —
+    # otherwise emit null rather than a cross-config non-ratio
     head = next(iter(results.values()))
+    base = results.get("plain_b512")
     print(json.dumps({
         "metric": "train_ms_per_step", "value": head, "unit": "ms",
-        "vs_baseline": round(32.8 / head, 3) if head else 0.0,
+        "vs_baseline": round(32.8 / base, 3) if base else None,
         "results": results,
         "rig_canary_tflops": canary["tflops"],
         "rig_canary_frac_peak": canary["frac_of_peak"],

@@ -470,6 +470,12 @@ def test_device_feat_cache_lru_and_eviction(served):
     svc = fx.svc
     names = sorted(os.listdir(os.path.join(fx.fix, "feat")))[:3]
 
+    # hermetic: earlier module tests populate the module-shared cache —
+    # pre-cached names would make every _feats_for below a hit and the
+    # eviction under test would never fire
+    with svc._feat_cache_lock:
+        svc._dev_feat_cache.clear()
+
     a0 = svc._feats_for(names[0], None)
     assert isinstance(a0, jax.Array)          # device-resident
     assert svc._feats_for(names[0], None) is a0   # LRU hit, same buffer
