@@ -76,6 +76,9 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--noisy-eta", type=float, default=None)
     p.add_argument("--noisy-gamma", type=float, default=None)
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="microbatches per optimizer step (exact gradient "
+                        "accumulation; batch-size must divide by it)")
     p.add_argument("--nhop", type=int, default=None)
     p.add_argument("--cnnout-dim", type=int, default=None)
     p.add_argument("--cnnout-w", type=int, default=None)
@@ -192,7 +195,8 @@ def _apply_overrides(exp, args):
                         ("mult_learning_rate", "mult_learning_rate"),
                         ("lr_decay", "lr_decay"), ("grad_clip", "grad_clip"),
                         ("noisy_eta", "noisy_eta"),
-                        ("noisy_gamma", "noisy_gamma"), ("seed", "seed"),
+                        ("noisy_gamma", "noisy_gamma"),
+                        ("grad_accum", "grad_accum"), ("seed", "seed"),
                         ("test_interval", "test_interval")]:
         v = getattr(args, flag)
         if v is not None:

@@ -118,6 +118,10 @@ class TrainConfig:
     # once epoch >= stop_timing[h] (Ours_Full/...lua:414-429, :586-589).
     # None => no curriculum (SS, MS).  Length must be >= n_hops when set.
     hop_stop_timing: Optional[Tuple[int, ...]] = None
+    # Gradient accumulation: k sequential microbatch backward passes per
+    # optimizer update (exact — every loss term is a batch mean; see
+    # trainer.make_train_step).  1 disables; batch_size must divide by k.
+    grad_accum: int = 1
     # real loss-explosion guard (the reference declares -loss_explod_threshold
     # but never reads it, Ours_SS/...lua:29 — we wire it up for real)
     loss_explode_threshold: float = 3.0

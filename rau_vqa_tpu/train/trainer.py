@@ -65,22 +65,70 @@ def init_train_state(key: jax.Array, mcfg: ModelConfig) -> TrainState:
                       step=jnp.zeros((), jnp.int32), rng=k_rng)
 
 
+# Metric keys that are SUMS over the batch (everything else is a batch
+# mean): under gradient accumulation sums add across microbatches while
+# means average — both exact for equal microbatch sizes.
+_SUM_METRICS = ("do_pred_acc_num", "do_pred_acc_den")
+
+
 def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
     """Build the pure train-step function (jit it at the call site so the
-    parallel layer can add shardings)."""
+    parallel layer can add shardings).
+
+    With ``tcfg.grad_accum = k > 1`` the step runs k sequential microbatch
+    forward/backward passes under ``lax.scan`` (microbatch i = rows
+    [i*B/k, (i+1)*B/k) — contiguous loader order) and applies ONE optimizer
+    update on the averaged gradients.  The math is exact: every loss term is
+    a batch mean, so the mean of equal-sized microbatch gradients equals the
+    full-batch gradient (noise/clip/Adam see identical inputs up to
+    float-summation order); only the dropout pattern differs (one fold_in
+    per microbatch).  Activation memory drops ~k× — the lever for effective
+    batch sizes that don't fit HBM (the reference, capped at in-core batch
+    100, has no equivalent)."""
+    accum = int(getattr(tcfg, "grad_accum", 1) or 1)
 
     def step_fn(state: TrainState, tokens, lengths, feats, labels,
                 hop_scale, lr, mult_lr):
         rng_next, k_fwd, k_noise = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
-            out = rau_forward(params, mcfg, tokens, lengths, feats,
-                              train=True, rng=k_fwd)
-            return joint_loss_and_metrics(out.scores, out.do_pred, labels,
+        def loss_fn(params, tok, ln, ft, lb, k):
+            out = rau_forward(params, mcfg, tok, ln, ft,
+                              train=True, rng=k)
+            return joint_loss_and_metrics(out.scores, out.do_pred, lb,
                                           hop_scale)
 
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, tokens, lengths,
+                                       feats, labels, k_fwd)
+        else:
+            B = tokens.shape[0]
+            if B % accum:
+                raise ValueError(
+                    f"batch_size {B} must divide by grad_accum {accum}")
+            micro = tuple(
+                a.reshape((accum, B // accum) + a.shape[1:])
+                for a in (tokens, lengths, feats, labels))
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(carry, xs):
+                g_acc, m_acc = carry
+                tok, ln, ft, lb, k = xs
+                (_, m), g = grad_fn(state.params, tok, ln, ft, lb, k)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = jax.tree.map(jnp.add, m_acc, m)
+                return (g_acc, m_acc), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (_, m0), _ = jax.eval_shape(grad_fn, state.params,
+                                        *(a[0] for a in micro), k_fwd)
+            zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zero_g, zero_m),
+                micro + (jax.random.split(k_fwd, accum),))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = {k: (v if k in _SUM_METRICS else v / accum)
+                       for k, v in metrics.items()}
 
         lrs = {"embed": lr, "rnn": lr, "mult": mult_lr}
         new_params, new_opt = {}, {}
@@ -118,6 +166,11 @@ class Trainer:
             exp.model, vocab_size=data.vocab_size,
             answer_size=data.answer_size, seq_len=data.seq_len)
         self.tcfg = exp.train
+        if self.tcfg.grad_accum > 1 \
+                and self.tcfg.batch_size % self.tcfg.grad_accum:
+            raise ValueError(
+                f"batch_size {self.tcfg.batch_size} must divide by "
+                f"grad_accum {self.tcfg.grad_accum}")
         self.exp = exp
         self.data = data
         self.source = source

@@ -97,6 +97,65 @@ def test_sharded_step_matches_single_device(n_data, n_model, tp):
 
 
 @pytest.mark.slow
+def test_grad_accum_matches_full_batch():
+    """grad_accum=k is EXACT: every loss term is a batch mean, so averaging
+    k equal-sized microbatch gradients reproduces the full-batch gradient
+    (dropout off, noise off) — params and metrics must match the plain step
+    to float tolerance after several updates."""
+    batch = make_batch()
+    step1 = jax.jit(make_train_step(CFG, TCFG))
+    s1, m1 = run_steps(step1, init_train_state(jax.random.PRNGKey(0), CFG),
+                       batch)
+    tacc = dataclasses.replace(TCFG, grad_accum=4)
+    step4 = jax.jit(make_train_step(CFG, tacc))
+    s4, m4 = run_steps(step4, init_train_state(jax.random.PRNGKey(0), CFG),
+                       batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=1e-5)
+    for key in m1:
+        np.testing.assert_allclose(np.asarray(m1[key]), np.asarray(m4[key]),
+                                   rtol=2e-4, atol=1e-6, err_msg=key)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+        s1.params, s4.params)
+    assert int(s4.step) == int(s1.step)
+
+
+def test_grad_accum_rejects_bad_divisor():
+    tacc = dataclasses.replace(TCFG, grad_accum=3)
+    step = jax.jit(make_train_step(CFG, tacc))
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(B=16)  # 16 % 3 != 0
+    with pytest.raises(ValueError, match="grad_accum"):
+        run_steps(step, state, batch, n=1)
+
+
+@pytest.mark.slow
+def test_grad_accum_sharded_matches_plain_sharded():
+    """Accumulation composes with the mesh: DP-sharded step with
+    grad_accum=2 equals the DP-sharded plain step."""
+    batch = make_batch()
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    def run(tcfg):
+        state = place_state(mesh,
+                            init_train_state(jax.random.PRNGKey(0), CFG))
+        step = make_sharded_train_step(CFG, tcfg, mesh, state)
+        sbatch = shard_batch(mesh, *batch)
+        return run_steps(step, state, sbatch)
+
+    s1, m1 = run(TCFG)
+    s2, m2 = run(dataclasses.replace(TCFG, grad_accum=2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    w1 = np.asarray(jax.device_get(s1.params["mult"]["cls"]["w"]))
+    w2 = np.asarray(jax.device_get(s2.params["mult"]["cls"]["w"]))
+    np.testing.assert_allclose(w1, w2, rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
 def test_trainer_on_mesh(tmp_path):
     """Trainer drives the full epoch loop through the sharded step on the
     8-device mesh and learns the fixture above chance."""
