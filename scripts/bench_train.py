@@ -16,6 +16,8 @@ Variants:
   maskref — fused semantics entirely in XLA (isolates kernel vs mask cost)
   truncN — plain with the token axis truncated to N (the Trainer's
            length-bucket path; exact — tests/test_train.py grad parity)
+  accumN — plain with grad_accum=N (k microbatch passes per update;
+           measures the lax.scan accumulation overhead vs plain)
 
 Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
 """
@@ -96,6 +98,11 @@ def main() -> None:
             mcfg = dataclasses.replace(
                 preset.model, remat_hops=(variant == "remat"), **numerics)
             tcfg = preset.train
+            if variant.startswith("accum"):
+                # exact gradient accumulation: k sequential microbatches per
+                # update — measures the scan/accumulate overhead vs plain
+                tcfg = dataclasses.replace(tcfg,
+                                           grad_accum=int(variant[5:] or 4))
             state = init_train_state(jax.random.PRNGKey(0), mcfg)
 
             rs = np.random.RandomState(0)
