@@ -165,28 +165,12 @@ def main() -> None:
         matmul_precision="default",
         compute_dtype="float32" if args.f32 else "bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
+    # host-side random weights with the init fn's exact structure (shared
+    # with bench_train's from-pixels variant — utils/benchparams.py)
+    from rau_vqa_tpu.utils.benchparams import np_params_like as _npl
+
     def np_params_like(init_fn, seed):
-        """Host-side random params with the init fn's exact structure.
-        jax.random init would run ~60 tiny device programs through the
-        tunnel (~5 min of remote compiles measured); throughput doesn't
-        depend on weight values, so fill shapes with numpy."""
-        shapes = jax.eval_shape(lambda k: init_fn(k, dtype=wdtype),
-                                jax.random.PRNGKey(seed))
-        rs_ = np.random.RandomState(seed)
-
-        def fill(path, s):
-            name = getattr(path[-1], "key", None)
-            if name == "var":
-                arr = rs_.uniform(0.5, 1.5, s.shape)
-            elif name == "scale":
-                arr = 1.0 + 0.1 * rs_.standard_normal(s.shape)
-            elif name in ("mean", "offset", "b"):
-                arr = 0.1 * rs_.standard_normal(s.shape)
-            else:
-                arr = 0.05 * rs_.standard_normal(s.shape)
-            return arr.astype(np.dtype(s.dtype))
-
-        return jax.tree_util.tree_map_with_path(fill, shapes)
+        return _npl(init_fn, seed, wdtype)
 
     apply_override = None
     if args.backbone == "resnet101":

@@ -18,6 +18,14 @@ Variants:
            length-bucket path; exact — tests/test_train.py grad parity)
   accumN — plain with grad_accum=N (k microbatch passes per update;
            measures the lax.scan accumulation overhead vs plain)
+  pixels — FROM-PIXELS training: a frozen on-device backbone (derived
+           from --preset: ours_resnet->resnet101-448 folded,
+           ours_vit->ViT-L, else vgg16-448) computes the [B//qpi, S, D]
+           features INLINE in the chained step (the Trainer's featurize
+           path, train/trainer.py), repeated qpi questions/image, then
+           the full train step runs.  --batch counts QUESTIONS and must
+           divide by --qpi.  The capability the reference lacks: it can
+           only train on precomputed features (data/get_*.sh).
 
 Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
 """
@@ -51,7 +59,28 @@ def main() -> None:
                     help="full-f32 numerics instead of bf16 compute")
     ap.add_argument("--preset", default="ours_ms",
                     help="experiment preset (ours_ms, ours_resnet, ...)")
+    ap.add_argument("--qpi", type=int, default=3,
+                    help="questions per image for the pixels variant "
+                         "(VQA v1 asks ~3)")
+    ap.add_argument("--pixels-size", type=int, default=0,
+                    help="override the pixels variant's image size "
+                         "(0 = the preset's native 448; CPU smokes "
+                         "shrink with e.g. 64; conv backbones only)")
     args = ap.parse_args()
+    for variant in args.variants.split(","):
+        if variant == "pixels":
+            for B in args.batch:
+                if B % args.qpi:
+                    raise SystemExit(
+                        f"pixels variant: --batch {B} (questions) must "
+                        f"divide by --qpi {args.qpi} (images are "
+                        f"repeated qpi times)")
+            if args.pixels_size and args.pixels_size % 32:
+                raise SystemExit("--pixels-size must be a multiple of 32 "
+                                 "(the conv backbones' total stride)")
+            if args.pixels_size and args.preset == "ours_vit":
+                raise SystemExit("--pixels-size cannot shrink ViT (fixed "
+                                 "patch grid); use a conv preset")
 
     # outage guards (CLAUDE.md): deadline + hang-proof probe BEFORE any
     # device touch; a CPU-pinned smoke cancels the watchdog
@@ -97,6 +126,9 @@ def main() -> None:
                 trunc_T = int(variant[5:])
             mcfg = dataclasses.replace(
                 preset.model, remat_hops=(variant == "remat"), **numerics)
+            if variant == "pixels" and args.pixels_size:
+                g = args.pixels_size // 32
+                mcfg = dataclasses.replace(mcfg, cnn_w=g, cnn_h=g)
             tcfg = preset.train
             if variant.startswith("accum"):
                 # exact gradient accumulation: k sequential microbatches per
@@ -114,8 +146,27 @@ def main() -> None:
                 # the Trainer's bucket path: token axis sliced host-side
                 tokens = tokens[:, :trunc_T]
                 lengths = jnp.minimum(lengths, trunc_T)
-            feats = jnp.asarray(rs.randn(
-                B, mcfg.cnn_spat, mcfg.cnn_dim).astype(np.float32))
+            is_pixels = variant == "pixels"
+            if is_pixels:
+                # frozen backbone featurizes B//qpi raw images inline;
+                # weights ride as a jit ARG (device-resident once), same
+                # rationale as bench_pixels.py
+                from rau_vqa_tpu.models.pipeline import extract_features
+                from rau_vqa_tpu.utils.benchparams import random_backbone
+                backbone = {"ours_resnet": "resnet101",
+                            "ours_vit": "vit"}.get(args.preset, "vgg16")
+                wdtype = jnp.float32 if args.f32 else jnp.bfloat16
+                bb_host, img_size = random_backbone(backbone, 1, wdtype)
+                if args.pixels_size:
+                    img_size = args.pixels_size
+                bb = jax.device_put(bb_host)
+                images = jnp.asarray(rs.randint(
+                    0, 256, (B // args.qpi, img_size, img_size, 3))
+                    .astype(np.uint8))
+                feats = None
+            else:
+                feats = jnp.asarray(rs.randn(
+                    B, mcfg.cnn_spat, mcfg.cnn_dim).astype(np.float32))
             labels = jnp.asarray(
                 rs.randint(0, mcfg.answer_size, B).astype(np.int32))
             hop_scale = hop_grad_scale(
@@ -126,18 +177,38 @@ def main() -> None:
             K = args.steps
 
             @jax.jit
-            def chain(state, salt0):
+            def chain_fn(state, bb_arg, salt0):
                 def body(k, carry):
                     st, salt = carry
                     toks = jnp.where(
                         tokens > 0,
                         (tokens + salt + k) % mcfg.vocab_size, 0)
-                    st, metrics = step_fn(st, toks, lengths, feats, labels,
+                    if is_pixels:
+                        # salt the pixels per iteration: the backbone pass
+                        # must NOT be loop-invariant or XLA hoists it out
+                        # of the fori_loop and the bench measures one
+                        # featurization per K steps
+                        imgs = jnp.bitwise_xor(
+                            images, (salt + k).astype(jnp.uint8))
+                        fx = extract_features(backbone, bb_arg, imgs)
+                        fx = jnp.repeat(fx.astype(
+                            jnp.float32 if args.f32 else jnp.bfloat16),
+                            args.qpi, axis=0)
+                    else:
+                        fx = feats
+                    st, metrics = step_fn(st, toks, lengths, fx, labels,
                                           hop_scale, jnp.float32(3e-3),
                                           jnp.float32(3e-4))
                     return st, salt
                 st, _ = jax.lax.fori_loop(0, K, body, (state, salt0))
                 return st
+
+            if is_pixels:
+                def chain(state, salt0):
+                    return chain_fn(state, bb, salt0)
+            else:
+                def chain(state, salt0):
+                    return chain_fn(state, None, salt0)
 
             t0 = time.perf_counter()
             out = chain(state, jnp.int32(0))
@@ -155,6 +226,10 @@ def main() -> None:
             eps = B / (ms / 1e3)
             log(f"[{variant} B={B}] {ms:.2f} ms/step  "
                 f"({eps:,.0f} examples/sec)")
+            if is_pixels:
+                log(f"[{variant} B={B}] from-pixels training: "
+                    f"{eps / args.qpi:,.0f} images/sec "
+                    f"({B // args.qpi} images/step, qpi={args.qpi})")
             results[f"{variant}_b{B}"] = round(ms, 3)
 
     from rau_vqa_tpu.utils.rigcheck import matmul_canary

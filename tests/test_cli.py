@@ -376,6 +376,13 @@ def test_bench_scripts_cpu_smoke():
          ["--batch", "8", "--steps", "1", "--rounds", "1",
           "--variants", "plain"],
          "train_ms_per_step"),
+        # from-pixels training variant: frozen vgg backbone featurizes
+        # inline in the chained train step (tiny 64px images)
+        ("scripts/bench_train.py",
+         ["--batch", "6", "--qpi", "3", "--steps", "1", "--rounds", "1",
+          "--variants", "pixels", "--pixels-size", "64",
+          "--preset", "ours_ms"],
+         "train_ms_per_step"),
         ("scripts/profile_vit.py",
          ["--batch", "2", "--chain", "1", "--rounds", "1"],
          "vit_profile_ms"),
