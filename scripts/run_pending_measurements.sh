@@ -68,6 +68,11 @@ run bench_serve python scripts/bench_serve.py
 # 8. training step re-baseline (expect ~31.5 ms/step plain b512)
 run bench_train python scripts/bench_train.py --variants plain,trunc16
 
+# 9. from-pixels TRAINING (inline frozen backbone; expect ~113 ms/step =
+#    ~3.2k questions/s trained at 120 img/step)
+run bench_train_pixels python scripts/bench_train.py --variants pixels \
+    --preset ours_resnet --batch 360 --qpi 3
+
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
   exit 1
