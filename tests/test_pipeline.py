@@ -148,3 +148,37 @@ def test_trainer_from_pixels_on_mesh_matches_single(tmp_path):
     # an epoch of training amplifies the grad all-reduce's reassociation
     # (~1e-7/step) through adam; measured ~6e-4 after 13 steps
     np.testing.assert_allclose(loss_mesh, loss_ref, rtol=5e-3)
+
+
+def test_benchparams_np_params_like_fills_structure():
+    """utils/benchparams.np_params_like must reproduce the init fn's exact
+    tree structure/shapes/dtypes WITHOUT running device programs, with
+    BN-safe fills (var > 0) so fold_batchnorm stays finite — the benches
+    (bench_pixels, bench_train pixels variant) depend on this contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.utils.benchparams import np_params_like
+
+    def init_fn(key, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return {
+            "conv": {"w": jax.random.normal(k1, (3, 3, 4, 8), dtype),
+                     "b": jnp.zeros((8,), dtype)},
+            "bn": {"var": jnp.ones((8,), jnp.float32),
+                   "mean": jnp.zeros((8,), jnp.float32),
+                   "scale": jnp.ones((8,), jnp.float32)},
+            "proj": jax.random.normal(k2, (8, 2), dtype),
+        }
+
+    got = np_params_like(init_fn, 0, jnp.bfloat16)
+    want = jax.eval_shape(lambda k: init_fn(k, dtype=jnp.bfloat16),
+                          jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(got) == \
+        jax.tree_util.tree_structure(want)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        assert g.shape == w.shape and g.dtype == w.dtype
+        assert np.all(np.isfinite(np.asarray(g, np.float32)))
+    assert np.all(np.asarray(got["bn"]["var"]) > 0)      # BN-fold safe
+    assert abs(float(np.mean(np.asarray(got["bn"]["scale"]))) - 1.0) < 0.2
