@@ -387,7 +387,13 @@ def cmd_train(args) -> int:
         trainer.restore(args.init_from)
         print(f"resumed from {args.init_from} at epoch {trainer.epoch}")
     with open(os.path.join(workdir, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(exp), f, indent=2, default=str)
+        # record the RESOLVED model config (vocab/answer/seq_len come from
+        # the data bundle, Trainer.__init__): convert-snapshot --config-json
+        # documents pointing at this file, and the preset's unresolved dims
+        # would silently convert against the wrong layout
+        cfg_out = dataclasses.asdict(exp)
+        cfg_out["model"] = dataclasses.asdict(trainer.mcfg)
+        json.dump(cfg_out, f, indent=2, default=str)
 
     epochs = args.epochs or exp.train.max_epochs
     print(f"training {exp.name} ({trainer.mcfg.n_hops} hops) for "
@@ -667,11 +673,24 @@ def cmd_convert_snapshot(args) -> int:
     state = init_train_state(jax.random.PRNGKey(0), mcfg)
     state = state._replace(params=jax.tree.map(
         lambda t, s: s.astype(t.dtype), state.params, params))
-    save_checkpoint(os.path.dirname(args.output) or ".", 0, 0.0,
-                    state._asdict(),
-                    extra={"model_config": dataclasses.asdict(mcfg),
-                           "converted_from": args.input})
-    print(f"converted {args.input} (native checkpoint written alongside)")
+    # honor --output LITERALLY: save_checkpoint names files by step/epoch
+    # (snapshot_iter..._epoch...), so write into a temp dir and move the
+    # .msgpack/.json pair to the requested path
+    import shutil
+    import tempfile
+
+    out_dir = os.path.dirname(os.path.abspath(args.output)) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    base = (args.output[:-len(".msgpack")]
+            if args.output.endswith(".msgpack") else args.output)
+    with tempfile.TemporaryDirectory(dir=out_dir) as td:
+        path = save_checkpoint(td, 0, 0.0, state._asdict(),
+                               extra={"model_config":
+                                      dataclasses.asdict(mcfg),
+                                      "converted_from": args.input})
+        shutil.move(path, base + ".msgpack")
+        shutil.move(path[:-len(".msgpack")] + ".json", base + ".json")
+    print(f"converted {args.input} -> {base}.msgpack")
     return 0
 
 

@@ -25,6 +25,60 @@ def test_train_artifacts(trained_run):
                                        "metrics.jsonl"))
     assert glob.glob(os.path.join(trained_run, "results", "hop_01",
                                   "vqa_OpenEnded_*"))
+    # config.json records the RESOLVED model config (vocab/answer/seq_len
+    # come from the data bundle): convert-snapshot --config-json documents
+    # pointing at this file, so the preset's paper dims would be wrong
+    import json
+    with open(os.path.join(trained_run, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["model"]["vocab_size"] < 100          # fixture vocab, not 12k
+    assert cfg["model"]["answer_size"] < 100
+    assert cfg["model"]["n_hops"] == 2
+
+
+def test_convert_snapshot_cli_honors_output_path(trained_run, tmp_path):
+    """`convert-snapshot` must write the .msgpack/.json pair at the LITERAL
+    --output path (it used to save under save_checkpoint's own
+    snapshot_iter..._epoch... naming, silently ignoring --output), and the
+    round-tripped checkpoint must answer identically."""
+    import json
+
+    import numpy as np
+
+    ck = glob.glob(os.path.join(trained_run, "snapshot", "*20*.msgpack"))[0]
+    with open(ck.replace(".msgpack", ".json")) as f:
+        mc = json.load(f)["model_config"]
+    t7 = str(tmp_path / "snap.t7")
+    rc = main(["convert-snapshot", "--input", ck, "--output", t7,
+               "--to-torch", "--vocab-size", str(mc["vocab_size"]),
+               "--answer-size", str(mc["answer_size"]),
+               "--seq-len", str(mc["seq_len"])])
+    assert rc == 0 and os.path.exists(t7)
+    cfg_json = str(tmp_path / "mcfg.json")
+    with open(cfg_json, "w") as f:
+        json.dump({"model": mc}, f)
+    out = str(tmp_path / "roundtrip.msgpack")
+    rc = main(["convert-snapshot", "--input", t7, "--output", out,
+               "--config-json", cfg_json,
+               "--vocab-size", str(mc["vocab_size"]),
+               "--answer-size", str(mc["answer_size"]),
+               "--seq-len", str(mc["seq_len"])])
+    assert rc == 0
+    assert os.path.exists(out)                       # literal path honored
+    assert os.path.exists(str(tmp_path / "roundtrip.json"))
+
+    # round-trip parity: identical params through the Torch format
+    import jax
+
+    from rau_vqa_tpu.config import ModelConfig
+    from rau_vqa_tpu.train.trainer import init_train_state
+    from rau_vqa_tpu.utils.checkpoint import load_checkpoint
+    state = init_train_state(jax.random.PRNGKey(0), ModelConfig(**mc))
+    a, _ = load_checkpoint(ck, state._asdict())
+    b, _ = load_checkpoint(out, state._asdict())
+    for la, lb in zip(jax.tree_util.tree_leaves(a["params"]),
+                      jax.tree_util.tree_leaves(b["params"])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 @pytest.mark.slow
