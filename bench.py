@@ -37,10 +37,11 @@ NORTH_STAR_QPS = 5000.0
 # runs this exact entry point on a pinned-CPU interpreter so a trace-time
 # break can never wait for the real rig to surface).  The driver runs
 # `python bench.py` bare — defaults are the measured protocol.
-_B = int(os.environ.get("RAU_BENCH_B", 4096))   # knee of the measured
-# B=1024..8192 throughput sweep (benchmarks/pending_r4): 151.4k q/s at
-# 4096 vs 145.9k at 2048 — the per-chip serving config a throughput
-# deployment would pick
+_B = int(os.environ.get("RAU_BENCH_B", 6144))   # best of two measured
+# knee sweeps: B=1024..8192 (benchmarks/pending_r4: 151.4k q/s @4096,
+# 147.9k @8192) and the same-run 3072/4096/6144 probe (2026-08-19:
+# 149.3k / 150.6k / 152.6k — 6144 wins the paired comparison by +1.3%)
+# — the per-chip serving config a throughput deployment would pick
 _K = int(os.environ.get("RAU_BENCH_K", 30))
 _ROUNDS = int(os.environ.get("RAU_BENCH_ROUNDS", 5))
 
