@@ -502,3 +502,72 @@ def test_bench_artifact_cpu_smoke(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert line["artifact"] is True and line["value"] > 0
+
+
+@pytest.mark.slow
+def test_serve_cli_end_to_end(trained_run):
+    """The `rau-vqa serve` SUBCOMMAND wiring (arg plumbing -> RAUService ->
+    HTTP server), exercised as a real subprocess + HTTP round trip — the
+    service class itself is unit-tested in test_serve.py, but the CLI
+    dispatch block was not (the round-4 `eval --fixture` bug was exactly
+    this class of gap)."""
+    import http.client
+    import json
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    fix = os.path.join(trained_run, "fixture")
+    with socket.socket() as s:        # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    feat_name = sorted(os.listdir(os.path.join(fix, "feat")))[0]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rau_vqa_tpu.cli", "--platform", "cpu",
+         "serve", "--checkpoint", ck, "--preset", "ours_ms",
+         "--vqa-dir", os.path.join(fix, "vqa_prepro"),
+         "--feat-dir", os.path.join(fix, "feat"), "--port", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True)
+    try:
+        deadline = time.time() + 120
+        last_err = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve exited rc={proc.returncode}: "
+                    f"{proc.stderr.read()[-2000:]}")
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=5)
+                conn.request("GET", "/healthz")
+                assert conn.getresponse().status == 200
+                break
+            except (ConnectionError, OSError, socket.timeout) as e:
+                last_err = e
+                time.sleep(1.0)
+        else:
+            raise AssertionError(f"serve never came up: {last_err}")
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        body = json.dumps({"question": "what color is the ball",
+                           "feat_name": feat_name})
+        conn.request("POST", "/answer", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()[:500]
+        out = json.loads(resp.read())
+        assert len(out["answers"]) == 5
+        assert all("answer" in a and "score" in a for a in out["answers"])
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests_served"] >= 1
+    finally:
+        proc.send_signal(signal.SIGTERM)     # direct pid, never by pattern
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=20)
