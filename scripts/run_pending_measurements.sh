@@ -40,7 +40,7 @@ tail -n 1 "$OUT/doctor.stdout" >"$OUT/doctor.json"
 # CURRENT re-baseline set for any future outage recovery; retired A/Bs
 # — fused stages, s2d, int8 — are not re-run, their verdicts stand.)
 
-# 1. headline question-path serving (B=4096 knee; expect ~151.8k q/s)
+# 1. headline question-path serving (B=6144 knee; expect ~151-153k q/s)
 run bench python bench.py
 
 # 2. from-pixels serving (ResNet-101-448 B=120 default; expect ~5.6k q/s)
