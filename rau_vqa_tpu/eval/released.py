@@ -181,11 +181,21 @@ def verify_released(extracted_root: str, exp, data, source, workdir: str, *,
         }
 
     params = {g: tc.flat_to_group(f, mcfg, g)
-              for f, g in zip(flats, ("embed", "rnn", "mult"))}
+              for g, f in zip(("embed", "rnn", "mult"), flats)}
     params = jax.tree.map(
         lambda t_, s: np.asarray(s, dtype=np.asarray(t_).dtype),
         trainer.state.params, params)
-    trainer.state = trainer.state._replace(params=params)
+    # stage ONCE like Trainer.restore: numpy jit args re-upload the full
+    # model on every eval batch (~per-dispatch re-staging through the rig
+    # tunnel — the bench_serve decompose lesson)
+    if trainer.mesh is not None:
+        from rau_vqa_tpu.parallel.mesh import place_state
+        trainer.state = place_state(
+            trainer.mesh, trainer.state._replace(params=params),
+            tp=trainer.exp.mesh.shard_params_tp)
+    else:
+        trainer.state = trainer.state._replace(
+            params=jax.device_put(params))
     # keep the FRACTIONAL epoch (snapshot_iter%06d_epoch%.2f, e.g. 3.54):
     # evaluate() names submissions/attention dumps by it, and int() would
     # misname them vs the released files this harness diffs against
