@@ -203,6 +203,26 @@ class PackedShardWriter:
             block = np.clip(np.rint(block / s[:, None, None]), -127, 127)
         self.arr[start:start + len(block)] = block
 
+    def write_quantized(self, start: int, block_i8: np.ndarray,
+                        scales: np.ndarray) -> None:
+        """Pre-quantized int8 blocks + per-image scales — the device-side
+        mirror of ``write``'s quantization (precompute.py runs absmax /
+        divide / rint / clip ON DEVICE so only int8 bytes cross the link;
+        max is exact and the divide + rint ties-to-even are the same IEEE
+        ops, so the two paths are bit-identical — pinned by test)."""
+        if not self.quantize:
+            raise ValueError("write_quantized needs an int8 shard writer")
+        if block_i8.dtype != np.int8:
+            raise ValueError(f"expected int8 block, got {block_i8.dtype}")
+        if block_i8.shape[1:] != (self.spat, self.dim):
+            raise ValueError(
+                f"feature block shape {block_i8.shape[1:]} != "
+                f"({self.spat}, {self.dim})")
+        if len(scales) != len(block_i8):
+            raise ValueError(f"{len(scales)} scales for {len(block_i8)} rows")
+        self.scales[start:start + len(block_i8)] = scales
+        self.arr[start:start + len(block_i8)] = block_i8
+
     def finish(self, names: Sequence[str]) -> "PackedFeatureStore":
         if len(names) != self.n:
             raise ValueError(f"{len(names)} names for {self.n} rows")

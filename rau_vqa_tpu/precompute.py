@@ -35,6 +35,22 @@ from rau_vqa_tpu.data.images import ImageDirSource
 IMAGE_EXTS = (".jpg", ".jpeg", ".png")
 
 
+def quantize_feats_device(feats):
+    """Device-side mirror of ``PackedShardWriter.write``'s int8 math:
+    per-image symmetric absmax -> divide -> rint (ties-to-even) -> clip.
+    Bit-identical to the host path (max is exact; the divide and rint are
+    the same IEEE ops) — pinned by tests/test_precompute.py — so only
+    int8 bytes + one f32 scale per image cross the device->host link."""
+    import jax.numpy as jnp
+
+    feats = feats.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(feats.reshape(feats.shape[0], -1)), axis=1)
+    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.rint(feats / s[:, None, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
 def scan_image_dir(root: str) -> List[str]:
     """All image files under ``root`` as sorted root-relative paths."""
     rel = []
@@ -98,17 +114,22 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
             bb_params)
 
-    # float16 shards cast ON DEVICE: the [B, S, D] feature download is the
-    # dominant traffic of this sweep ([64, 196, 2048] f32 ≈ 103 MB/batch
-    # device->host; ~0.8 GB for 512 images on this rig's tunnel), and
-    # f32->f16 is the same IEEE round-to-nearest on either side of the
-    # link.  int8 keeps the f32 download (per-image absmax scales are the
-    # writer's shared host-side definition).
+    # Storage-dtype conversion happens ON DEVICE: the [B, S, D] feature
+    # download is the dominant traffic of this sweep ([64, 196, 2048] f32
+    # ≈ 103 MB/batch device->host; ~0.8 GB for 512 images on this rig's
+    # tunnel).  f32->f16 is the same IEEE round-to-nearest either side of
+    # the link (measured 15.1 vs 4.8-6.6 img/s); int8 mirrors
+    # PackedShardWriter.write's host math exactly (absmax max is exact,
+    # divide + rint ties-to-even are the same IEEE ops — bit-identity
+    # pinned by tests/test_precompute.py) for a 4x smaller download.
     out_dt = jnp.float16 if dtype == "float16" else jnp.float32
+    quant8 = dtype == "int8"
 
     def _extract(bb, images_u8):
         feats = extract_features(backbone, bb, images_u8, vit_cfg=vit_cfg)
-        return feats.astype(out_dt)
+        if quant8:
+            return quantize_feats_device(feats)
+        return feats.astype(jnp.float32).astype(out_dt)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -120,14 +141,16 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
                 f"data axis ({n_data})")
         # stage the backbone ONCE (replicated): numpy jit args re-upload
         # through the tunnel on EVERY dispatch (the serve/bench lesson,
-        # CLAUDE.md dtype discipline) — per-batch weight re-staging, not
-        # the image payload, dominated the first rig measurement
+        # CLAUDE.md dtype discipline)
         bb_params = jax.device_put(bb_params, NamedSharding(mesh, P()))
+        out_sh = ((NamedSharding(mesh, P("data", None, None)),
+                   NamedSharding(mesh, P("data"))) if quant8 else
+                  NamedSharding(mesh, P("data", None, None)))
         extract = jax.jit(
             _extract,
             in_shardings=(NamedSharding(mesh, P()),
                           NamedSharding(mesh, P("data", None, None, None))),
-            out_shardings=NamedSharding(mesh, P("data", None, None)))
+            out_shardings=out_sh)
     else:
         bb_params = jax.device_put(bb_params)   # once, not per dispatch
         extract = jax.jit(_extract)
@@ -148,13 +171,20 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
             images = fut.result()
             if ci + 1 < len(chunks):
                 fut = pool.submit(load, chunks[ci + 1])
-            feats = np.asarray(extract(bb_params, jnp.asarray(images)))
-            feats = feats[:len(chunk)]
+            out = extract(bb_params, jnp.asarray(images))
+            if quant8:
+                feats = np.asarray(out[0])[:len(chunk)]
+                scales = np.asarray(out[1])[:len(chunk)]
+            else:
+                feats = np.asarray(out)[:len(chunk)]
             if writer is None:
                 writer = PackedShardWriter(out_dir, len(paths),
                                            feats.shape[1], feats.shape[2],
                                            dtype=dtype)
-            writer.write(row, feats)
+            if quant8:
+                writer.write_quantized(row, feats, scales)
+            else:
+                writer.write(row, feats)
             row += len(chunk)
             if progress is not None:
                 progress(row, len(paths))

@@ -335,3 +335,65 @@ def test_precompute_folded_resnet_tree(tmp_path):
     # random-init resnet activations reach ~1e5 here; batch-split vs
     # one-shot reassociation leaves tiny absolute residue near zeros
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1.0)
+
+
+def test_device_int8_quantization_bit_identical_to_writer(tmp_path):
+    """precompute's on-device int8 quantization (quantize_feats_device)
+    must produce EXACTLY the bytes + scales PackedShardWriter.write's
+    host math produces — it exists so only int8 crosses the device->host
+    link, and any drift would silently change every int8 shard."""
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.data.features import PackedShardWriter
+    from rau_vqa_tpu.precompute import quantize_feats_device
+
+    rs = np.random.RandomState(7)
+    feats = (rs.randn(6, 9, 16) *
+             rs.uniform(0.05, 40.0, (6, 1, 1))).astype(np.float32)
+    feats[3] = 0.0                       # absmax==0 -> scale-1.0 branch
+    feats[4, 0, 0] = np.float32(127.5)   # a rint tie at the clip edge
+    feats[4, 0, 1] = -np.float32(126.5)  # ties-to-even on both signs
+
+    w = PackedShardWriter(str(tmp_path / "host"), 6, 9, 16, dtype="int8")
+    w.write(0, feats)
+    host_q = np.array(w.arr)
+    host_s = np.array(w.scales)
+
+    q, s = quantize_feats_device(jnp.asarray(feats))
+    np.testing.assert_array_equal(np.asarray(q), host_q)
+    np.testing.assert_array_equal(np.asarray(s), host_s)
+
+
+def test_precompute_int8_end_to_end(tmp_path):
+    """int8 precompute (device-quantized path) round-trips: the store
+    dequantizes to within one quantization step of the backbone's f32
+    features, and scales.npy exists."""
+    import os
+
+    import jax
+
+    from rau_vqa_tpu.data.features import coco_feat_name
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.precompute import precompute_features
+
+    root = str(tmp_path / "imgs")
+    rel = _make_images(root, n=3)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "out_i8")
+    store = precompute_features(root, rel, out, "vgg16", bb, size=64,
+                                batch_size=2, dtype="int8", backend="pil")
+    assert os.path.exists(os.path.join(out, "scales.npy"))
+    got = store.get_batch([coco_feat_name(p) for p in rel], [1, 1, 1])
+    from rau_vqa_tpu.data.features import QuantFeats
+    if isinstance(got, QuantFeats):
+        got = got.dequantize()
+    got = np.asarray(got)
+    import jax.numpy as jnp
+
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.models.pipeline import extract_features
+    imgs = ImageDirSource(root, size=64, backend="pil").get_batch(rel)
+    want = np.asarray(extract_features("vgg16", bb, jnp.asarray(imgs)))
+    # within one int8 quantization step per image
+    step = np.abs(want).reshape(len(rel), -1).max(axis=1) / 127.0
+    assert np.all(np.abs(got - want) <= step[:, None, None] * 0.51 + 1e-7)
