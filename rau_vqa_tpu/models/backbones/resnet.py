@@ -197,7 +197,8 @@ def _bottleneck_folded(x, blk, stride):
 def resnet101_apply(params: Dict, x: jax.Array,
                     fused_stages: Tuple[int, ...] = (),
                     fused_block_b: int = 0,
-                    fused_interpret=None) -> jax.Array:
+                    fused_interpret=None,
+                    remat: bool = False) -> jax.Array:
     """x [B, H, W, 3] (ImageNet-normalized RGB) -> pre-avgpool features
     [B, (H/32)*(W/32), 2048] in the model's [B, S, D] layout.  Accepts the
     plain (conv+BN) tree or a ``fold_batchnorm`` tree.
@@ -228,6 +229,19 @@ def resnet101_apply(params: Dict, x: jax.Array,
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
     block_fn = _bottleneck_folded if folded else _bottleneck
+    if remat:
+        # fine-tuning: checkpoint each bottleneck block — the backward
+        # pass keeps only the ~33 block-boundary activations (~71 MB/img
+        # bf16 at 448 px) and recomputes the 3 conv intermediates inside
+        # the active block (identical values, jax.checkpoint)
+        if fused_stages:
+            raise ValueError("remat and fused_stages are exclusive (the "
+                             "Pallas stage kernel is a serving path)")
+        base_fn = block_fn
+
+        def block_fn(x, blk, stride, _base=base_fn):  # noqa: F811
+            return jax.checkpoint(
+                lambda x_, blk_: _base(x_, blk_, stride))(x, blk)
     if fused_stages and not folded:
         raise ValueError("fused_stages requires a fold_batchnorm tree")
     for stage, blocks in enumerate(params["stages"]):

@@ -58,17 +58,32 @@ def vgg16_pool5_init(key: jax.Array, dtype=jnp.float32) -> Dict:
     return {"convs": params}
 
 
-def vgg16_pool5_apply(params: Dict, x: jax.Array) -> jax.Array:
+def _stage(x, seg):
+    """One pool stage: the convs between pools, then the 2x2 max-pool."""
+    for p in seg:
+        x = jax.nn.relu(_conv(x, p["w"], p["b"]))
+    return _maxpool2(x)
+
+
+def vgg16_pool5_apply(params: Dict, x: jax.Array,
+                      remat: bool = False) -> jax.Array:
     """x [B, H, W, 3] (Caffe-BGR preprocessed) -> pool5 features
-    [B, (H/32)*(W/32), 512] in the model's [B, S, D] layout."""
+    [B, (H/32)*(W/32), 512] in the model's [B, S, D] layout.
+
+    ``remat=True`` checkpoints each pool stage (fine-tuning: only the 5
+    stage inputs are saved for the backward pass; conv activations inside
+    a stage are recomputed — identical values, ~4x less live activation
+    memory at 448 px)."""
     x = x.astype(params["convs"][0]["w"].dtype)  # follow param dtype (bf16 ok)
+    stage_fn = jax.checkpoint(_stage) if remat else _stage
     i = 0
+    seg: List[Dict] = []
     for v in VGG16_CFG:
         if v == "M":
-            x = _maxpool2(x)
+            x = stage_fn(x, seg)
+            seg = []
         else:
-            p = params["convs"][i]
-            x = jax.nn.relu(_conv(x, p["w"], p["b"]))
+            seg.append(params["convs"][i])
             i += 1
     B, h, w, c = x.shape
     return x.reshape(B, h * w, c)

@@ -111,8 +111,25 @@ def _mhsa(x, blk, heads):
     return out @ blk["proj"]["w"] + blk["proj"]["b"]
 
 
-def vit_apply(params: Dict, cfg: ViTConfig, x: jax.Array) -> jax.Array:
-    """x [B, H, W, 3] normalized -> patch tokens [B, S, D]."""
+def _block(x, blk, cfg: ViTConfig):
+    x = x + _mhsa(_ln(x, blk["ln1"], cfg.ln_eps), blk, cfg.heads)
+    h = _ln(x, blk["ln2"], cfg.ln_eps)
+    # exact (erf) GELU: timm/torch ViT weights were trained with
+    # nn.GELU's erf form; jax.nn.gelu defaults to the tanh
+    # approximation, which accumulates a systematic delta over the
+    # 24-block stack
+    h = jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"],
+                    approximate=False)
+    return x + (h @ blk["fc2"]["w"] + blk["fc2"]["b"])
+
+
+def vit_apply(params: Dict, cfg: ViTConfig, x: jax.Array,
+              remat: bool = False) -> jax.Array:
+    """x [B, H, W, 3] normalized -> patch tokens [B, S, D].
+
+    ``remat=True`` checkpoints each transformer block (fine-tuning: the
+    backward keeps one [B, S, D] residual per block instead of every
+    attention/MLP intermediate)."""
     B = x.shape[0]
     x = x.astype(params["patch_embed"]["w"].dtype)  # follow param dtype
     x = jax.lax.conv_general_dilated(
@@ -121,16 +138,10 @@ def vit_apply(params: Dict, cfg: ViTConfig, x: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     x = x.reshape(B, -1, cfg.dim) + params["patch_embed"]["b"]
     x = x + params["pos_embed"]
+    block_fn = (jax.checkpoint(lambda x_, blk: _block(x_, blk, cfg))
+                if remat else (lambda x_, blk: _block(x_, blk, cfg)))
     for blk in params["blocks"]:
-        x = x + _mhsa(_ln(x, blk["ln1"], cfg.ln_eps), blk, cfg.heads)
-        h = _ln(x, blk["ln2"], cfg.ln_eps)
-        # exact (erf) GELU: timm/torch ViT weights were trained with
-        # nn.GELU's erf form; jax.nn.gelu defaults to the tanh
-        # approximation, which accumulates a systematic delta over the
-        # 24-block stack
-        h = jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"],
-                        approximate=False)
-        x = x + (h @ blk["fc2"]["w"] + blk["fc2"]["b"])
+        x = block_fn(x, blk)
     return _ln(x, params["ln_final"], cfg.ln_eps)
 
 

@@ -26,21 +26,26 @@ Backbone = Literal["vgg16", "resnet101", "vit"]
 
 def extract_features(backbone: Backbone, bb_params: Dict,
                      images_u8: jax.Array, vit_cfg=None,
-                     fused_stages=(), fused_block_b: int = 0) -> jax.Array:
+                     fused_stages=(), fused_block_b: int = 0,
+                     remat: bool = False) -> jax.Array:
     """uint8 [B, H, W, 3] RGB -> [B, S, D] features, normalization included
     (the two schemes of vqa_prepro_loader.lua:1061-1067; ViT uses ImageNet
     mean/std).  ``fused_stages`` routes those ResNet stages' identity
-    blocks through the Pallas stage kernel (ops/fused_resnet.py)."""
+    blocks through the Pallas stage kernel (ops/fused_resnet.py).
+    ``remat=True`` checkpoints the backbone blockwise — identical values,
+    bounded activation memory — for fine-tuning (train/trainer.py
+    --train-backbone), where the backward pass runs through here."""
     x = images_u8.astype(jnp.float32) / 255.0
     if backbone == "vgg16":
-        return vgg16_pool5_apply(bb_params, T.vgg_preprocess(x))
+        return vgg16_pool5_apply(bb_params, T.vgg_preprocess(x), remat=remat)
     if backbone == "resnet101":
         return resnet101_apply(bb_params, T.color_normalize(x),
                                fused_stages=tuple(fused_stages),
-                               fused_block_b=fused_block_b)
+                               fused_block_b=fused_block_b, remat=remat)
     if backbone == "vit":
         from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_apply
-        return vit_apply(bb_params, vit_cfg or VIT_L14, T.color_normalize(x))
+        return vit_apply(bb_params, vit_cfg or VIT_L14, T.color_normalize(x),
+                         remat=remat)
     raise ValueError(f"unknown backbone {backbone!r}")
 
 
