@@ -125,6 +125,18 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone-state", default=None,
                    help="torchvision state_dict (.pth) with backbone "
                         "weights (weights ship with the user; no egress)")
+    p.add_argument("--train-backbone", action="store_true",
+                   help="FINE-TUNE the backbone: it joins the state as a "
+                        "4th parameter group and gradients flow through "
+                        "the pixels (needs --image-root; the reference "
+                        "can only consume frozen precomputed features)")
+    p.add_argument("--backbone-lr-scale", type=float, default=None,
+                   help="backbone LR = learning-rate x this (default 0.1); "
+                        "follows the same per-epoch decay")
+    p.add_argument("--no-backbone-remat", action="store_true",
+                   help="disable blockwise activation checkpointing in the "
+                        "fine-tuned backbone forward (more memory, fewer "
+                        "recomputed FLOPs)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="size of the 'data' (DP) mesh axis; -1 = all "
                         "available devices")
@@ -175,6 +187,18 @@ def _apply_overrides(exp, args):
     tb = _parse_buckets(getattr(args, "train_buckets", None))
     if tb is not None:
         t["length_buckets"] = tb
+    if getattr(args, "train_backbone", False):
+        if not getattr(args, "image_root", None):
+            raise SystemExit(
+                "--train-backbone fine-tunes through the pixels: it needs "
+                "--image-root (+ --backbone/--backbone-state)")
+        t["train_backbone"] = True
+        if getattr(args, "backbone_lr_scale", None) is not None:
+            t["backbone_lr_scale"] = args.backbone_lr_scale
+        if getattr(args, "no_backbone_remat", False):
+            t["backbone_remat"] = False
+    elif getattr(args, "backbone_lr_scale", None) is not None:
+        raise SystemExit("--backbone-lr-scale needs --train-backbone")
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:

@@ -133,6 +133,25 @@ class TrainConfig:
     # gradient (pinned by tests/test_train.py grad-parity).  One compiled
     # executable per bucket (+ full seq_len); () disables truncation.
     length_buckets: Tuple[int, ...] = (8, 16)
+    # Backbone fine-tuning: the visual backbone becomes a 4th parameter
+    # group ("backbone") and gradients flow through the pixels — a
+    # capability the reference fundamentally lacks (its features come from
+    # a frozen external extractor, data/get_*.sh; the training scripts
+    # never see an image).  Requires an image data source (--image-root).
+    train_backbone: bool = False
+    # backbone LR = learning_rate * this scale; it then follows the same
+    # per-epoch exponential decay as the embed/rnn groups (standard
+    # fine-tuning practice: pretrained weights move slower than the
+    # scratch-initialized head)
+    backbone_lr_scale: float = 0.1
+    # blockwise jax.checkpoint inside the backbone forward: the backward
+    # keeps only block-boundary activations (values and gradients
+    # identical — tests/test_finetune.py remat parity)
+    backbone_remat: bool = True
+    # annealed gradient noise on the backbone group: the reference's
+    # noise schedule (:597-605) regularizes its scratch-trained head;
+    # injecting it into pretrained conv weights is off by default
+    backbone_grad_noise: bool = False
     test_interval: int = 1            # epochs between eval sweeps
     checkpoint_interval: int = 1      # epochs between checkpoints
     keep_last_checkpoints: int = 0    # 0 = keep all snapshots

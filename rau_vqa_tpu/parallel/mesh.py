@@ -180,24 +180,33 @@ def shard_batch(mesh: Mesh, *arrays):
 # ---------------------------------------------------------------------------
 
 def make_sharded_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
-                            state: TrainState, *, tp: bool = False):
+                            state: TrainState, *, tp: bool = False,
+                            backbone: Optional[str] = None, vit_cfg=None):
     """jit the train step with explicit input/output shardings over ``mesh``.
 
     Batch tensors are sharded on 'data'; the TrainState follows
     ``state_shardings``.  Scalar step inputs (hop scale, learning rates) are
     replicated.  Gradients of replicated params over the sharded batch are
     all-reduced by GSPMD automatically — the collective set the reference
-    never had (SURVEY.md §2d)."""
-    step_fn = make_train_step(mcfg, tcfg)
+    never had (SURVEY.md §2d).
+
+    Fine-tuning (``tcfg.train_backbone`` + ``backbone``): the feats input
+    is a uint8 image batch [B, H, W, 3] sharded on 'data'; the backbone
+    group's replicated weights get their gradient all-reduced by GSPMD
+    exactly like the head's."""
+    step_fn = make_train_step(mcfg, tcfg, backbone=backbone, vit_cfg=vit_cfg)
     st_sh = state_shardings(mesh, state, tp=tp)
     rep = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
+    feats_sh = (NamedSharding(mesh, P("data", None, None, None))
+                if getattr(tcfg, "train_backbone", False)
+                else NamedSharding(mesh, P("data", None, None)))
 
     in_sh = (
         st_sh,
         NamedSharding(mesh, P("data", None)),   # tokens [B, T]
         data_sh,                                 # lengths [B]
-        NamedSharding(mesh, P("data", None, None)),  # feats [B, S, D]
+        feats_sh,                  # feats [B, S, D] / images u8 [B, H, W, 3]
         data_sh,                                 # labels [B]
         rep,                                     # hop_scale [H]
         rep, rep,                                # lr, mult_lr

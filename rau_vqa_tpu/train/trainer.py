@@ -57,10 +57,19 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
-def init_train_state(key: jax.Array, mcfg: ModelConfig) -> TrainState:
+def init_train_state(key: jax.Array, mcfg: ModelConfig,
+                     bb_params=None) -> TrainState:
+    """Fresh state.  With ``bb_params`` the backbone joins as a 4th
+    parameter group (fine-tuning, TrainConfig.train_backbone): its leaves
+    and Adam moments live in the state like the reference's three flat
+    vectors do (:769-775) — one donated buffer set, one checkpoint."""
     k_init, k_rng = jax.random.split(key)
     params = init_params(k_init, mcfg)
-    opt = {g: adam_init(params[g]) for g in PARAM_GROUPS}
+    groups = PARAM_GROUPS
+    if bb_params is not None:
+        params["backbone"] = jax.tree.map(jnp.asarray, bb_params)
+        groups = PARAM_GROUPS + ("backbone",)
+    opt = {g: adam_init(params[g]) for g in groups}
     return TrainState(params=params, opt=opt,
                       step=jnp.zeros((), jnp.int32), rng=k_rng)
 
@@ -71,7 +80,8 @@ def init_train_state(key: jax.Array, mcfg: ModelConfig) -> TrainState:
 _SUM_METRICS = ("do_pred_acc_num", "do_pred_acc_den")
 
 
-def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    backbone: Optional[str] = None, vit_cfg=None):
     """Build the pure train-step function (jit it at the call site so the
     parallel layer can add shardings).
 
@@ -84,14 +94,33 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
     float-summation order); only the dropout pattern differs (one fold_in
     per microbatch).  Activation memory drops ~k× — the lever for effective
     batch sizes that don't fit HBM (the reference, capped at in-core batch
-    100, has no equivalent)."""
+    100, has no equivalent).
+
+    With ``tcfg.train_backbone`` (requires ``backbone``) the ``feats``
+    argument is a uint8 image batch [B, H, W, 3]: the step runs
+    preprocess -> backbone -> RAU forward -> joint loss -> backward
+    THROUGH the backbone in one program, and a 4th parameter group
+    "backbone" gets its own scaled LR (tcfg.backbone_lr_scale) in the same
+    noise(optional)/clip/Adam pipeline.  The reference cannot express this
+    at all — its features are precomputed by a frozen extractor
+    (data/get_*.sh)."""
     accum = int(getattr(tcfg, "grad_accum", 1) or 1)
+    train_bb = bool(getattr(tcfg, "train_backbone", False))
+    if train_bb and not backbone:
+        raise ValueError("train_backbone needs backbone= (the step's feats "
+                         "argument becomes a uint8 image batch)")
+    groups = PARAM_GROUPS + ("backbone",) if train_bb else PARAM_GROUPS
 
     def step_fn(state: TrainState, tokens, lengths, feats, labels,
                 hop_scale, lr, mult_lr):
         rng_next, k_fwd, k_noise = jax.random.split(state.rng, 3)
 
         def loss_fn(params, tok, ln, ft, lb, k):
+            if train_bb:
+                from rau_vqa_tpu.models.pipeline import extract_features
+                ft = extract_features(backbone, params["backbone"], ft,
+                                      vit_cfg=vit_cfg,
+                                      remat=tcfg.backbone_remat)
             out = rau_forward(params, mcfg, tok, ln, ft,
                               train=True, rng=k)
             return joint_loss_and_metrics(out.scores, out.do_pred, lb,
@@ -130,14 +159,17 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
             metrics = {k: (v if k in _SUM_METRICS else v / accum)
                        for k, v in metrics.items()}
 
-        lrs = {"embed": lr, "rnn": lr, "mult": mult_lr}
+        lrs = {"embed": lr, "rnn": lr, "mult": mult_lr,
+               "backbone": lr * float(tcfg.backbone_lr_scale)}
         new_params, new_opt = {}, {}
-        for i, g in enumerate(PARAM_GROUPS):
-            # state.step counts completed steps; the noise schedule takes the
-            # 1-based iteration (the reference's `it`, :598)
-            gg = add_gradient_noise(grads[g], jax.random.fold_in(k_noise, i),
-                                    state.step + 1, tcfg.noisy_eta,
-                                    tcfg.noisy_gamma)
+        for i, g in enumerate(groups):
+            gg = grads[g]
+            if g != "backbone" or tcfg.backbone_grad_noise:
+                # state.step counts completed steps; the noise schedule
+                # takes the 1-based iteration (the reference's `it`, :598)
+                gg = add_gradient_noise(gg, jax.random.fold_in(k_noise, i),
+                                        state.step + 1, tcfg.noisy_eta,
+                                        tcfg.noisy_gamma)
             gg, norm = clip_by_global_norm(gg, tcfg.grad_clip)
             new_params[g], new_opt[g] = adam_update(
                 state.params[g], gg, lrs[g], state.opt[g],
@@ -184,8 +216,18 @@ class Trainer:
         self.ckpt_dir = os.path.join(workdir, "snapshot")
         self.logger = MetricsLogger(os.path.join(workdir, "training_log"))
 
-        self.state = init_train_state(jax.random.PRNGKey(self.tcfg.seed),
-                                      self.mcfg)
+        # backbone fine-tuning: the backbone joins the state as a 4th
+        # parameter group and the train step consumes raw uint8 images
+        # (tcfg.train_backbone; see make_train_step)
+        self.train_backbone = bool(self.tcfg.train_backbone)
+        if self.train_backbone and (backbone is None or bb_params is None):
+            raise ValueError(
+                "train_backbone needs an image data source plus "
+                "Trainer(backbone=..., bb_params=...) — fine-tuning "
+                "differentiates through the pixels (--image-root)")
+        self.state = init_train_state(
+            jax.random.PRNGKey(self.tcfg.seed), self.mcfg,
+            bb_params=bb_params if self.train_backbone else None)
         # host-side fallback so the explosion guard can reject a poisoned
         # update even before the first checkpoint exists (reference declares
         # -loss_explod_threshold but never reads it, Ours_SS/...lua:29);
@@ -204,10 +246,14 @@ class Trainer:
             tp = exp.mesh.shard_params_tp
             self.state = place_state(mesh, self.state, tp=tp)
             self.train_step = make_sharded_train_step(
-                self.mcfg, self.tcfg, mesh, self.state, tp=tp)
+                self.mcfg, self.tcfg, mesh, self.state, tp=tp,
+                backbone=backbone if self.train_backbone else None)
         else:
             self.train_step = jax.jit(
-                make_train_step(self.mcfg, self.tcfg), donate_argnums=(0,))
+                make_train_step(
+                    self.mcfg, self.tcfg,
+                    backbone=backbone if self.train_backbone else None),
+                donate_argnums=(0,))
         if mesh is not None:
             # sharded serving for the eval sweep: params already live on the
             # mesh with TP/replicated shardings, the batch shards on 'data'.
@@ -216,7 +262,7 @@ class Trainer:
             # jit caches one sharded executable per bucket.
             from rau_vqa_tpu.parallel.mesh import make_sharded_predict_fn
             self.predict_step = make_sharded_predict_fn(
-                self.mcfg, mesh, self.state.params,
+                self.mcfg, mesh, self._head_params(),
                 tp=exp.mesh.shard_params_tp)
         else:
             # buckets=() — the Trainer dispatches buckets itself so the
@@ -235,6 +281,29 @@ class Trainer:
         # next_batch_image path, vqa_prepro_loader.lua:1012-1068 — there
         # the features would be extracted on the host per batch)
         self.backbone = backbone
+        # device-resident ONCE: bb goes to _featurize as a jit ARGUMENT
+        # (so fine-tuned weights stay live), and numpy leaves as jit args
+        # re-stage per dispatch — ~780 ms each through the rig tunnel
+        # (CLAUDE.md).  On a mesh the backbone replicates (its weights are
+        # small next to the activations).
+        if bb_params is not None and not self.train_backbone:
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(mesh, PartitionSpec())
+                if jax.process_count() > 1:
+                    # device_put can't target a sharding spanning
+                    # processes; every host holds the same full tree
+                    # (same .pth), so contribute addressable shards
+                    # like parallel.mesh.place_state does
+                    def place(x, _rep=rep):
+                        x = np.asarray(x)
+                        return jax.make_array_from_callback(
+                            x.shape, _rep, lambda idx, x=x: x[idx])
+                    bb_params = jax.tree.map(place, bb_params)
+                else:
+                    bb_params = jax.device_put(bb_params, rep)
+            else:
+                bb_params = jax.device_put(bb_params)
         self.bb_params = bb_params
         self._featurize = None
         self.lr = self.tcfg.learning_rate
@@ -243,6 +312,22 @@ class Trainer:
         self.loss_ema: Optional[float] = None
         data.train_data.set_batch_order_option(exp.data.batch_order)
         data.train_data.reorder()
+
+    # ------------------------------------------------------------------
+    def _head_params(self):
+        """The RAU head's three parameter groups — what predict/export
+        consume.  Under fine-tuning the state carries a 4th 'backbone'
+        group that the head forward must not see (rau_forward indexes by
+        group name, but the sharded predict fn's template/sharding trees
+        must match its inputs exactly)."""
+        p = self.state.params
+        return ({g: p[g] for g in PARAM_GROUPS} if "backbone" in p else p)
+
+    def _bb_tree(self):
+        """The live backbone tree: the trained group under fine-tuning,
+        else the frozen Trainer(bb_params=...) weights."""
+        return (self.state.params["backbone"] if self.train_backbone
+                else self.bb_params)
 
     # ------------------------------------------------------------------
     def _make_ladder(self, buckets):
@@ -267,7 +352,8 @@ class Trainer:
             stop_timing=self.tcfg.hop_stop_timing,
             epoch=epoch_1based)
 
-    def _put_batch(self, batch, max_t: Optional[int] = None):
+    def _put_batch(self, batch, max_t: Optional[int] = None,
+                   featurize: bool = True):
         # ship features in the compute dtype: halves host->device bytes in
         # bf16 mode (the model casts to compute_dtype on entry anyway)
         feat_dt = (np.float32 if self.mcfg.compute_dtype == "float32"
@@ -322,8 +408,11 @@ class Trainer:
 
         is_images = arrays["feats"].dtype == np.uint8
 
-        def featurize(feats_dev):
-            if not is_images:
+        def run_featurize(feats_dev):
+            # featurize=False leaves a uint8 image batch raw — the
+            # fine-tuning train step (tcfg.train_backbone) runs the
+            # backbone INSIDE the differentiated program
+            if not is_images or not featurize:
                 return feats_dev
             if self.backbone is None or self.bb_params is None:
                 raise ValueError(
@@ -331,10 +420,14 @@ class Trainer:
                     "Trainer(backbone=..., bb_params=...)")
             if self._featurize is None:
                 from rau_vqa_tpu.models.pipeline import extract_features
+                # bb as a jit ARGUMENT (not a baked constant): under
+                # fine-tuning the eval sweep must see the CURRENT trained
+                # backbone, and device-resident args avoid per-dispatch
+                # re-staging (CLAUDE.md dtype/jit-args discipline)
                 self._featurize = jax.jit(
-                    lambda imgs, _dt=feat_dt: extract_features(
-                        self.backbone, self.bb_params, imgs).astype(_dt))
-            return self._featurize(feats_dev)
+                    lambda bb, imgs, _dt=feat_dt: extract_features(
+                        self.backbone, bb, imgs).astype(_dt))
+            return self._featurize(self._bb_tree(), feats_dev)
 
         if self.mesh is not None:
             from rau_vqa_tpu.parallel.mesh import shard_batch
@@ -354,10 +447,10 @@ class Trainer:
                           for k, v in arrays.items()}
             vals = shard_batch(self.mesh, *arrays.values())
             out = dict(zip(arrays.keys(), vals))
-            out["feats"] = featurize(out["feats"])
+            out["feats"] = run_featurize(out["feats"])
             return out
         out = {k: jnp.asarray(v) for k, v in arrays.items()}
-        out["feats"] = featurize(out["feats"])
+        out["feats"] = run_featurize(out["feats"])
         return out
 
     # ------------------------------------------------------------------
@@ -442,12 +535,16 @@ class Trainer:
                       f"mult_lr={self.mult_lr:.2e} "
                       f"[grad] E:{float(metrics['grad_norm_embed']):.4f} "
                       f"R:{float(metrics['grad_norm_rnn']):.4f} "
-                      f"M:{float(metrics['grad_norm_mult']):.4f}",
+                      f"M:{float(metrics['grad_norm_mult']):.4f}"
+                      + (f" B:{float(metrics['grad_norm_backbone']):.4f}"
+                         if "grad_norm_backbone" in metrics else ""),
                       flush=True)
             for k in ("loss", "uni_loss", "select_loss", "uni_acc",
                       "select_acc", "any_correct_ratio", "grad_norm_embed",
-                      "grad_norm_rnn", "grad_norm_mult"):
-                sums[k] = sums.get(k, 0.0) + float(metrics[k])
+                      "grad_norm_rnn", "grad_norm_mult",
+                      "grad_norm_backbone"):
+                if k in metrics:
+                    sums[k] = sums.get(k, 0.0) + float(metrics[k])
             for k in ("ce_per_hop", "acc_per_hop", "do_pred_loss",
                       "do_pred_acc_num", "do_pred_acc_den"):
                 v = np.asarray(metrics[k])
@@ -458,7 +555,9 @@ class Trainer:
         for batch in self.data.train_data.batches(self.source):
             dev = self._put_batch(
                 batch, max_t=self._bucket_t(self._train_ladder,
-                                            batch.lengths))
+                                            batch.lengths),
+                # fine-tuning: raw uint8 images go INTO the train step
+                featurize=not self.train_backbone)
             self.state, metrics = self.train_step(
                 self.state, dev["tokens"], dev["lengths"], dev["feats"],
                 dev["labels"], hop_scale,
@@ -514,7 +613,8 @@ class Trainer:
         }))
         for k in ("loss", "uni_loss", "select_loss", "uni_acc", "select_acc",
                   "any_correct_ratio",
-                  "grad_norm_embed", "grad_norm_rnn", "grad_norm_mult"):
+                  "grad_norm_embed", "grad_norm_rnn", "grad_norm_mult",
+                  "grad_norm_backbone"):
             if k in out:
                 record[k] = out[k]
         if jax.process_index() == 0:   # one writer in multi-process runs
@@ -611,7 +711,7 @@ class Trainer:
                 padded, max_t=self._bucket_t(self._eval_ladder,
                                              padded.lengths))
             tab_pred, tab_att = self.predict_step(
-                self.state.params, dev["tokens"], dev["lengths"],
+                self._head_params(), dev["tokens"], dev["lengths"],
                 dev["feats"])
             tab_pred = tab_pred[:, :orig_b]
             tab_att = tab_att[:, :orig_b]
@@ -778,13 +878,51 @@ class Trainer:
                    "loss_ema": self.loss_ema,
                    "preset": self.exp.name, "alg_name": self.exp.alg_name,
                    "n_hops": self.mcfg.n_hops,
+                   # fine-tuning snapshots carry the 4th param group; the
+                   # backbone kind tells convert/serve tooling what it is
+                   "train_backbone": self.train_backbone,
+                   "backbone": self.backbone if self.train_backbone
+                   else None,
                    # self-describing snapshot: standalone eval adopts this
                    # (the reference's Eval.lua adopts the snapshot's opt
                    # table, Eval.lua:116-118)
                    "model_config": dataclasses.asdict(self.mcfg)})
 
     def restore(self, path: str) -> None:
-        tree, meta = load_checkpoint(path, self.state._asdict())
+        template = self.state._asdict()
+        if self.train_backbone:
+            # warm-start support: restoring a HEAD-ONLY snapshot (from a
+            # precomputed-features run) into a fine-tuning state keeps the
+            # current pretrained backbone group + fresh Adam moments and
+            # restores just the three head groups — the natural two-phase
+            # recipe (train head frozen, then unfreeze).  Peek at the
+            # stored groups to pick the template; a 4-group snapshot
+            # restores everything including the trained backbone.
+            from flax import serialization
+            with open(path, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            if "backbone" not in raw.get("params", {}):
+                from rau_vqa_tpu.utils.checkpoint import validate_tree_shapes
+                head_t = {
+                    **template,
+                    "params": {g: template["params"][g]
+                               for g in PARAM_GROUPS},
+                    "opt": {g: template["opt"][g] for g in PARAM_GROUPS},
+                }
+                tree = serialization.from_state_dict(head_t, raw)
+                validate_tree_shapes(head_t, tree)
+                tree["params"]["backbone"] = template["params"]["backbone"]
+                tree["opt"]["backbone"] = template["opt"]["backbone"]
+                import json as _json
+                meta_path = path.replace(".msgpack", ".json")
+                meta = {}
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        meta = _json.load(f)
+            else:
+                tree, meta = load_checkpoint(path, template)
+        else:
+            tree, meta = load_checkpoint(path, template)
         self.state = TrainState(**tree)
         if self.mesh is not None:
             from rau_vqa_tpu.parallel.mesh import place_state

@@ -26,6 +26,12 @@ Variants:
            the full train step runs.  --batch counts QUESTIONS and must
            divide by --qpi.  The capability the reference lacks: it can
            only train on precomputed features (data/get_*.sh).
+  finetune — BACKBONE FINE-TUNING: like pixels, but the backbone is the
+           4th parameter group (tcfg.train_backbone) and the backward
+           pass runs THROUGH it (blockwise remat, conv wgrads, 4-group
+           Adam).  Per-question images like the Trainer's loader path
+           (qpi duplicates per image).  Even further beyond the
+           reference, whose extractor is a separate frozen binary.
 
 Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
 """
@@ -68,11 +74,11 @@ def main() -> None:
                          "shrink with e.g. 64; conv backbones only)")
     args = ap.parse_args()
     for variant in args.variants.split(","):
-        if variant == "pixels":
+        if variant in ("pixels", "finetune"):
             for B in args.batch:
                 if B % args.qpi:
                     raise SystemExit(
-                        f"pixels variant: --batch {B} (questions) must "
+                        f"{variant} variant: --batch {B} (questions) must "
                         f"divide by --qpi {args.qpi} (images are "
                         f"repeated qpi times)")
             if args.pixels_size and args.pixels_size % 32:
@@ -126,7 +132,9 @@ def main() -> None:
                 trunc_T = int(variant[5:])
             mcfg = dataclasses.replace(
                 preset.model, remat_hops=(variant == "remat"), **numerics)
-            if variant == "pixels" and args.pixels_size:
+            is_pixels = variant == "pixels"
+            is_ft = variant == "finetune"
+            if (is_pixels or is_ft) and args.pixels_size:
                 g = args.pixels_size // 32
                 mcfg = dataclasses.replace(mcfg, cnn_w=g, cnn_h=g)
             tcfg = preset.train
@@ -135,7 +143,8 @@ def main() -> None:
                 # update — measures the scan/accumulate overhead vs plain
                 tcfg = dataclasses.replace(tcfg,
                                            grad_accum=int(variant[5:] or 4))
-            state = init_train_state(jax.random.PRNGKey(0), mcfg)
+            if is_ft:
+                tcfg = dataclasses.replace(tcfg, train_backbone=True)
 
             rs = np.random.RandomState(0)
             tokens = jnp.asarray(rs.randint(
@@ -146,34 +155,40 @@ def main() -> None:
                 # the Trainer's bucket path: token axis sliced host-side
                 tokens = tokens[:, :trunc_T]
                 lengths = jnp.minimum(lengths, trunc_T)
-            is_pixels = variant == "pixels"
-            if is_pixels:
-                # frozen backbone featurizes B//qpi raw images inline;
-                # weights ride as a jit ARG (device-resident once), same
-                # rationale as bench_pixels.py
+            backbone = None
+            if is_pixels or is_ft:
+                # backbone weights ride as a jit ARG / in the STATE
+                # (device-resident once), same rationale as bench_pixels.py.
+                # finetune: a NON-folded resnet tree (BN folding is a
+                # frozen-serving transform; training keeps conv+BN)
                 from rau_vqa_tpu.models.pipeline import extract_features
                 from rau_vqa_tpu.utils.benchparams import random_backbone
                 backbone = {"ours_resnet": "resnet101",
                             "ours_vit": "vit"}.get(args.preset, "vgg16")
                 wdtype = jnp.float32 if args.f32 else jnp.bfloat16
-                bb_host, img_size = random_backbone(backbone, 1, wdtype)
+                bb_host, img_size = random_backbone(
+                    backbone, 1, wdtype, fold_bn=is_pixels)
                 if args.pixels_size:
                     img_size = args.pixels_size
-                bb = jax.device_put(bb_host)
+                bb = None if is_ft else jax.device_put(bb_host)
+                n_img = B if is_ft else B // args.qpi
                 images = jnp.asarray(rs.randint(
-                    0, 256, (B // args.qpi, img_size, img_size, 3))
+                    0, 256, (n_img, img_size, img_size, 3))
                     .astype(np.uint8))
                 feats = None
             else:
                 feats = jnp.asarray(rs.randn(
                     B, mcfg.cnn_spat, mcfg.cnn_dim).astype(np.float32))
+            state = init_train_state(jax.random.PRNGKey(0), mcfg,
+                                     bb_params=bb_host if is_ft else None)
             labels = jnp.asarray(
                 rs.randint(0, mcfg.answer_size, B).astype(np.int32))
             hop_scale = hop_grad_scale(
                 mcfg.n_hops, scale_by_nhop=tcfg.hop_grad_scale_nhop,
                 stop_timing=tcfg.hop_stop_timing, epoch=1)
 
-            step_fn = make_train_step(mcfg, tcfg)
+            step_fn = make_train_step(mcfg, tcfg,
+                                      backbone=backbone if is_ft else None)
             K = args.steps
 
             @jax.jit
@@ -194,6 +209,13 @@ def main() -> None:
                         fx = jnp.repeat(fx.astype(
                             jnp.float32 if args.f32 else jnp.bfloat16),
                             args.qpi, axis=0)
+                    elif is_ft:
+                        # the fine-tuning step consumes raw uint8 pixels
+                        # (per-question images, the Trainer's loader
+                        # layout); the param-state data dependence already
+                        # prevents hoisting, the salt dodges caching
+                        fx = jnp.bitwise_xor(
+                            images_arg, (salt + k).astype(jnp.uint8))
                     else:
                         fx = feats
                     st, metrics = step_fn(st, toks, lengths, fx, labels,
@@ -207,7 +229,8 @@ def main() -> None:
             # closure constant would bake ~72 MB of uint8 pixels into the
             # lowered program and re-ship it through the ~15 MB/s tunnel
             # on every compile (same rationale as bench_pixels's weights)
-            if is_pixels:
+            if is_pixels or is_ft:
+                # finetune: bb is None — the backbone rides in the STATE
                 def chain(state, salt0):
                     return chain_fn(state, bb, images, salt0)
             else:
@@ -234,6 +257,11 @@ def main() -> None:
                 log(f"[{variant} B={B}] from-pixels training: "
                     f"{eps / args.qpi:,.0f} images/sec "
                     f"({B // args.qpi} images/step, qpi={args.qpi})")
+            elif is_ft:
+                log(f"[{variant} B={B}] backbone fine-tuning: "
+                    f"{eps / args.qpi:,.0f} unique images/sec "
+                    f"({B} per-question images/step, qpi={args.qpi} "
+                    f"duplicates)")
             results[f"{variant}_b{B}"] = round(ms, 3)
 
     from rau_vqa_tpu.utils.rigcheck import matmul_canary

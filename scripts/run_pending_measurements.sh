@@ -73,6 +73,11 @@ run bench_train python scripts/bench_train.py --variants plain,trunc16
 run bench_train_pixels python scripts/bench_train.py --variants pixels \
     --preset ours_resnet --batch 360 --qpi 3
 
+# 10. backbone FINE-TUNING (backward through bf16 ResNet-101-448,
+#     48 per-question images/step, blockwise remat, 4-group Adam)
+run bench_train_finetune python scripts/bench_train.py \
+    --variants finetune --preset ours_resnet --batch 48 --steps 5
+
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
   exit 1

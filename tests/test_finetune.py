@@ -61,13 +61,295 @@ def test_remat_matches_plain_vit():
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4), g0, g1)
 
 
+def _tiny_mcfg(**kw):
+    from rau_vqa_tpu.config import ModelConfig
+    base = dict(vocab_size=40, answer_size=9, seq_len=7, embed_dim=8,
+                rnn_size=16, rnn_layers=2, cnn_dim=32, cnn_w=2, cnn_h=2,
+                multfeat_dim=16, attfeat_dim=8, att_rnn_size=16, n_hops=2,
+                embed_dropout=0.0, rnn_dropout=0.0, mult_dropout=0.0)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _tiny_vit():
+    from rau_vqa_tpu.models.backbones.vit import ViTConfig
+    return ViTConfig(image_size=28, patch=14, dim=32, depth=2, heads=2)
+
+
+def _ft_state_and_batch(B=8):
+    from rau_vqa_tpu.models.backbones.vit import vit_init
+    from rau_vqa_tpu.train.trainer import init_train_state
+    mcfg = _tiny_mcfg()
+    state = init_train_state(jax.random.PRNGKey(0), mcfg,
+                             bb_params=vit_init(jax.random.PRNGKey(1),
+                                                _tiny_vit()))
+    rs = np.random.RandomState(0)
+    batch = (
+        jnp.asarray(rs.randint(1, mcfg.vocab_size, (B, mcfg.seq_len)),
+                    jnp.int32),
+        jnp.asarray(rs.randint(1, mcfg.seq_len + 1, B), jnp.int32),
+        jnp.asarray(rs.randint(0, 256, (B, 28, 28, 3)).astype(np.uint8)),
+        jnp.asarray(rs.randint(0, mcfg.answer_size, B), jnp.int32),
+    )
+    return mcfg, state, batch
+
+
+@pytest.mark.slow
+def test_train_backbone_step_updates_all_four_groups():
+    """One fine-tuning step moves every group INCLUDING the backbone:
+    gradients flow through the pixels (the reference's features come from
+    a frozen extractor — it cannot express this)."""
+    from rau_vqa_tpu.config import TrainConfig
+    from rau_vqa_tpu.train.trainer import make_train_step
+
+    mcfg, state, (tokens, lengths, images, labels) = _ft_state_and_batch()
+    tcfg = TrainConfig(train_backbone=True)
+    step = jax.jit(make_train_step(mcfg, tcfg, backbone="vit",
+                                   vit_cfg=_tiny_vit()))
+    hop_scale = jnp.ones((mcfg.n_hops,), jnp.float32)
+    before = jax.tree.map(np.asarray, state.params)
+    new_state, metrics = step(state, tokens, lengths, images, labels,
+                              hop_scale, jnp.float32(1e-3),
+                              jnp.float32(1e-4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm_backbone"]))
+    for g in ("embed", "rnn", "mult", "backbone"):
+        changed = any(
+            not np.array_equal(np.asarray(a), b)
+            for a, b in zip(jax.tree.leaves(new_state.params[g]),
+                            jax.tree.leaves(before[g])))
+        assert changed, f"group {g!r} did not update"
+
+
+@pytest.mark.slow
+def test_train_backbone_grad_accum_matches_plain():
+    """Gradient accumulation stays exact through the backbone: k=2
+    microbatch passes produce the same update as one full-batch pass
+    (both paths featurize inside the differentiated program)."""
+    import dataclasses
+
+    from rau_vqa_tpu.config import TrainConfig
+    from rau_vqa_tpu.train.trainer import make_train_step
+
+    mcfg, state, (tokens, lengths, images, labels) = _ft_state_and_batch()
+    tcfg = TrainConfig(train_backbone=True, noisy_eta=0.0)
+    hop_scale = jnp.ones((mcfg.n_hops,), jnp.float32)
+
+    def run(t):
+        step = jax.jit(make_train_step(mcfg, t, backbone="vit",
+                                       vit_cfg=_tiny_vit()))
+        s, m = step(state, tokens, lengths, images, labels, hop_scale,
+                    jnp.float32(1e-3), jnp.float32(1e-4))
+        return s, float(m["loss"])
+
+    s1, loss1 = run(tcfg)
+    s2, loss2 = run(dataclasses.replace(tcfg, grad_accum=2))
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s1.params, s2.params)
+
+
+@pytest.mark.slow
+def test_train_backbone_sharded_matches_single():
+    """The fine-tuning step composes with the device mesh: uint8 images
+    shard on 'data', the backbone group replicates, GSPMD all-reduces its
+    gradient — same update as single-device."""
+    from rau_vqa_tpu.config import TrainConfig
+    from rau_vqa_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_train_step,
+        place_state,
+        shard_batch,
+    )
+    from rau_vqa_tpu.train.trainer import make_train_step
+
+    mcfg, state, (tokens, lengths, images, labels) = _ft_state_and_batch()
+    tcfg = TrainConfig(train_backbone=True)
+    hop_scale = jnp.ones((mcfg.n_hops,), jnp.float32)
+
+    plain = jax.jit(make_train_step(mcfg, tcfg, backbone="vit",
+                                    vit_cfg=_tiny_vit()))
+    s_ref, m_ref = plain(state, tokens, lengths, images, labels, hop_scale,
+                         jnp.float32(1e-3), jnp.float32(1e-4))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    mcfg2, state2, _ = _ft_state_and_batch()
+    placed = place_state(mesh, state2, tp=True)
+    step = make_sharded_train_step(mcfg2, tcfg, mesh, placed, tp=True,
+                                   backbone="vit", vit_cfg=_tiny_vit())
+    st, sl, si, sy = shard_batch(mesh, np.asarray(tokens),
+                                 np.asarray(lengths), np.asarray(images),
+                                 np.asarray(labels))
+    s_mesh, m_mesh = step(placed, st, sl, si, sy, hop_scale,
+                          jnp.float32(1e-3), jnp.float32(1e-4))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_mesh["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s_ref.params, s_mesh.params)
+
+
+def test_train_backbone_requires_backbone():
+    from rau_vqa_tpu.config import TrainConfig
+    from rau_vqa_tpu.train.trainer import make_train_step
+
+    with pytest.raises(ValueError, match="train_backbone"):
+        make_train_step(_tiny_mcfg(), TrainConfig(train_backbone=True))
+
+
+@pytest.mark.slow
+def test_trainer_finetune_end_to_end(tmp_path):
+    """The Trainer drives fine-tuning end-to-end on the image fixture: the
+    train step consumes raw uint8 batches, the backbone group updates, and
+    the eval sweep featurizes with the CURRENT trained backbone (not the
+    init weights).  Also covers the warm-start restore: a head-only
+    snapshot from a frozen-backbone run restores the three head groups
+    while the backbone keeps its pretrained init."""
+    import dataclasses as dc
+    import os
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, spec, images=True, image_size=64)
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.1),
+        train=dc.replace(
+            exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+            length_buckets=(), train_backbone=True, backbone_lr_scale=0.5),
+        data=dc.replace(exp.data, split="val2014"))
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    bb = vgg16_pool5_init(jax.random.PRNGKey(3))
+
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"), size=64,
+                         backend="native")
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"), gt_anno=gt,
+                      backbone="vgg16", bb_params=bb)
+    bb_init = jax.tree.map(np.asarray, trainer.state.params["backbone"])
+    rec = trainer.train_epoch()
+    assert np.isfinite(rec["loss"])
+    assert "grad_norm_backbone" in rec
+    changed = any(
+        not np.array_equal(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(trainer.state.params["backbone"]),
+                        jax.tree.leaves(bb_init)))
+    assert changed, "fine-tuning did not move the backbone group"
+    # eval featurizes with the LIVE backbone group (values moved off init)
+    assert not np.array_equal(
+        np.asarray(trainer._bb_tree()["convs"][0]["w"]),
+        bb_init["convs"][0]["w"])
+    res = trainer.evaluate(write_submissions=False)
+    assert len(res["testOEacc"]) == exp.model.n_hops + 2
+
+    # 4-group checkpoint round-trips
+    path = trainer.save()
+    data2 = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                          test_batch_size=8)
+    t2 = Trainer(exp, data2, src, str(tmp_path / "run2"), gt_anno=gt,
+                 backbone="vgg16", bb_params=bb)
+    t2.restore(path)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        t2.state.params, trainer.state.params)
+
+    # warm start: a head-only snapshot restores the head, keeps the bb init
+    frozen_exp = exp.replace(train=dc.replace(exp.train,
+                                              train_backbone=False))
+    data3 = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                          test_batch_size=8)
+    frozen = Trainer(frozen_exp, data3, src, str(tmp_path / "frozen"),
+                     gt_anno=gt, backbone="vgg16", bb_params=bb)
+    frozen.train_epoch()
+    head_path = frozen.save()
+    data4 = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                          test_batch_size=8)
+    warm = Trainer(exp, data4, src, str(tmp_path / "warm"), gt_anno=gt,
+                   backbone="vgg16", bb_params=bb)
+    warm.restore(head_path)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        {g: warm.state.params[g] for g in ("embed", "rnn", "mult")},
+        {g: frozen.state.params[g] for g in ("embed", "rnn", "mult")})
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        warm.state.params["backbone"], bb_init)
+
+
+@pytest.mark.slow   # traces full-size fwd+bwd programs (~minutes)
+def test_finetune_step_tpu_lowering_no_hardware():
+    """TPU-platform-lower (jax.export, no device needed) the EXACT
+    fine-tuning train-step programs the rig sweep will compile: backward
+    through bf16 ResNet-101 at 448 px B=48 and through ViT-L at B=32 —
+    conv wgrads and blockwise-remat transposes have TPU-only lowering
+    paths a CPU smoke never exercises (CLAUDE.md: lower offline BEFORE
+    burning a rig compile)."""
+    import dataclasses
+
+    from jax import export as jexport
+
+    from rau_vqa_tpu.config import TrainConfig, get_preset
+    from rau_vqa_tpu.models.backbones.resnet import resnet101_init
+    from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_init
+    from rau_vqa_tpu.train.trainer import init_train_state, make_train_step
+
+    def sds(tree):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+
+    def state_sds(mcfg, bb_s):
+        return jax.eval_shape(
+            lambda k, bb: init_train_state(k, mcfg, bb_params=bb),
+            sds(jax.random.PRNGKey(0)), bb_s)
+
+    tcfg = TrainConfig(train_backbone=True)
+    for preset, backbone, init_bb, B, px in (
+            ("ours_resnet", "resnet101",
+             lambda k: resnet101_init(k, dtype=jnp.bfloat16), 48, 448),
+            ("ours_vit", "vit",
+             lambda k: vit_init(k, VIT_L14, dtype=jnp.bfloat16), 32,
+             VIT_L14.image_size)):
+        mcfg = dataclasses.replace(get_preset(preset).model,
+                                   matmul_precision="default",
+                                   compute_dtype="bfloat16")
+        bb_s = sds(jax.eval_shape(init_bb, jax.random.PRNGKey(1)))
+        st_s = state_sds(mcfg, bb_s)
+        step = make_train_step(mcfg, tcfg, backbone=backbone)
+        jexport.export(jax.jit(step), platforms=("tpu",))(
+            st_s,
+            jax.ShapeDtypeStruct((B, mcfg.seq_len), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B, px, px, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((mcfg.n_hops,), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32))
+
+
 def test_remat_excludes_fused_stages():
     from rau_vqa_tpu.models.backbones.resnet import (
         fold_batchnorm,
         resnet101_apply,
         resnet101_init,
     )
-    bb = fold_batchnorm(resnet101_init(jax.random.PRNGKey(0)))
+    from rau_vqa_tpu.utils.benchparams import np_params_like
+
+    # host-side param fill (np_params_like): the real resnet101_init
+    # compiles ~16 s of device programs on CPU for a trace-time-only check
+    bb = fold_batchnorm(np_params_like(resnet101_init, 0, jnp.float32))
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     with pytest.raises(ValueError, match="exclusive"):
         resnet101_apply(bb, x, fused_stages=(2,), remat=True)
