@@ -260,10 +260,17 @@ def _make_feature_source(feat_dirs, mcfg, *, ship_int8: bool = False):
 
 def _load_backbone_state(backbone: str, state_path: str):
     """torchvision state_dict (.pth) -> serving-optimized backbone params
-    (ResNet: BN folded + space-to-depth stem — both exact rewrites)."""
+    (ResNet: BN folded + space-to-depth stem — both exact rewrites).
+    A ``.msgpack`` path instead loads the FINE-TUNED backbone group from
+    a --train-backbone snapshot (utils/checkpoint.load_backbone_group) —
+    so serve/eval/precompute/export all consume fine-tuned backbones."""
     if not state_path:
         raise SystemExit("--backbone requires --backbone-state (a "
-                         "torchvision state_dict .pth)")
+                         "torchvision state_dict .pth, or a fine-tuned "
+                         "training snapshot .msgpack)")
+    if state_path.endswith(".msgpack"):
+        from rau_vqa_tpu.utils.checkpoint import load_backbone_group
+        return load_backbone_group(state_path, backbone)
     import torch
 
     state = torch.load(state_path, map_location="cpu")

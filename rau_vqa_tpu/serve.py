@@ -86,6 +86,7 @@ class RAUService:
                     f"ladder is {runner.ladder} (re-export with "
                     f"--eval-buckets to change it)")
         else:
+            meta = {}
             meta_path = checkpoint.replace(".msgpack", ".json")
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
@@ -138,7 +139,19 @@ class RAUService:
             # whole model re-uploaded per request measured as ~780 ms of
             # the ~850 ms unloaded p50 on the rig tunnel (bench_serve
             # decompose; same class as the bench_pixels weight fix)
-            self.params = jax.device_put(tree["params"])
+            # fine-tuned (4-group) snapshots: a 3-group template drops
+            # the extra group, so the head restores cleanly either way —
+            # but image requests should use the TRAINED backbone, not the
+            # original torchvision weights.  Adopt it from the snapshot
+            # unless the operator passed one explicitly.
+            self.params = jax.device_put(
+                {g: tree["params"][g] for g in ("embed", "rnn", "mult")})
+            if (bb_params is None and meta.get("train_backbone")
+                    and meta.get("backbone")):
+                from rau_vqa_tpu.utils.checkpoint import load_backbone_group
+                backbone = meta["backbone"]
+                bb_params = jax.device_put(
+                    load_backbone_group(checkpoint, backbone))
             # length buckets cut single-question latency: a short question
             # encodes in 8 scan steps instead of seq_len (exact —
             # predict.py)

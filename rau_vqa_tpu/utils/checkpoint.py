@@ -181,6 +181,62 @@ def validate_tree_shapes(template: Any, tree: Any) -> None:
                 f"rebuild the model with the snapshot's config")
 
 
+def load_backbone_group(path: str, kind: str, *, fold: bool = True):
+    """Extract the fine-tuned ``backbone`` parameter group from a 4-group
+    snapshot (TrainConfig.train_backbone) as a host tree.
+
+    ``kind`` names the backbone family ('vgg16'/'resnet101'/'vit' — stored
+    in the snapshot's meta as 'backbone').  ResNet trees are BN-folded by
+    default (the serving-optimized form; exact for inference).  This is
+    how `serve`/`export`/`precompute-features` consume a FINE-TUNED
+    backbone instead of the original torchvision weights."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    bb_raw = raw.get("params", {}).get("backbone")
+    if bb_raw is None:
+        raise ValueError(
+            f"{path} has no 'backbone' parameter group — not a fine-tuned "
+            f"snapshot (train with --train-backbone to produce one)")
+    # a structure template turns msgpack's {'0': ...} dicts back into the
+    # lists the apply fns expect; leaf values come from the snapshot
+    # (validate_tree_shapes catches kind mismatches loudly)
+    key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    if kind == "resnet101":
+        from rau_vqa_tpu.models.backbones.resnet import (
+            fold_batchnorm,
+            resnet101_init,
+        )
+        # CLI fine-tuning (`--backbone-state *.pth --train-backbone`)
+        # trains the FOLDED tree (BN-frozen fine-tuning — the loader folds
+        # for serving); a Trainer(bb_params=resnet101_init(...)) run saves
+        # the plain conv+BN structure.  The snapshot's own structure
+        # decides (folding drops the bn keys structurally).
+        saved_folded = "bn1" not in bb_raw
+        if saved_folded:
+            from rau_vqa_tpu.utils.benchparams import np_params_like
+            template = fold_batchnorm(np_params_like(
+                resnet101_init, 0, jnp.float32))
+            fold = False   # already folded
+        else:
+            template = jax.eval_shape(resnet101_init, key_s)
+    elif kind == "vgg16":
+        from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+        template = jax.eval_shape(vgg16_pool5_init, key_s)
+    elif kind == "vit":
+        from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_init
+        template = jax.eval_shape(lambda k: vit_init(k, VIT_L14), key_s)
+    else:
+        raise ValueError(f"unknown backbone kind {kind!r}")
+    bb = serialization.from_state_dict(template, bb_raw)
+    validate_tree_shapes(template, bb)
+    if kind == "resnet101" and fold:
+        bb = fold_batchnorm(bb)
+    return bb
+
+
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     """Restore a pytree saved by save_checkpoint; ``template`` provides the
     structure (e.g. a freshly initialized state)."""

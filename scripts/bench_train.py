@@ -68,6 +68,9 @@ def main() -> None:
     ap.add_argument("--qpi", type=int, default=3,
                     help="questions per image for the pixels variant "
                          "(VQA v1 asks ~3)")
+    ap.add_argument("--ft-no-remat", action="store_true",
+                    help="finetune variant: disable blockwise backbone "
+                         "remat (A/B: recompute FLOPs vs activation HBM)")
     ap.add_argument("--pixels-size", type=int, default=0,
                     help="override the pixels variant's image size "
                          "(0 = the preset's native 448; CPU smokes "
@@ -144,7 +147,9 @@ def main() -> None:
                 tcfg = dataclasses.replace(tcfg,
                                            grad_accum=int(variant[5:] or 4))
             if is_ft:
-                tcfg = dataclasses.replace(tcfg, train_backbone=True)
+                tcfg = dataclasses.replace(
+                    tcfg, train_backbone=True,
+                    backbone_remat=not args.ft_no_remat)
 
             rs = np.random.RandomState(0)
             tokens = jnp.asarray(rs.randint(

@@ -257,6 +257,16 @@ def test_trainer_finetune_end_to_end(tmp_path):
 
     # 4-group checkpoint round-trips
     path = trainer.save()
+
+    # serve adopts the fine-tuned backbone from the snapshot (not the
+    # original torchvision weights the operator would otherwise pass)
+    from rau_vqa_tpu.serve import RAUService
+    svc = RAUService(path, vqa_dir, [os.path.join(root, "feat")],
+                     preset="ours_ms")
+    assert svc.backbone == "vgg16"
+    np.testing.assert_array_equal(
+        np.asarray(svc.bb_params["convs"][0]["w"]),
+        np.asarray(trainer.state.params["backbone"]["convs"][0]["w"]))
     data2 = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
                           test_batch_size=8)
     t2 = Trainer(exp, data2, src, str(tmp_path / "run2"), gt_anno=gt,
@@ -287,6 +297,42 @@ def test_trainer_finetune_end_to_end(tmp_path):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)),
         warm.state.params["backbone"], bb_init)
+
+
+@pytest.mark.slow   # full-ResNet host tree + ~170 MB msgpack round trip
+def test_load_backbone_group_roundtrip(tmp_path):
+    """A fine-tuned snapshot's 4th param group extracts standalone (host
+    structure templates, folded/plain resnet auto-detected) — the path
+    serve/eval/precompute/export use to consume TRAINED backbones via
+    `--backbone-state snapshot.msgpack`."""
+    from rau_vqa_tpu.cli import _load_backbone_state
+    from rau_vqa_tpu.models.backbones.resnet import (
+        fold_batchnorm,
+        resnet101_init,
+    )
+    from rau_vqa_tpu.utils.benchparams import np_params_like
+    from rau_vqa_tpu.utils.checkpoint import (
+        load_backbone_group,
+        save_checkpoint,
+    )
+
+    folded = fold_batchnorm(np_params_like(resnet101_init, 0, jnp.float32))
+    tree = {"params": {"embed": {"x": np.zeros(3)}, "backbone": folded},
+            "step": np.int32(1)}
+    path = save_checkpoint(str(tmp_path / "ft"), 1, 1.0, tree)
+    got = load_backbone_group(path, "resnet101")
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got, folded)
+    # the CLI flag routes .msgpack to the same loader
+    got2 = _load_backbone_state("resnet101", path)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got2, folded)
+
+    head_only = {"params": {"embed": {"x": np.zeros(3)}},
+                 "step": np.int32(1)}
+    p2 = save_checkpoint(str(tmp_path / "head"), 2, 1.0, head_only)
+    with pytest.raises(ValueError, match="backbone"):
+        load_backbone_group(p2, "resnet101")
 
 
 @pytest.mark.slow   # traces full-size fwd+bwd programs (~minutes)
