@@ -188,10 +188,12 @@ def _apply_overrides(exp, args):
     if tb is not None:
         t["length_buckets"] = tb
     if getattr(args, "train_backbone", False):
-        if not getattr(args, "image_root", None):
+        if not getattr(args, "image_root", None) \
+                and not getattr(args, "fixture", False):
             raise SystemExit(
                 "--train-backbone fine-tunes through the pixels: it needs "
-                "--image-root (+ --backbone/--backbone-state)")
+                "--image-root (+ --backbone/--backbone-state), or "
+                "--fixture for a zero-asset smoke run")
         t["train_backbone"] = True
         if getattr(args, "backbone_lr_scale", None) is not None:
             t["backbone_lr_scale"] = args.backbone_lr_scale
@@ -350,7 +352,21 @@ def _make_source_and_backbone(args, exp):
         from rau_vqa_tpu.data.images import ImageDirSource
         source = ImageDirSource(args.image_root, size=args.image_size,
                                 backend="native")
-        bb_params = _load_backbone_state(args.backbone, args.backbone_state)
+        if not args.backbone_state and getattr(args, "fixture", False):
+            # zero-asset fixture smoke: a randomly initialized backbone
+            # (real architecture, no weights to ship)
+            import jax
+            print(f"fixture: random-init {args.backbone} backbone "
+                  f"(no --backbone-state)")
+            if args.backbone == "resnet101":
+                from rau_vqa_tpu.models.backbones.resnet import resnet101_init
+                bb_params = resnet101_init(jax.random.PRNGKey(0))
+            else:
+                from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+                bb_params = vgg16_pool5_init(jax.random.PRNGKey(0))
+        else:
+            bb_params = _load_backbone_state(args.backbone,
+                                             args.backbone_state)
         return source, args.backbone, bb_params
     source = _make_feature_source(
         [exp.data.feat_dir], exp.model,
@@ -358,16 +374,32 @@ def _make_source_and_backbone(args, exp):
     return source, None, None
 
 
-def _fixture_setup(exp, workdir):
-    """Generate the tiny fixture and shrink the experiment onto it."""
+def _fixture_setup(exp, workdir, images_backbone=None):
+    """Generate the tiny fixture and shrink the experiment onto it.
+    ``images_backbone`` (a conv backbone name) additionally writes 64-px
+    JPEGs and sizes the model for that backbone's 2x2 pool grid — the
+    zero-asset `--fixture --train-backbone` smoke path."""
     from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
     spec = FixtureSpec()
     fix_root = os.path.join(workdir, "fixture")
-    vqa_dir = generate_fixture(fix_root, spec)
+    vqa_dir = generate_fixture(fix_root, spec, images=bool(images_backbone),
+                               image_size=64,
+                               # uniform questions-per-image so the
+                               # grouped fine-tune order (--batch-order
+                               # imggroup) also smokes on the fixture
+                               uniform_img_assign=bool(images_backbone))
+    if images_backbone:
+        # from-pixels fixture: tiny 64-px JPEGs through a REAL (randomly
+        # initialized) stride-32 backbone -> 2x2 feature grid
+        cnn = dict(cnn_dim={"vgg16": 512,
+                            "resnet101": 2048}[images_backbone],
+                   cnn_w=2, cnn_h=2)
+    else:
+        cnn = dict(cnn_dim=spec.feat_dim, cnn_w=spec.feat_w,
+                   cnn_h=spec.feat_h)
     exp = exp.replace(
         model=dataclasses.replace(
-            exp.model, cnn_dim=spec.feat_dim, cnn_w=spec.feat_w,
-            cnn_h=spec.feat_h, embed_dim=16, rnn_size=16, multfeat_dim=16,
+            exp.model, **cnn, embed_dim=16, rnn_size=16, multfeat_dim=16,
             attfeat_dim=8, att_rnn_size=16, embed_dropout=0.0,
             rnn_dropout=0.0, mult_dropout=0.1),
         train=dataclasses.replace(
@@ -393,7 +425,20 @@ def cmd_train(args) -> int:
     workdir = args.save_dir or f"{exp.save_dir}_{exp.data.split}"
     os.makedirs(workdir, exist_ok=True)
     if args.fixture:
-        exp = _fixture_setup(exp, workdir)
+        bb_kind = None
+        if getattr(args, "train_backbone", False) and not args.image_root:
+            # zero-asset fine-tune smoke: image fixture + random-init
+            # conv backbone (ViT-L/14 pins 224 px — too heavy here)
+            bb_kind = args.backbone or "vgg16"
+            if bb_kind == "vit":
+                raise SystemExit(
+                    "--fixture --train-backbone supports the conv "
+                    "backbones (ViT-L/14's position embedding pins 224 px)")
+            args.backbone = bb_kind
+            args.image_size = 64
+        exp = _fixture_setup(exp, workdir, images_backbone=bb_kind)
+        if bb_kind:
+            args.image_root = os.path.join(workdir, "fixture", "images")
 
     data = load_vqa_data(
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,

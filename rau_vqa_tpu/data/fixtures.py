@@ -40,13 +40,18 @@ class FixtureSpec:
 
 
 def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
-                     images: bool = False, image_size: int = 64) -> str:
+                     images: bool = False, image_size: int = 64,
+                     uniform_img_assign: bool = False) -> str:
     """Write the fixture bundle under ``root``; returns the vqa_dir.
 
     ``images=True`` additionally writes tiny deterministic JPEGs under
     ``root/images/<split>/COCO_*.jpg`` (the paths the json's unique_img
     lists carry) so the from-pixels path — ImageDirSource → on-device
-    backbone → RAU — can be exercised end-to-end offline."""
+    backbone → RAU — can be exercised end-to-end offline.
+
+    ``uniform_img_assign=True`` assigns images round-robin so every image
+    carries exactly n/n_images questions (VQA v1's uniform ~3/image) —
+    what the 'imggroup' batch order / grouped fine-tuning require."""
     rng = np.random.default_rng(spec.seed)
     vqa_dir = os.path.join(root, "vqa_prepro")
     feat_dir = os.path.join(root, "feat")
@@ -95,7 +100,8 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
             tokens[k, 0] = first
             for i in range(1, L):
                 tokens[k, i] = (first * 7 + i * 3) % (spec.n_words - 1) + 1
-            img = int(rng.integers(0, len(imgs)))
+            img = (k % len(imgs) if uniform_img_assign
+                   else int(rng.integers(0, len(imgs))))
             img_pos[k] = img + 1  # 1-based (h5 contract)
             # learnable rule: answer = (first token + image class) mod n_answers
             # — the question alone is uninformative, forcing image attention

@@ -64,6 +64,13 @@ class ImageDirSource:
             return decode_scale_center_crop(img, self.size)
 
     def get_batch(self, rel_paths: Sequence[str]) -> np.ndarray:
+        # VQA batches repeat each image for its ~3 questions: decode every
+        # DISTINCT path once and replicate rows (pure host win — a file's
+        # pixels never depend on its batch-mates; output is identical)
+        uniq, inv = np.unique(np.asarray(rel_paths, dtype=object),
+                              return_inverse=True)
+        if uniq.size < len(rel_paths):
+            return self.get_batch(list(uniq))[inv]
         if self.backend == "native":
             from rau_vqa_tpu.data.native import (
                 NativeUnavailable,

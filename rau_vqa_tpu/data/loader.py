@@ -90,9 +90,30 @@ class SplitData:
     # ---- batch-order policies (vqa_prepro_loader.lua:1219-1288) ----
 
     def set_batch_order_option(self, policy: str) -> None:
-        if policy not in ("shuffle", "inorder", "sort", "randsort"):
+        if policy not in ("shuffle", "inorder", "sort", "randsort",
+                          "imggroup"):
             raise ValueError(f"unknown batch order policy {policy!r}")
+        if policy == "imggroup":
+            self.uniform_image_group_size()   # validate upfront, loudly
         self.order_policy = policy
+
+    def uniform_image_group_size(self) -> int:
+        """Questions-per-image count, required uniform (VQA v1 asks
+        exactly 3 per image).  The 'imggroup' order and the fine-tuning
+        img_repeat path depend on it; a valid_ratio re-split can break
+        uniformity — fail with that diagnosis instead of mis-grouping."""
+        keys = (self.img_paths if self.img_paths is not None
+                else self.img_names)
+        _, counts = np.unique(np.asarray(keys, dtype=object),
+                              return_counts=True)
+        if counts.min() != counts.max():
+            raise ValueError(
+                f"split {self.name!r}: questions-per-image is not uniform "
+                f"(min {counts.min()}, max {counts.max()}) — the "
+                f"'imggroup' batch order needs uniform groups (a "
+                f"valid_ratio re-split slices questions, not images; use "
+                f"valid_ratio=0 or the 'shuffle' order)")
+        return int(counts[0])
 
     def reorder(self) -> None:
         self.batch_index = 0
@@ -108,6 +129,21 @@ class SplitData:
             # sort by length, random order within equal-length runs
             tiebreak = rng.permutation(self.num_examples)
             self.batch_order = np.lexsort((tiebreak, self.lengths))
+        elif self.order_policy == "imggroup":
+            # image-grouped shuffle: each image's questions stay
+            # CONSECUTIVE, group order shuffles per epoch (counter-seeded
+            # like the rest).  With uniform groups (validated in
+            # set_batch_order_option) and batch_size % group == 0, every
+            # batch starts on a group boundary — the contract the
+            # fine-tuning img_repeat path needs (one backbone pass per
+            # image; trainer.make_train_step)
+            keys = (self.img_paths if self.img_paths is not None
+                    else self.img_names)
+            _, inv = np.unique(np.asarray(keys, dtype=object),
+                               return_inverse=True)
+            group_rank = rng.permutation(inv.max() + 1)
+            self.batch_order = np.lexsort(
+                (np.arange(self.num_examples), group_rank[inv]))
 
     def inorder(self) -> None:
         self.set_batch_order_option("inorder")

@@ -181,7 +181,8 @@ def shard_batch(mesh: Mesh, *arrays):
 
 def make_sharded_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
                             state: TrainState, *, tp: bool = False,
-                            backbone: Optional[str] = None, vit_cfg=None):
+                            backbone: Optional[str] = None, vit_cfg=None,
+                            img_repeat: int = 1):
     """jit the train step with explicit input/output shardings over ``mesh``.
 
     Batch tensors are sharded on 'data'; the TrainState follows
@@ -194,7 +195,8 @@ def make_sharded_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
     is a uint8 image batch [B, H, W, 3] sharded on 'data'; the backbone
     group's replicated weights get their gradient all-reduced by GSPMD
     exactly like the head's."""
-    step_fn = make_train_step(mcfg, tcfg, backbone=backbone, vit_cfg=vit_cfg)
+    step_fn = make_train_step(mcfg, tcfg, backbone=backbone, vit_cfg=vit_cfg,
+                              img_repeat=img_repeat)
     st_sh = state_shardings(mesh, state, tp=tp)
     rep = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))

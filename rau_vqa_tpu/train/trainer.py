@@ -81,7 +81,8 @@ _SUM_METRICS = ("do_pred_acc_num", "do_pred_acc_den")
 
 
 def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
-                    backbone: Optional[str] = None, vit_cfg=None):
+                    backbone: Optional[str] = None, vit_cfg=None,
+                    img_repeat: int = 1):
     """Build the pure train-step function (jit it at the call site so the
     parallel layer can add shardings).
 
@@ -103,12 +104,24 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
     "backbone" gets its own scaled LR (tcfg.backbone_lr_scale) in the same
     noise(optional)/clip/Adam pipeline.  The reference cannot express this
     at all — its features are precomputed by a frozen extractor
-    (data/get_*.sh)."""
+    (data/get_*.sh).
+
+    ``img_repeat = k > 1`` (fine-tuning only): the image batch carries
+    B//k UNIQUE images and questions are grouped k-consecutive-per-image
+    (the 'imggroup' batch order) — each image runs the backbone ONCE and
+    its features repeat k times, k× less backbone compute.  EXACT for the
+    questions' gradients; the backbone gradient sums the k questions'
+    contributions through the shared pass, identical to running the
+    duplicated image k times (linearity of grads over the repeat)."""
     accum = int(getattr(tcfg, "grad_accum", 1) or 1)
     train_bb = bool(getattr(tcfg, "train_backbone", False))
     if train_bb and not backbone:
         raise ValueError("train_backbone needs backbone= (the step's feats "
                          "argument becomes a uint8 image batch)")
+    img_repeat = int(img_repeat or 1)
+    if img_repeat > 1 and not train_bb:
+        raise ValueError("img_repeat (grouped unique-image batches) is a "
+                         "fine-tuning mode — set tcfg.train_backbone")
     groups = PARAM_GROUPS + ("backbone",) if train_bb else PARAM_GROUPS
 
     def step_fn(state: TrainState, tokens, lengths, feats, labels,
@@ -121,6 +134,10 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                 ft = extract_features(backbone, params["backbone"], ft,
                                       vit_cfg=vit_cfg,
                                       remat=tcfg.backbone_remat)
+                if img_repeat > 1:
+                    # grouped batches: question row i belongs to unique
+                    # image i // img_repeat
+                    ft = jnp.repeat(ft, img_repeat, axis=0)
             out = rau_forward(params, mcfg, tok, ln, ft,
                               train=True, rng=k)
             return joint_loss_and_metrics(out.scores, out.do_pred, lb,
@@ -135,8 +152,15 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
             if B % accum:
                 raise ValueError(
                     f"batch_size {B} must divide by grad_accum {accum}")
+            if img_repeat > 1 and (B // accum) % img_repeat:
+                raise ValueError(
+                    f"microbatch size {B // accum} must divide by "
+                    f"img_repeat {img_repeat} (microbatches must split at "
+                    f"image-group boundaries)")
+            # feats may be a UNIQUE-image batch (img_repeat > 1) with a
+            # shorter leading dim — split each array by its own length
             micro = tuple(
-                a.reshape((accum, B // accum) + a.shape[1:])
+                a.reshape((accum, a.shape[0] // accum) + a.shape[1:])
                 for a in (tokens, lengths, feats, labels))
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -228,6 +252,29 @@ class Trainer:
         self.state = init_train_state(
             jax.random.PRNGKey(self.tcfg.seed), self.mcfg,
             bb_params=bb_params if self.train_backbone else None)
+        # image-grouped fine-tuning: with the 'imggroup' batch order each
+        # image's questions are consecutive, so the step runs the backbone
+        # ONCE per unique image and repeats its features (exact — see
+        # make_train_step img_repeat; ~3x less backbone compute on VQA)
+        self.img_repeat = 1
+        if self.train_backbone and exp.data.batch_order == "imggroup":
+            g = data.train_data.uniform_image_group_size()
+            if self.tcfg.batch_size % g:
+                raise ValueError(
+                    f"imggroup fine-tuning: batch_size "
+                    f"{self.tcfg.batch_size} must divide by the "
+                    f"questions-per-image group size {g} (batches must "
+                    f"start on image-group boundaries)")
+            if mesh is not None:
+                n_data = int(mesh.shape.get("data", 1))
+                per_shard = self.tcfg.batch_size // n_data
+                if self.tcfg.batch_size % n_data or per_shard % g:
+                    raise ValueError(
+                        f"imggroup fine-tuning on a mesh: the per-shard "
+                        f"batch ({self.tcfg.batch_size}/{n_data}) must be "
+                        f"a multiple of the group size {g} so feature "
+                        f"repeats never cross shard boundaries")
+            self.img_repeat = g
         # host-side fallback so the explosion guard can reject a poisoned
         # update even before the first checkpoint exists (reference declares
         # -loss_explod_threshold but never reads it, Ours_SS/...lua:29);
@@ -247,12 +294,14 @@ class Trainer:
             self.state = place_state(mesh, self.state, tp=tp)
             self.train_step = make_sharded_train_step(
                 self.mcfg, self.tcfg, mesh, self.state, tp=tp,
-                backbone=backbone if self.train_backbone else None)
+                backbone=backbone if self.train_backbone else None,
+                img_repeat=self.img_repeat)
         else:
             self.train_step = jax.jit(
                 make_train_step(
                     self.mcfg, self.tcfg,
-                    backbone=backbone if self.train_backbone else None),
+                    backbone=backbone if self.train_backbone else None,
+                    img_repeat=self.img_repeat),
                 donate_argnums=(0,))
         if mesh is not None:
             # sharded serving for the eval sweep: params already live on the
@@ -437,14 +486,19 @@ class Trainer:
                 # its own slice on device; shard_batch assembles the global
                 # array from the per-process shards
                 np_, pid = jax.process_count(), jax.process_index()
-                b = next(iter(arrays.values())).shape[0]
-                if b % np_:
-                    raise ValueError(
-                        f"global batch {b} not divisible by "
-                        f"{np_} processes")
-                loc = b // np_
-                arrays = {k: v[pid * loc:(pid + 1) * loc]
-                          for k, v in arrays.items()}
+                # slice each array by ITS OWN length: under image-grouped
+                # fine-tuning the feats array carries B//g unique images
+                # while tokens carry B questions (group alignment is
+                # validated in __init__, so the slices stay consistent)
+                for k, v in arrays.items():
+                    if v.shape[0] % np_:
+                        raise ValueError(
+                            f"global batch dim {v.shape[0]} ({k}) not "
+                            f"divisible by {np_} processes")
+                arrays = {
+                    k: v[pid * (v.shape[0] // np_):
+                         (pid + 1) * (v.shape[0] // np_)]
+                    for k, v in arrays.items()}
             vals = shard_batch(self.mesh, *arrays.values())
             out = dict(zip(arrays.keys(), vals))
             out["feats"] = run_featurize(out["feats"])
@@ -553,6 +607,13 @@ class Trainer:
         pending = None
         dispatched = 0
         for batch in self.data.train_data.batches(self.source):
+            if self.img_repeat > 1:
+                # image-grouped batches: ship each image ONCE (rows are
+                # g-consecutive duplicates under the 'imggroup' order; the
+                # step repeats features after the backbone)
+                batch = dataclasses.replace(
+                    batch,
+                    feats=np.asarray(batch.feats)[::self.img_repeat])
             dev = self._put_batch(
                 batch, max_t=self._bucket_t(self._train_ladder,
                                             batch.lengths),

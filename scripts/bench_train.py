@@ -32,6 +32,10 @@ Variants:
            Adam).  Per-question images like the Trainer's loader path
            (qpi duplicates per image).  Even further beyond the
            reference, whose extractor is a separate frozen binary.
+  finetunegrp — fine-tuning with image-GROUPED batches: B//qpi UNIQUE
+           images run the backbone once each and their features repeat
+           to the qpi grouped questions (make_train_step img_repeat) —
+           exact gradients, ~qpi x less backbone compute.
 
 Usage: python scripts/bench_train.py [--batch 512] [--variants plain,remat]
 """
@@ -77,7 +81,7 @@ def main() -> None:
                          "shrink with e.g. 64; conv backbones only)")
     args = ap.parse_args()
     for variant in args.variants.split(","):
-        if variant in ("pixels", "finetune"):
+        if variant in ("pixels", "finetune", "finetunegrp"):
             for B in args.batch:
                 if B % args.qpi:
                     raise SystemExit(
@@ -136,7 +140,8 @@ def main() -> None:
             mcfg = dataclasses.replace(
                 preset.model, remat_hops=(variant == "remat"), **numerics)
             is_pixels = variant == "pixels"
-            is_ft = variant == "finetune"
+            is_ft = variant in ("finetune", "finetunegrp")
+            is_grp = variant == "finetunegrp"
             if (is_pixels or is_ft) and args.pixels_size:
                 g = args.pixels_size // 32
                 mcfg = dataclasses.replace(mcfg, cnn_w=g, cnn_h=g)
@@ -176,7 +181,7 @@ def main() -> None:
                 if args.pixels_size:
                     img_size = args.pixels_size
                 bb = None if is_ft else jax.device_put(bb_host)
-                n_img = B if is_ft else B // args.qpi
+                n_img = B if (is_ft and not is_grp) else B // args.qpi
                 images = jnp.asarray(rs.randint(
                     0, 256, (n_img, img_size, img_size, 3))
                     .astype(np.uint8))
@@ -193,7 +198,8 @@ def main() -> None:
                 stop_timing=tcfg.hop_stop_timing, epoch=1)
 
             step_fn = make_train_step(mcfg, tcfg,
-                                      backbone=backbone if is_ft else None)
+                                      backbone=backbone if is_ft else None,
+                                      img_repeat=args.qpi if is_grp else 1)
             K = args.steps
 
             @jax.jit
@@ -263,10 +269,11 @@ def main() -> None:
                     f"{eps / args.qpi:,.0f} images/sec "
                     f"({B // args.qpi} images/step, qpi={args.qpi})")
             elif is_ft:
+                n_per_step = B // args.qpi if is_grp else B
                 log(f"[{variant} B={B}] backbone fine-tuning: "
                     f"{eps / args.qpi:,.0f} unique images/sec "
-                    f"({B} per-question images/step, qpi={args.qpi} "
-                    f"duplicates)")
+                    f"({n_per_step} backbone images/step, qpi={args.qpi}"
+                    f"{' grouped' if is_grp else ' duplicates'})")
             results[f"{variant}_b{B}"] = round(ms, 3)
 
     from rau_vqa_tpu.utils.rigcheck import matmul_canary

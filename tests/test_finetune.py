@@ -190,6 +190,141 @@ def test_train_backbone_sharded_matches_single():
         s_ref.params, s_mesh.params)
 
 
+@pytest.mark.slow
+def test_img_repeat_grouped_matches_duplicated():
+    """Image-grouped fine-tuning (img_repeat=k: unique images through the
+    backbone once, features repeated to the k grouped questions) produces
+    the same update as running the duplicated images — grads are linear
+    over the repeat; only float reassociation differs."""
+    from rau_vqa_tpu.config import TrainConfig
+    from rau_vqa_tpu.train.trainer import make_train_step
+
+    k = 2
+    mcfg, state, (tokens, lengths, images, labels) = _ft_state_and_batch(B=8)
+    uniq = images[::k]                      # 4 unique images
+    dup = jnp.repeat(uniq, k, axis=0)       # questions grouped per image
+    tcfg = TrainConfig(train_backbone=True)
+    hop_scale = jnp.ones((mcfg.n_hops,), jnp.float32)
+    step_dup = jax.jit(make_train_step(mcfg, tcfg, backbone="vit",
+                                       vit_cfg=_tiny_vit()))
+    step_grp = jax.jit(make_train_step(mcfg, tcfg, backbone="vit",
+                                       vit_cfg=_tiny_vit(), img_repeat=k))
+    s1, m1 = step_dup(state, tokens, lengths, dup, labels, hop_scale,
+                      jnp.float32(1e-3), jnp.float32(1e-4))
+    s2, m2 = step_grp(state, tokens, lengths, uniq, labels, hop_scale,
+                      jnp.float32(1e-3), jnp.float32(1e-4))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s1.params, s2.params)
+
+
+def test_imggroup_batch_order():
+    """'imggroup' keeps each image's questions consecutive, shuffles group
+    order per epoch, covers every question exactly once, and rejects
+    non-uniform groups loudly."""
+    from rau_vqa_tpu.data.loader import SplitData
+
+    n, g = 24, 3
+    qs = np.ones((n, 5), np.int32)
+    lens = np.full(n, 3, np.int32)
+    names = [f"img{i // g}" for i in range(n)]
+
+    def mk(nm):
+        return SplitData("t", qs, lens, nm, np.zeros(n, np.int32),
+                         np.arange(n), batch_size=6,
+                         answers=np.zeros(n, np.int32))
+
+    sd = mk(names)
+    sd.set_batch_order_option("imggroup")
+    assert sd.uniform_image_group_size() == g
+    sd.reorder()
+    order = sd.batch_order
+    assert sorted(order.tolist()) == list(range(n))
+    arr = np.asarray(names, dtype=object)[order]
+    for i in range(0, n, g):
+        assert len(set(arr[i:i + g])) == 1, "group split across positions"
+    o1 = order.copy()
+    sd.reorder()
+    assert sorted(sd.batch_order.tolist()) == list(range(n))
+    assert not np.array_equal(o1, sd.batch_order), "epochs must reshuffle"
+
+    bad = mk(["odd"] + names[1:])
+    with pytest.raises(ValueError, match="not uniform"):
+        bad.set_batch_order_option("imggroup")
+
+
+def test_image_dedup_get_batch(tmp_path):
+    """get_batch decodes each DISTINCT path once and replicates rows —
+    byte-identical output to the naive per-row decode."""
+    from PIL import Image
+
+    from rau_vqa_tpu.data.images import ImageDirSource
+
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rs.randint(0, 255, (40, 40, 3), np.uint8)).save(
+            str(tmp_path / f"i{i}.jpg"))
+    src = ImageDirSource(str(tmp_path), size=32)
+    batch = src.get_batch(["i0.jpg", "i0.jpg", "i1.jpg", "i0.jpg"])
+    assert batch.shape == (4, 32, 32, 3)
+    np.testing.assert_array_equal(batch[0], batch[1])
+    np.testing.assert_array_equal(batch[0], batch[3])
+    assert not np.array_equal(batch[0], batch[2])
+    ref = src.get_batch(["i0.jpg"])[0]
+    np.testing.assert_array_equal(batch[0], ref)
+
+
+@pytest.mark.slow
+def test_trainer_grouped_finetune_end_to_end(tmp_path):
+    """The Trainer composes 'imggroup' order with fine-tuning: batches
+    ship B//g unique images, the step repeats features, training and the
+    eval sweep run end-to-end."""
+    import dataclasses as dc
+    import os
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, spec, images=True, image_size=64,
+                               uniform_img_assign=True)
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.1),
+        train=dc.replace(
+            exp.train, batch_size=16, noisy_eta=0.0, grad_clip=10.0,
+            length_buckets=(), train_backbone=True),
+        data=dc.replace(exp.data, split="val2014",
+                        batch_order="imggroup"))
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"), size=64)
+    bb = vgg16_pool5_init(jax.random.PRNGKey(3))
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"), gt_anno=gt,
+                      backbone="vgg16", bb_params=bb)
+    assert trainer.img_repeat == 4   # 160 questions / 40 images
+    bb_init = np.asarray(bb["convs"][0]["w"])
+    rec = trainer.train_epoch()
+    assert np.isfinite(rec["loss"])
+    assert not np.array_equal(
+        np.asarray(trainer.state.params["backbone"]["convs"][0]["w"]),
+        bb_init)
+    res = trainer.evaluate(write_submissions=False)
+    assert len(res["testOEacc"]) == exp.model.n_hops + 2
+
+
 def test_train_backbone_requires_backbone():
     from rau_vqa_tpu.config import TrainConfig
     from rau_vqa_tpu.train.trainer import make_train_step
@@ -297,6 +432,27 @@ def test_trainer_finetune_end_to_end(tmp_path):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)),
         warm.state.params["backbone"], bb_init)
+
+
+@pytest.mark.slow
+def test_cli_fixture_finetune_smoke(tmp_path):
+    """`rau-vqa train --fixture --train-backbone` is a zero-asset e2e
+    fine-tune: image fixture generated, random-init vgg16, one epoch +
+    eval sweep, snapshot carries the 4th group."""
+    import glob
+
+    from rau_vqa_tpu.cli import main
+    from rau_vqa_tpu.utils.checkpoint import load_backbone_group
+
+    wd = str(tmp_path / "run")
+    rc = main(["train", "--preset", "ours_ms", "--fixture",
+               "--train-backbone", "--nhop", "2", "--epochs", "1",
+               "--save-dir", wd])
+    assert rc == 0
+    snaps = sorted(glob.glob(wd + "/snapshot/*.msgpack"))
+    assert snaps, "no snapshot written"
+    bb = load_backbone_group(snaps[-1], "vgg16")
+    assert "convs" in bb
 
 
 @pytest.mark.slow   # full-ResNet host tree + ~170 MB msgpack round trip
