@@ -146,7 +146,10 @@ class TrainConfig:
     backbone_lr_scale: float = 0.1
     # blockwise jax.checkpoint inside the backbone forward: the backward
     # keeps only block-boundary activations (values and gradients
-    # identical — tests/test_finetune.py remat parity)
+    # identical — tests/test_finetune.py remat parity).  Measured: when
+    # activations FIT in HBM, no-remat is ~5-9% faster (ResNet-101-448,
+    # BASELINE.md fine-tuning table) — True stays the default because it
+    # works at any batch; flip with --no-backbone-remat when B is modest.
     backbone_remat: bool = True
     # annealed gradient noise on the backbone group: the reference's
     # noise schedule (:597-605) regularizes its scratch-trained head;

@@ -73,10 +73,11 @@ run bench_train python scripts/bench_train.py --variants plain,trunc16
 run bench_train_pixels python scripts/bench_train.py --variants pixels \
     --preset ours_resnet --batch 360 --qpi 3
 
-# 10. backbone FINE-TUNING (backward through bf16 ResNet-101-448,
-#     48 per-question images/step, blockwise remat, 4-group Adam)
+# 10. backbone FINE-TUNING, best measured config (grouped unique-image
+#     batches, no-remat; expect ~318 ms/step = ~900 q/s trained)
 run bench_train_finetune python scripts/bench_train.py \
-    --variants finetune --preset ours_resnet --batch 48 --steps 5
+    --variants finetunegrp --preset ours_resnet --batch 288 --steps 5 \
+    --ft-no-remat
 
 if [ "$FAILED" -ne 0 ]; then
   echo "$FAILED step(s) FAILED — check the per-step .log/.json under $OUT/"
