@@ -201,6 +201,8 @@ def _apply_overrides(exp, args):
             t["backbone_remat"] = False
     elif getattr(args, "backbone_lr_scale", None) is not None:
         raise SystemExit("--backbone-lr-scale needs --train-backbone")
+    elif getattr(args, "no_backbone_remat", False):
+        raise SystemExit("--no-backbone-remat needs --train-backbone")
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:
@@ -262,7 +264,8 @@ def _make_feature_source(feat_dirs, mcfg, *, ship_int8: bool = False):
 
 def _load_backbone_state(backbone: str, state_path: str):
     """torchvision state_dict (.pth) -> serving-optimized backbone params
-    (ResNet: BN folded + space-to-depth stem — both exact rewrites).
+    (ResNet: BN folded — exact; the s2d stem rewrite measured slower and
+    stays opt-in, BASELINE.md).
     A ``.msgpack`` path instead loads the FINE-TUNED backbone group from
     a --train-backbone snapshot (utils/checkpoint.load_backbone_group) —
     so serve/eval/precompute/export all consume fine-tuned backbones."""
@@ -355,6 +358,10 @@ def _make_source_and_backbone(args, exp):
         if not args.backbone_state and getattr(args, "fixture", False):
             # zero-asset fixture smoke: a randomly initialized backbone
             # (real architecture, no weights to ship)
+            if args.backbone not in ("vgg16", "resnet101"):
+                raise SystemExit(
+                    f"--fixture random-init supports the conv backbones; "
+                    f"--backbone {args.backbone} needs --backbone-state")
             import jax
             print(f"fixture: random-init {args.backbone} backbone "
                   f"(no --backbone-state)")

@@ -183,17 +183,26 @@ class SplitData:
             qids=self.qids[idx],
         )
 
-    def _fetch_source(self, source, idx: np.ndarray) -> np.ndarray:
+    def _fetch_source(self, source, idx: np.ndarray,
+                      image_stride: int = 1) -> np.ndarray:
         """One source fetch: FeatureSource by feature-file name, or an image
         source (duck-typed: no ``dim`` attribute) by image path — the two
         operand kinds of the reference's next_batch_feat / next_batch_image /
-        next_batch_feat_image family (vqa_prepro_loader.lua:220-1192)."""
+        next_batch_feat_image family (vqa_prepro_loader.lua:1012-1192).
+
+        ``image_stride = g > 1`` (image source + 'imggroup' order only):
+        fetch every g-th row — the batch's UNIQUE images — skipping the
+        decode-replicate of g-1 duplicate rows per group entirely (the
+        grouped fine-tuning path repeats FEATURES on device instead)."""
         if hasattr(source, "dim"):
+            if image_stride != 1:
+                raise ValueError("image_stride applies to image sources")
             names = [self.img_names[i] for i in idx]
             return source.get_batch(names, self.datatypes[idx])
         if self.img_paths is None:
             raise ValueError("split has no image paths for an image source")
-        return source.get_batch([self.img_paths[i] for i in idx])
+        return source.get_batch(
+            [self.img_paths[i] for i in idx[::image_stride]])
 
     def next_batch(self, source: FeatureSource) -> Batch:
         idx = self._batch_indices()
@@ -213,7 +222,8 @@ class SplitData:
 
     def batches(self, source: FeatureSource, num_batches: Optional[int] = None,
                 prefetch: bool = True,
-                include_tail: bool = False) -> Iterator[Batch]:
+                include_tail: bool = False,
+                image_stride: int = 1) -> Iterator[Batch]:
         """Iterate batches; with prefetch the (i+1)-th feature gather overlaps
         consumption of the i-th batch (the reference's 1-worker thread pool,
         vqa_prepro_loader.lua:66-80,931-958).
@@ -224,7 +234,10 @@ class SplitData:
         reference instead requires the batch size to divide the split
         (Ours_SS/...lua:85-95).  The tail fetch is stateless: it does not
         advance batch_index/reorder, so epoch-order semantics for subsequent
-        epochs are unchanged.  Only meaningful with num_batches=None."""
+        epochs are unchanged.  Only meaningful with num_batches=None.
+
+        ``image_stride`` forwards to :meth:`_fetch_source` (grouped
+        fine-tuning: decode each batch's unique images once)."""
         tail_idx = None
         if include_tail:
             if num_batches is not None:
@@ -250,10 +263,13 @@ class SplitData:
         n = self.iter_per_epoch if num_batches is None else num_batches
         if not prefetch:
             for _ in range(n):
-                yield self.next_batch(source)
+                idx = self._batch_indices()
+                yield self._assemble(
+                    idx, self._fetch_source(source, idx, image_stride))
             if tail_idx is not None and tail_idx.size:
-                yield self._assemble(tail_idx,
-                                     self._fetch_source(source, tail_idx))
+                yield self._assemble(
+                    tail_idx,
+                    self._fetch_source(source, tail_idx, image_stride))
             return
         with ThreadPoolExecutor(max_workers=1) as pool:
             def submit():
@@ -268,14 +284,15 @@ class SplitData:
                         self.batch_order)
                 idx = self._batch_indices()
                 return snap, idx, pool.submit(self._fetch_source,
-                                              source, idx)
+                                              source, idx, image_stride)
 
             if n == 0:
                 # include_tail on a split smaller than batch_size: one
                 # partial batch is the whole sweep
                 if tail_idx is not None and tail_idx.size:
                     yield self._assemble(
-                        tail_idx, self._fetch_source(source, tail_idx))
+                        tail_idx,
+                        self._fetch_source(source, tail_idx, image_stride))
                 return
             pending = submit()
             try:
@@ -290,7 +307,7 @@ class SplitData:
                         # iteration start and nothing advances)
                         pending = (None, tail_idx,
                                    pool.submit(self._fetch_source, source,
-                                               tail_idx))
+                                               tail_idx, image_stride))
                     else:
                         pending = None
                     yield self._assemble(idx, feats)

@@ -606,14 +606,12 @@ class Trainer:
 
         pending = None
         dispatched = 0
-        for batch in self.data.train_data.batches(self.source):
-            if self.img_repeat > 1:
-                # image-grouped batches: ship each image ONCE (rows are
-                # g-consecutive duplicates under the 'imggroup' order; the
-                # step repeats features after the backbone)
-                batch = dataclasses.replace(
-                    batch,
-                    feats=np.asarray(batch.feats)[::self.img_repeat])
+        # image-grouped fine-tuning: the loader fetches each batch's
+        # UNIQUE images only (rows are g-consecutive under 'imggroup';
+        # the step repeats features after the backbone) — no decode or
+        # host copy of the g-1 duplicate rows
+        for batch in self.data.train_data.batches(
+                self.source, image_stride=self.img_repeat):
             dev = self._put_batch(
                 batch, max_t=self._bucket_t(self._train_ladder,
                                             batch.lengths),
@@ -974,12 +972,16 @@ class Trainer:
                 validate_tree_shapes(head_t, tree)
                 tree["params"]["backbone"] = template["params"]["backbone"]
                 tree["opt"]["backbone"] = template["opt"]["backbone"]
-                import json as _json
-                meta_path = path.replace(".msgpack", ".json")
+                # a warm start is a NEW training phase, not a resume: the
+                # head snapshot's meta carries the FINISHED frozen run's
+                # fully-decayed lr (base*0.9^N), epoch counter and
+                # loss_ema — adopting them would fine-tune at ~1% LR and
+                # clobber CLI --learning-rate overrides.  Keep this
+                # trainer's fresh lr/epoch/order; restore weights only.
                 meta = {}
-                if os.path.exists(meta_path):
-                    with open(meta_path) as f:
-                        meta = _json.load(f)
+                # the frozen run's step/rng also belong to the old phase
+                tree["step"] = template["step"]
+                tree["rng"] = template["rng"]
             else:
                 tree, meta = load_checkpoint(path, template)
         else:

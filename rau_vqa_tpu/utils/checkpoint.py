@@ -215,13 +215,30 @@ def load_backbone_group(path: str, kind: str, *, fold: bool = True):
         # the plain conv+BN structure.  The snapshot's own structure
         # decides (folding drops the bn keys structurally).
         saved_folded = "bn1" not in bb_raw
+        plain = jax.eval_shape(resnet101_init, key_s)   # SDS tree, no device
         if saved_folded:
-            from rau_vqa_tpu.utils.benchparams import np_params_like
-            template = fold_batchnorm(np_params_like(
-                resnet101_init, 0, jnp.float32))
+            # STRUCTURAL fold (shapes only): running fold_batchnorm on a
+            # materialized tree would push ~178 MB of garbage template
+            # values through the device just to be discarded — ~12 s on
+            # the rig tunnel, and a hang when the tunnel is down
+            def fold_s(conv):
+                co = conv["w"].shape[-1]
+                return {"w": jax.ShapeDtypeStruct(conv["w"].shape,
+                                                  jnp.float32),
+                        "b": jax.ShapeDtypeStruct((co,), jnp.float32)}
+
+            template = {
+                "conv1": fold_s(plain["conv1"]),
+                "stages": [[
+                    {**{k: fold_s(blk[k])
+                        for k in ("conv1", "conv2", "conv3")},
+                     **({"down": fold_s(blk["down"])}
+                        if "down" in blk else {})}
+                    for blk in blocks] for blocks in plain["stages"]],
+            }
             fold = False   # already folded
         else:
-            template = jax.eval_shape(resnet101_init, key_s)
+            template = plain
     elif kind == "vgg16":
         from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
         template = jax.eval_shape(vgg16_pool5_init, key_s)
