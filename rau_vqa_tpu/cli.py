@@ -50,7 +50,11 @@ def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
                         "report the official 10-rater consensus accuracy "
                         "(testOEaccOfficial)")
     p.add_argument("--batch-order", default=None,
-                   choices=["shuffle", "inorder", "sort", "randsort"])
+                   choices=["shuffle", "inorder", "sort", "randsort",
+                            "imggroup"],
+                   help="training batch order; 'imggroup' keeps each "
+                        "image's questions consecutive (grouped "
+                        "fine-tuning: one backbone pass per unique image)")
     p.add_argument("--test-batch-size", type=int, default=None,
                    help="override the split-derived test batch size")
     p.add_argument("--ship-int8", action="store_true",
@@ -63,8 +67,8 @@ def _add_common_data_flags(p: argparse.ArgumentParser) -> None:
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--preset", default="ours_ss",
-                   choices=["ours_ss", "ours_ms", "ours_full", "ours_resnet", "ours_vit"])
+    from rau_vqa_tpu.config import PRESETS
+    p.add_argument("--preset", default="ours_ss", choices=sorted(PRESETS))
     p.add_argument("--fixture", action="store_true",
                    help="generate + train on the deterministic tiny fixture")
     p.add_argument("--save-dir", default=None)
@@ -133,10 +137,20 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone-lr-scale", type=float, default=None,
                    help="backbone LR = learning-rate x this (default 0.1); "
                         "follows the same per-epoch decay")
+    p.add_argument("--backbone-trust-ratio", type=float, default=None,
+                   help="per-leaf backbone update cap: ||update|| <= "
+                        "tau*(||w||+1e-3) per step (default 2e-4; 0 "
+                        "disables) — guards against coherent-update "
+                        "feature explosions when fine-tuning")
     p.add_argument("--no-backbone-remat", action="store_true",
                    help="disable blockwise activation checkpointing in the "
                         "fine-tuned backbone forward (more memory, fewer "
                         "recomputed FLOPs)")
+    p.add_argument("--backbone-feat-norm", action="store_true",
+                   help="RMS-normalize the backbone/head feature interface "
+                        "while fine-tuning (scale-invariant: no backbone "
+                        "drift can saturate the tanh head; recorded in "
+                        "snapshots and honored by eval/serve)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="size of the 'data' (DP) mesh axis; -1 = all "
                         "available devices")
@@ -187,6 +201,10 @@ def _apply_overrides(exp, args):
     tb = _parse_buckets(getattr(args, "train_buckets", None))
     if tb is not None:
         t["length_buckets"] = tb
+    # fine-tuning may come from the --train-backbone flag or a preset
+    # whose TrainConfig already sets it (ours_resnet_ft)
+    wants_ft = exp.train.train_backbone or getattr(args, "train_backbone",
+                                                   False)
     if getattr(args, "train_backbone", False):
         if not getattr(args, "image_root", None) \
                 and not getattr(args, "fixture", False):
@@ -195,14 +213,21 @@ def _apply_overrides(exp, args):
                 "--image-root (+ --backbone/--backbone-state), or "
                 "--fixture for a zero-asset smoke run")
         t["train_backbone"] = True
+    if wants_ft:
         if getattr(args, "backbone_lr_scale", None) is not None:
             t["backbone_lr_scale"] = args.backbone_lr_scale
         if getattr(args, "no_backbone_remat", False):
             t["backbone_remat"] = False
+        if getattr(args, "backbone_trust_ratio", None) is not None:
+            t["backbone_trust_ratio"] = args.backbone_trust_ratio
+        if getattr(args, "backbone_feat_norm", False):
+            t["backbone_feat_norm"] = True
     elif getattr(args, "backbone_lr_scale", None) is not None:
         raise SystemExit("--backbone-lr-scale needs --train-backbone")
     elif getattr(args, "no_backbone_remat", False):
         raise SystemExit("--no-backbone-remat needs --train-backbone")
+    elif getattr(args, "backbone_trust_ratio", None) is not None:
+        raise SystemExit("--backbone-trust-ratio needs --train-backbone")
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:
@@ -371,6 +396,18 @@ def _make_source_and_backbone(args, exp):
             else:
                 from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
                 bb_params = vgg16_pool5_init(jax.random.PRNGKey(0))
+                # down-scale the He init (x0.72 per conv, 13 convs: pool5
+                # std 57 -> ~0.8): the reference-pinned stacked-tanh head
+                # saturates to an exactly-zero f32 gradient on std>~3
+                # features (it was built for trained-extractor feature
+                # scales; the t7 fixture's features are likewise
+                # ~unit-scale).  Measured: unscaled random init never
+                # learns the image signal; scaled + the trust-ratio cap
+                # trains the fixture probe to 100% (BASELINE.md).  The
+                # factor is VGG-depth-specific — resnet's random fallback
+                # stays raw (mechanical smoke only).
+                bb_params = jax.tree.map(
+                    lambda x: x * 0.72 if x.ndim == 4 else x, bb_params)
         else:
             bb_params = _load_backbone_state(args.backbone,
                                              args.backbone_state)
@@ -431,9 +468,16 @@ def cmd_train(args) -> int:
     exp = _apply_overrides(get_preset(args.preset), args)
     workdir = args.save_dir or f"{exp.save_dir}_{exp.data.split}"
     os.makedirs(workdir, exist_ok=True)
+    # train_backbone may come from the flag OR a preset (ours_resnet_ft)
+    wants_ft = exp.train.train_backbone
+    if wants_ft and not args.fixture and not args.image_root:
+        raise SystemExit(
+            f"preset {exp.name!r} fine-tunes the backbone: pass "
+            f"--image-root + --backbone resnet101 + --backbone-state "
+            f"(or --fixture for the zero-asset smoke)")
     if args.fixture:
         bb_kind = None
-        if getattr(args, "train_backbone", False) and not args.image_root:
+        if wants_ft and not args.image_root:
             # zero-asset fine-tune smoke: image fixture + random-init
             # conv backbone (ViT-L/14 pins 224 px — too heavy here)
             bb_kind = args.backbone or "vgg16"
@@ -446,6 +490,11 @@ def cmd_train(args) -> int:
         exp = _fixture_setup(exp, workdir, images_backbone=bb_kind)
         if bb_kind:
             args.image_root = os.path.join(workdir, "fixture", "images")
+            # random-init backbone: the raw interface saturates the tanh
+            # head (config.py backbone_feat_norm) — the smoke uses the
+            # scale-invariant interface so it actually LEARNS the image
+            exp = exp.replace(train=dataclasses.replace(
+                exp.train, backbone_feat_norm=True))
 
     data = load_vqa_data(
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,

@@ -155,6 +155,26 @@ class TrainConfig:
     # noise schedule (:597-605) regularizes its scratch-trained head;
     # injecting it into pretrained conv weights is off by default
     backbone_grad_noise: bool = False
+    # LARS/LAMB-style per-leaf update cap for the backbone group:
+    # ||update|| <= tau * (||leaf|| + 1e-3) per step.  Guards against the
+    # measured coherent-Adam-kick catastrophe: Adam's bias-corrected
+    # steps are sign-like (±lr/weight ≈ 1.5% relative), and an
+    # input-aligned 1.5%-norm kick amplifies a conv's RESPONSE by up to
+    # ~sqrt(fan) x that — one step inflated a random VGG16's pool5 std
+    # 57 -> 3247, saturating the reference-pinned stacked-tanh head to
+    # an EXACTLY-zero f32 gradient (compound tanh-tail underflow), after
+    # which momentum coasts blind.  Measured on the degenerate fixture
+    # probe: tau 0.02 and 1e-3 still explode-and-die; 2e-4 trains to
+    # 100% (BASELINE.md fine-tuning notes).  0 disables.
+    backbone_trust_ratio: float = 2e-4
+    # RMS-normalize the backbone/head feature interface (per [b, s] cell
+    # over D) during fine-tuning: scale-invariant, so NO backbone drift
+    # can saturate the stacked-tanh head into the exactly-zero-gradient
+    # regime (BASELINE.md).  Changes the head's input distribution —
+    # use for from-scratch-ish backbones (the zero-asset smoke enables
+    # it); warm-started heads trained on RAW features should keep False.
+    # Recorded in snapshots; the Trainer threads it through eval/serving.
+    backbone_feat_norm: bool = False
     test_interval: int = 1            # epochs between eval sweeps
     checkpoint_interval: int = 1      # epochs between checkpoints
     keep_last_checkpoints: int = 0    # 0 = keep all snapshots
@@ -276,6 +296,30 @@ def _preset_resnet() -> ExperimentConfig:
     )
 
 
+def _preset_resnet_ft() -> ExperimentConfig:
+    """Backbone fine-tuning preset — the measured-best end-to-end config
+    (BASELINE.md fine-tuning table, 906 q/s trained on v5e): Ours_ResNet
+    dims with the ResNet-101 as a trainable 4th parameter group,
+    image-grouped batches (one backbone pass per unique image, exact),
+    no backbone remat (fits HBM at B=288; the knee), bf16 compute.
+    Needs --image-root + --backbone resnet101 + --backbone-state (a .pth
+    or a fine-tuned .msgpack); no analogue exists in the reference."""
+    return ExperimentConfig(
+        name="ours_resnet_ft",
+        alg_name="NIPSFinalResNet101sz448FineTune",
+        model=ModelConfig(n_hops=8, cnn_dim=2048, cnn_w=14, cnn_h=14,
+                          compute_dtype="bfloat16",
+                          matmul_precision="default"),
+        train=TrainConfig(batch_size=288,
+                          hop_stop_timing=_RESNET_STOP_TIMING,
+                          train_backbone=True, backbone_remat=False),
+        data=DataConfig(split="test-dev2015",
+                        vqa_dir="./data/VQA_prepro/data_train-val_test-dev",
+                        feat_dir="./data/vqa_resnet_101_convfeat_448",
+                        batch_order="imggroup"),
+    )
+
+
 def _preset_vit() -> ExperimentConfig:
     """Stretch config (BASELINE.json configs[4]): ViT-L/14 patch tokens as
     the RAU feature map — 16x16 = 256 spatial cells of dim 1024 at 224px
@@ -295,6 +339,7 @@ PRESETS = {
     "ours_ms": _preset_ms,
     "ours_full": _preset_full,
     "ours_resnet": _preset_resnet,
+    "ours_resnet_ft": _preset_resnet_ft,
     "ours_vit": _preset_vit,
 }
 

@@ -157,7 +157,15 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
         for rel in train_imgs + test_imgs:
             path = os.path.join(img_root, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            pix = rng.integers(0, 256, (image_size, image_size, 3))
+            # the image CONTENT must carry img_class (the label rule is
+            # answer = (first token + img_class) mod n_answers) or the
+            # from-pixels paths can only memorize train images and score
+            # chance on test: encode the class as a separated gray level
+            # (noise width 40 < class spacing 40 — overlap-free, survives
+            # JPEG q92 and any resize), the pixel analogue of the t7
+            # fixture's per-class mean bump above
+            base = 30 + 40 * img_class[rel]
+            pix = base + rng.integers(0, 40, (image_size, image_size, 3))
             Image.fromarray(pix.astype(np.uint8)).save(path, quality=92)
 
     return vqa_dir

@@ -27,26 +27,42 @@ Backbone = Literal["vgg16", "resnet101", "vit"]
 def extract_features(backbone: Backbone, bb_params: Dict,
                      images_u8: jax.Array, vit_cfg=None,
                      fused_stages=(), fused_block_b: int = 0,
-                     remat: bool = False) -> jax.Array:
+                     remat: bool = False,
+                     feat_norm: bool = False) -> jax.Array:
     """uint8 [B, H, W, 3] RGB -> [B, S, D] features, normalization included
     (the two schemes of vqa_prepro_loader.lua:1061-1067; ViT uses ImageNet
     mean/std).  ``fused_stages`` routes those ResNet stages' identity
     blocks through the Pallas stage kernel (ops/fused_resnet.py).
     ``remat=True`` checkpoints the backbone blockwise — identical values,
     bounded activation memory — for fine-tuning (train/trainer.py
-    --train-backbone), where the backward pass runs through here."""
+    --train-backbone), where the backward pass runs through here.
+
+    ``feat_norm=True`` RMS-normalizes each [b, s] cell over D — a
+    SCALE-INVARIANT backbone/head interface for fine-tuning
+    (TrainConfig.backbone_feat_norm): the reference-pinned stacked-tanh
+    head saturates to an exactly-zero f32 gradient on std≳3 features, so
+    an inflating backbone can kill training irrecoverably (BASELINE.md
+    fine-tuning notes); under RMS-norm no backbone scale drift can
+    saturate it.  Must match between training and eval/serving — the
+    Trainer threads it everywhere and snapshots record it."""
     x = images_u8.astype(jnp.float32) / 255.0
     if backbone == "vgg16":
-        return vgg16_pool5_apply(bb_params, T.vgg_preprocess(x), remat=remat)
-    if backbone == "resnet101":
-        return resnet101_apply(bb_params, T.color_normalize(x),
-                               fused_stages=tuple(fused_stages),
-                               fused_block_b=fused_block_b, remat=remat)
-    if backbone == "vit":
+        feats = vgg16_pool5_apply(bb_params, T.vgg_preprocess(x),
+                                  remat=remat)
+    elif backbone == "resnet101":
+        feats = resnet101_apply(bb_params, T.color_normalize(x),
+                                fused_stages=tuple(fused_stages),
+                                fused_block_b=fused_block_b, remat=remat)
+    elif backbone == "vit":
         from rau_vqa_tpu.models.backbones.vit import VIT_L14, vit_apply
-        return vit_apply(bb_params, vit_cfg or VIT_L14, T.color_normalize(x),
-                         remat=remat)
-    raise ValueError(f"unknown backbone {backbone!r}")
+        feats = vit_apply(bb_params, vit_cfg or VIT_L14,
+                          T.color_normalize(x), remat=remat)
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
+    if feat_norm:
+        ms = jnp.mean(jnp.square(feats), axis=-1, keepdims=True)
+        feats = feats * jax.lax.rsqrt(ms + 1e-6)
+    return feats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backbone"))

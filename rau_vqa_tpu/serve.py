@@ -152,6 +152,9 @@ class RAUService:
                 backbone = meta["backbone"]
                 bb_params = jax.device_put(
                     load_backbone_group(checkpoint, backbone))
+            # fine-tuned with the RMS-normalized feature interface: serve
+            # must featurize the same way or features are off-distribution
+            self.feat_norm = bool(meta.get("backbone_feat_norm", False))
             # length buckets cut single-question latency: a short question
             # encodes in 8 scan steps instead of seq_len (exact —
             # predict.py)
@@ -250,7 +253,9 @@ class RAUService:
                 feats = np.asarray(arr, np.uint8)
             else:
                 feats = np.asarray(
-                    extract_features(self.backbone, self.bb_params, arr))
+                    extract_features(self.backbone, self.bb_params, arr,
+                                     feat_norm=getattr(self, "feat_norm",
+                                                       False)))
             with self._feat_cache_lock:
                 self._feat_cache[key] = feats
                 while len(self._feat_cache) > self.feat_cache_size:

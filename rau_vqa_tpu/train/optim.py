@@ -49,6 +49,31 @@ def clip_by_global_norm(grads: Pytree, max_norm: float) -> Tuple[Pytree, jax.Arr
     return jax.tree.map(lambda x: x * scale.astype(x.dtype), grads), norm
 
 
+def trust_ratio_cap(new_params: Pytree, old_params: Pytree,
+                    tau: float) -> Pytree:
+    """LARS/LAMB-style per-LEAF update cap: the step ``u = new - old`` is
+    scaled so ``||u|| <= tau * (||w|| + 1e-3)`` for every leaf.
+
+    Bounds a layer's multiplicative weight growth at (1 + tau) per step
+    REGARDLESS of gradient pathology — the guard fine-tuning a deep conv
+    stack needs: Adam's bias-corrected first steps are sign-like (±lr per
+    weight), and a coherent sign pattern through K stacked convs compounds
+    geometrically (measured: one such step inflates a random-init
+    VGG16's pool5 std 56 -> 3247, saturating the head's tanh into an
+    exactly-zero f32 gradient — BASELINE.md fine-tuning notes).  A normal
+    fine-tune step moves a leaf ~1e-4 of its norm, far below any useful
+    tau, so the cap is inert until pathology hits.  The +1e-3 floor keeps
+    zero-init biases movable."""
+    def cap(n, o):
+        u = n - o
+        un = jnp.sqrt(jnp.sum(jnp.square(u)))
+        wn = jnp.sqrt(jnp.sum(jnp.square(o)))
+        scale = jnp.minimum(1.0, tau * (wn + 1e-3) / jnp.maximum(un, 1e-20))
+        return o + u * scale.astype(u.dtype)
+
+    return jax.tree.map(cap, new_params, old_params)
+
+
 # ---------------------------------------------------------------------------
 # Adam (optim_updates.lua:59-87 semantics)
 # ---------------------------------------------------------------------------

@@ -131,9 +131,10 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         def loss_fn(params, tok, ln, ft, lb, k):
             if train_bb:
                 from rau_vqa_tpu.models.pipeline import extract_features
-                ft = extract_features(backbone, params["backbone"], ft,
-                                      vit_cfg=vit_cfg,
-                                      remat=tcfg.backbone_remat)
+                ft = extract_features(
+                    backbone, params["backbone"], ft, vit_cfg=vit_cfg,
+                    remat=tcfg.backbone_remat,
+                    feat_norm=getattr(tcfg, "backbone_feat_norm", False))
                 if img_repeat > 1:
                     # grouped batches: question row i belongs to unique
                     # image i // img_repeat
@@ -199,6 +200,21 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                 state.params[g], gg, lrs[g], state.opt[g],
                 beta1=tcfg.adam_beta1, beta2=tcfg.adam_beta2,
                 epsilon=tcfg.adam_epsilon)
+            if g == "backbone":
+                tau = float(getattr(tcfg, "backbone_trust_ratio", 0.0))
+                if tau > 0:
+                    from rau_vqa_tpu.train.optim import trust_ratio_cap
+                    new_params[g] = trust_ratio_cap(
+                        new_params[g], state.params[g], tau)
+                # zero-signal freeze: a fully saturated head yields an
+                # EXACTLY-zero f32 backbone gradient; without this, Adam
+                # coasts on stale momentum (measured: features kept
+                # inflating 57 -> 12M std across 60 dead steps).  No
+                # signal, no movement.
+                alive = (norm > 0).astype(jnp.float32)
+                new_params[g] = jax.tree.map(
+                    lambda n, o: o + (n - o) * alive.astype(n.dtype),
+                    new_params[g], state.params[g])
             metrics[f"grad_norm_{g}"] = norm
         new_state = TrainState(params=new_params, opt=new_opt,
                                step=state.step + 1, rng=rng_next)
@@ -472,10 +488,14 @@ class Trainer:
                 # bb as a jit ARGUMENT (not a baked constant): under
                 # fine-tuning the eval sweep must see the CURRENT trained
                 # backbone, and device-resident args avoid per-dispatch
-                # re-staging (CLAUDE.md dtype/jit-args discipline)
+                # re-staging (CLAUDE.md dtype/jit-args discipline).
+                # feat_norm must MATCH the train step's interface.
+                fn = (self.tcfg.backbone_feat_norm
+                      if self.train_backbone else False)
                 self._featurize = jax.jit(
-                    lambda bb, imgs, _dt=feat_dt: extract_features(
-                        self.backbone, bb, imgs).astype(_dt))
+                    lambda bb, imgs, _dt=feat_dt, _fn=fn: extract_features(
+                        self.backbone, bb, imgs,
+                        feat_norm=_fn).astype(_dt))
             return self._featurize(self._bb_tree(), feats_dev)
 
         if self.mesh is not None:
@@ -942,6 +962,8 @@ class Trainer:
                    "train_backbone": self.train_backbone,
                    "backbone": self.backbone if self.train_backbone
                    else None,
+                   "backbone_feat_norm": (self.tcfg.backbone_feat_norm
+                                          if self.train_backbone else False),
                    # self-describing snapshot: standalone eval adopts this
                    # (the reference's Eval.lua adopts the snapshot's opt
                    # table, Eval.lua:116-118)

@@ -220,6 +220,45 @@ def test_img_repeat_grouped_matches_duplicated():
         s1.params, s2.params)
 
 
+def test_trust_ratio_cap():
+    """Per-leaf update cap: oversized steps scale to tau*(||w||+1e-3),
+    small steps pass untouched, zero-norm leaves stay put."""
+    from rau_vqa_tpu.train.optim import trust_ratio_cap
+
+    old = {"w": jnp.ones((4,)) * 2.0,          # ||w|| = 4
+           "b": jnp.zeros((3,)),               # ||w|| = 0 (floor 1e-3)
+           "s": jnp.ones((2,))}
+    new = {"w": old["w"] + jnp.ones((4,)),     # ||u|| = 2  (huge)
+           "b": old["b"] + 1e-2,               # ||u|| = 0.017 (huge vs floor)
+           "s": old["s"] + 1e-6}               # tiny — untouched
+    out = trust_ratio_cap(new, old, tau=0.01)
+    # w: cap = 0.01*(4+1e-3) ~ 0.04 -> scale 0.02
+    u = np.asarray(out["w"] - old["w"])
+    np.testing.assert_allclose(np.linalg.norm(u), 0.01 * (4 + 1e-3),
+                               rtol=1e-5)
+    # b: zero-norm leaf still moves, bounded by the 1e-3 floor
+    ub = np.asarray(out["b"] - old["b"])
+    np.testing.assert_allclose(np.linalg.norm(ub), 0.01 * 1e-3, rtol=1e-5)
+    assert np.linalg.norm(ub) > 0
+    # s: small update passes through exactly
+    np.testing.assert_allclose(np.asarray(out["s"]),
+                               np.asarray(new["s"]), rtol=0, atol=0)
+
+
+def test_resnet_ft_preset():
+    """ours_resnet_ft packages the measured-best fine-tune config
+    (BASELINE.md): trainable backbone, grouped batches, no remat, bf16."""
+    from rau_vqa_tpu.config import get_preset
+
+    exp = get_preset("ours_resnet_ft")
+    assert exp.train.train_backbone
+    assert not exp.train.backbone_remat
+    assert exp.train.batch_size == 288
+    assert exp.data.batch_order == "imggroup"
+    assert exp.model.compute_dtype == "bfloat16"
+    assert exp.model.cnn_dim == 2048
+
+
 def test_imggroup_batch_order():
     """'imggroup' keeps each image's questions consecutive, shuffles group
     order per epoch, covers every question exactly once, and rejects

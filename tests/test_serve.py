@@ -212,7 +212,7 @@ def test_image_feature_cache(served, monkeypatch):
     calls = {"n": 0}
     S, D = svc.mcfg.cnn_spat, svc.mcfg.cnn_dim
 
-    def fake_extract(backbone, bb_params, arr, vit_cfg=None):
+    def fake_extract(backbone, bb_params, arr, vit_cfg=None, **kw):
         calls["n"] += 1
         return np.zeros((arr.shape[0], S, D), np.float32)
 
@@ -264,7 +264,7 @@ def test_image_feature_cache_coalesces_concurrent(served, monkeypatch):
     calls = {"n": 0}
     S, D = svc.mcfg.cnn_spat, svc.mcfg.cnn_dim
 
-    def fake_extract(backbone, bb_params, arr, vit_cfg=None):
+    def fake_extract(backbone, bb_params, arr, vit_cfg=None, **kw):
         calls["n"] += 1
         _time.sleep(0.2)        # widen the race window
         return np.zeros((arr.shape[0], S, D), np.float32)
