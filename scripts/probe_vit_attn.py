@@ -7,6 +7,11 @@ this probes three lowerings of the identical computation:
   v0_einsum4d : current vit._mhsa — [B, h, S, d] batched einsums
   v1_merged   : heads merged into the batch dim — [B*h, S, d] matmuls
   v2_dpa      : jax.nn.dot_product_attention (XLA's fused attention path)
+  v3_flash    : jax.experimental.pallas.ops.tpu.flash_attention — the
+                library Pallas kernel (softmax logits never touch HBM);
+                S=256 divides its 128-min blocks exactly.  TPU-only
+                (skipped on a CPU preflight); chipless-compile-checked
+                offline before any rig run (mosaic_notes #10).
 
 Chained-dispatch protocol (CLAUDE.md).  Kill criterion: adopt a variant
 in models/backbones/vit.py only if it wins >= 3% on the 24-block stack;
@@ -103,6 +108,27 @@ def main():
         "v1_merged": make_mhsa(attn_core_v1),
         "v2_dpa": mhsa_dpa,
     }
+
+    if jax.devices()[0].platform == "tpu":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+
+        def attn_core_v3(q, k, v):         # Pallas flash kernel
+            return flash_attention(q, k, v, causal=False, sm_scale=scale)
+
+        variants["v3_flash"] = make_mhsa(attn_core_v3)
+
+        # one-block parity pin: the kernel computes the same softmax(qk)v
+        blk0 = jax.tree.map(lambda t: t, bb["blocks"][0])
+        ref = jax.jit(make_mhsa(attn_core_v0))(x0, blk0)
+        got = jax.jit(variants["v3_flash"])(x0, blk0)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                    - got.astype(jnp.float32))))
+        log(f"probe_vit_attn: v3_flash one-block max|delta| vs v0 = {err:.2e}"
+            " (bf16 operands; expect ~1e-2 band)")
+        assert err < 0.1, f"flash kernel parity broke: {err}"
+    else:
+        log("probe_vit_attn: cpu platform — v3_flash (Mosaic) skipped")
 
     out = {}
     for name, mhsa in variants.items():
