@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--chain", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--grid", type=int, default=16,
+                    help="patch grid side: 16 = the shipped 224-px ViT-L "
+                         "(S=256); 32 = a 448-px ViT-L (S=1024), where "
+                         "the flash kernel's HBM story inverts")
     args = ap.parse_args()
 
     from rau_vqa_tpu.utils.rigcheck import bench_preflight, bench_watchdog
@@ -56,6 +60,9 @@ def main():
     from rau_vqa_tpu.models.backbones.vit import VIT_L14, _ln, vit_init
 
     vc = VIT_L14
+    if args.grid != vc.grid:
+        import dataclasses
+        vc = dataclasses.replace(vc, image_size=args.grid * vc.patch)
     B, K = args.batch, args.chain
     heads, hd = vc.heads, vc.dim // vc.heads
     scale = 1.0 / float(np.sqrt(hd))
@@ -165,7 +172,8 @@ def main():
     best = min(out, key=out.get)
     print(json.dumps({
         "metric": "vit_attn_stack_ms", "value": out["v0_einsum4d"],
-        "unit": "ms", "batch": B, "chain": K, "variants_ms": out,
+        "unit": "ms", "batch": B, "chain": K, "seq": vc.seq,
+        "variants_ms": out,
         "best": best,
         "win_vs_v0": round(out["v0_einsum4d"] / out[best], 4),
         "rig_canary_tflops": canary["tflops"],
