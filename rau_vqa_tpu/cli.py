@@ -228,6 +228,8 @@ def _apply_overrides(exp, args):
         raise SystemExit("--no-backbone-remat needs --train-backbone")
     elif getattr(args, "backbone_trust_ratio", None) is not None:
         raise SystemExit("--backbone-trust-ratio needs --train-backbone")
+    elif getattr(args, "backbone_feat_norm", False):
+        raise SystemExit("--backbone-feat-norm needs --train-backbone")
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:
@@ -411,6 +413,20 @@ def _make_source_and_backbone(args, exp):
         else:
             bb_params = _load_backbone_state(args.backbone,
                                              args.backbone_state)
+            if args.backbone_state.endswith(".msgpack"):
+                # interface sanity: a fine-tuned snapshot records whether
+                # it trained on the RMS-normalized feature interface; a
+                # mismatch with the active config means off-distribution
+                # features (warn — the head checkpoint's meta is what
+                # cmd_eval/serve adopt, so a legit override is possible)
+                sn = bool(_snapshot_meta(args.backbone_state)
+                          .get("backbone_feat_norm", False))
+                if sn != bool(exp.train.backbone_feat_norm):
+                    print(f"WARNING: {args.backbone_state} was fine-tuned "
+                          f"with backbone_feat_norm={sn} but this run uses "
+                          f"{bool(exp.train.backbone_feat_norm)} — the "
+                          f"feature interface will not match the backbone's "
+                          f"training")
         return source, args.backbone, bb_params
     source = _make_feature_source(
         [exp.data.feat_dir], exp.model,
@@ -561,6 +577,13 @@ def cmd_eval(args) -> int:
             model=dataclasses.replace(exp.model, n_hops=meta["n_hops"]))
     if "alg_name" in meta:
         exp = exp.replace(alg_name=meta["alg_name"])
+    if meta.get("backbone_feat_norm"):
+        # the head was fine-tuned on the RMS-normalized feature interface
+        # (TrainConfig.backbone_feat_norm): eval must featurize the same
+        # way or the features are off-distribution (serve adopts the same
+        # bit from this meta)
+        exp = exp.replace(train=dataclasses.replace(
+            exp.train, backbone_feat_norm=True))
     exp = _apply_overrides(exp, args)
 
     workdir = args.save_dir or f"save_result_eval_{exp.data.split}"
@@ -757,12 +780,21 @@ def cmd_precompute_features(args) -> int:
             rate = done / max(now - t0, 1e-9)
             print(f"  {done}/{total} images ({rate:.1f} img/s)", flush=True)
 
+    # a fine-tuned snapshot records its feature interface in the sidecar:
+    # shards fed to an RMS-interface head must be RMS-normalized too
+    feat_norm = bool(args.backbone_state
+                     and args.backbone_state.endswith(".msgpack")
+                     and _snapshot_meta(args.backbone_state)
+                     .get("backbone_feat_norm", False))
+    if feat_norm:
+        print("fine-tuned snapshot uses the RMS-normalized feature "
+              "interface (backbone_feat_norm) — applying it to the shard")
     store = precompute_features(
         args.image_root, rel, args.out, args.backbone, bb_params,
         size=args.size, batch_size=args.batch, dtype=args.dtype,
         backend=args.backend, mesh=mesh,
         compute_dtype="bfloat16" if args.bf16 else None,
-        progress=progress)
+        feat_norm=feat_norm, progress=progress)
     watchdog.cancel()
     print(f"precomputed {len(store.index)} images -> {args.out} "
           f"[S={store.spat}, D={store.dim}] dtype={args.dtype}")
@@ -915,9 +947,17 @@ def cmd_export(args) -> int:
             bb_params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if getattr(x, "dtype", None) == np.float32 else x, bb_params)
+        # the head's training interface is authoritative: a snapshot
+        # fine-tuned with the RMS-normalized interface must export a
+        # program that featurizes the same way
+        feat_norm = bool(meta.get("backbone_feat_norm", False))
+        if feat_norm:
+            print("snapshot uses the RMS-normalized feature interface "
+                  "(backbone_feat_norm) — baked into the artifact")
         paths = export_pixels_predict(
             params, mcfg, args.backbone, bb_params, args.out,
-            image_size=args.image_size, buckets=buckets, extra_meta=extra)
+            image_size=args.image_size, buckets=buckets,
+            feat_norm=feat_norm, extra_meta=extra)
     else:
         paths = export_predict(params, mcfg, args.out, buckets=buckets,
                                extra_meta=extra)

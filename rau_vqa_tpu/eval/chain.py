@@ -64,7 +64,8 @@ def make_pixels_chain(cfg, backbone: str, K: int, qpi: int, n_acc: int,
                       feat_dtype=None,
                       apply_override: Optional[Callable] = None,
                       vit_cfg=None, fused_stages=(),
-                      fused_block_b: int = 0) -> Callable:
+                      fused_block_b: int = 0,
+                      feat_norm: bool = False) -> Callable:
     """bench_pixels.py's program: K chained images+questions->answers steps.
 
     Returns ``fn(bb, params, images[B,s,s,3] u8, tokens[B*qpi,T] i32,
@@ -93,7 +94,8 @@ def make_pixels_chain(cfg, backbone: str, K: int, qpi: int, n_acc: int,
             feats = extract_features(backbone, bb, images_u8,
                                      vit_cfg=vit_cfg,
                                      fused_stages=tuple(fused_stages),
-                                     fused_block_b=fused_block_b)
+                                     fused_block_b=fused_block_b,
+                                     feat_norm=feat_norm)
         featsq = jnp.repeat(feats, qpi, axis=0)     # qpi questions/image
         # hand the head its compute dtype directly — an f32 detour would
         # double the HBM traffic of the biggest activation

@@ -118,7 +118,7 @@ def export_pixels_predict(params, cfg, backbone: str, bb_params,
                           out_dir: str, *, image_size: int = 448,
                           buckets: Sequence[int] = (),
                           platforms: Sequence[str] = ("cpu", "tpu"),
-                          vit_cfg=None,
+                          vit_cfg=None, feat_norm: bool = False,
                           extra_meta: Optional[Dict] = None
                           ) -> Dict[int, str]:
     """Export the FULL from-pixels program: uint8 images + tokens ->
@@ -144,8 +144,10 @@ def export_pixels_predict(params, cfg, backbone: str, bb_params,
     paths = {}
     for T in ladder:
         def fn(images_u8, tokens, lengths):
+            # feat_norm must match the interface the head was trained on
+            # (snapshots fine-tuned with TrainConfig.backbone_feat_norm)
             feats = extract_features(backbone, bb_params, images_u8,
-                                     vit_cfg=vit_cfg)
+                                     vit_cfg=vit_cfg, feat_norm=feat_norm)
             return predict(params, cfg, tokens, lengths,
                            feats.astype(jnp.float32))
         exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
@@ -162,6 +164,7 @@ def export_pixels_predict(params, cfg, backbone: str, bb_params,
         "kind": "pixels_predict",
         "ladder": ladder, "platforms": list(platforms),
         "backbone": backbone, "image_size": int(image_size),
+        "backbone_feat_norm": bool(feat_norm),
         "inputs": {
             "images_u8": ["b", int(image_size), int(image_size), 3],
             "tokens": ["b", "T"], "lengths": ["b"],
@@ -243,7 +246,7 @@ def export_pixels_chain(bb_params, params, cfg, backbone: str,
                         image_size: int, n_acc: int,
                         platforms: Sequence[str] = ("cpu", "tpu"),
                         vit_cfg=None, fused_stages=(),
-                        fused_block_b: int = 0,
+                        fused_block_b: int = 0, feat_norm: bool = False,
                         extra_meta: Optional[Dict] = None) -> str:
     """Export bench_pixels.py's chained from-pixels measurement program.
 
@@ -260,7 +263,7 @@ def export_pixels_chain(bb_params, params, cfg, backbone: str,
     os.makedirs(out_dir, exist_ok=True)
     fn = make_pixels_chain(cfg, backbone, chain, qpi, n_acc,
                            vit_cfg=vit_cfg, fused_stages=tuple(fused_stages),
-                           fused_block_b=fused_block_b)
+                           fused_block_b=fused_block_b, feat_norm=feat_norm)
     exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
         _sds_tree(bb_params), _sds_tree(params),
         jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.uint8),
@@ -276,7 +279,7 @@ def export_pixels_chain(bb_params, params, cfg, backbone: str,
         "platforms": list(platforms),
         "backbone": backbone, "image_size": int(image_size),
         "batch": int(batch), "chain": int(chain), "qpi": int(qpi),
-        "n_acc": int(n_acc),
+        "n_acc": int(n_acc), "backbone_feat_norm": bool(feat_norm),
         "inputs": {
             "bb_params": "operand pytree (variant pinned by tree structure)",
             "params": "operand pytree",

@@ -274,7 +274,7 @@ def make_sharded_predict(mcfg: ModelConfig, mesh: Mesh, params, *,
 
 def make_sharded_pixels_predict(mcfg: ModelConfig, mesh: Mesh, params,
                                 backbone: str, *, tp: bool = False,
-                                vit_cfg=None):
+                                vit_cfg=None, feat_norm: bool = False):
     """From-pixels serving over the mesh: ONE jitted program taking uint8
     images sharded on 'data' (plus 'data'-sharded tokens/lengths), running
     preprocess -> frozen backbone -> RAU head end-to-end — the multi-chip
@@ -294,7 +294,8 @@ def make_sharded_pixels_predict(mcfg: ModelConfig, mesh: Mesh, params,
     rep = NamedSharding(mesh, P())   # prefix spec: replicates the bb tree
 
     def run(p, bb, imgs, t, l):
-        feats = extract_features(backbone, bb, imgs, vit_cfg=vit_cfg)
+        feats = extract_features(backbone, bb, imgs, vit_cfg=vit_cfg,
+                                 feat_norm=feat_norm)
         return predict(p, mcfg, t, l, feats)
 
     return jax.jit(

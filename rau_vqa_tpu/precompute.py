@@ -85,7 +85,7 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
                         size: int = 448, batch_size: int = 64,
                         dtype: str = "float32", backend: str = "native",
                         compute_dtype: Optional[str] = None,
-                        vit_cfg=None, mesh=None,
+                        vit_cfg=None, mesh=None, feat_norm: bool = False,
                         progress: Optional[Callable[[int, int], None]] = None,
                         ) -> PackedFeatureStore:
     """Run ``backbone`` over every unique image and write a packed shard.
@@ -126,7 +126,10 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
     quant8 = dtype == "int8"
 
     def _extract(bb, images_u8):
-        feats = extract_features(backbone, bb, images_u8, vit_cfg=vit_cfg)
+        # feat_norm: the RMS-normalized interface of a fine-tuned snapshot
+        # (TrainConfig.backbone_feat_norm) — shards must match the head
+        feats = extract_features(backbone, bb, images_u8, vit_cfg=vit_cfg,
+                                 feat_norm=feat_norm)
         if quant8:
             return quantize_feats_device(feats)
         return feats.astype(jnp.float32).astype(out_dt)

@@ -26,7 +26,11 @@ Pytree = Any
 
 
 def tree_norm(tree: Pytree) -> jax.Array:
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
+    # accumulate in f32: a bf16 sum-of-squares over a multi-million-element
+    # conv leaf silently drops terms once the accumulator outgrows them by
+    # 2^8 (the backbone group is bf16 in the fine-tune benches)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in jax.tree.leaves(tree)))
 
 
 def add_gradient_noise(grads: Pytree, rng: jax.Array, step: jax.Array,
@@ -66,8 +70,9 @@ def trust_ratio_cap(new_params: Pytree, old_params: Pytree,
     zero-init biases movable."""
     def cap(n, o):
         u = n - o
-        un = jnp.sqrt(jnp.sum(jnp.square(u)))
-        wn = jnp.sqrt(jnp.sum(jnp.square(o)))
+        # f32 norm accumulation (same reason as tree_norm: bf16 leaves)
+        un = jnp.sqrt(jnp.sum(jnp.square(u.astype(jnp.float32))))
+        wn = jnp.sqrt(jnp.sum(jnp.square(o.astype(jnp.float32))))
         scale = jnp.minimum(1.0, tau * (wn + 1e-3) / jnp.maximum(un, 1e-20))
         return o + u * scale.astype(u.dtype)
 

@@ -489,9 +489,12 @@ class Trainer:
                 # fine-tuning the eval sweep must see the CURRENT trained
                 # backbone, and device-resident args avoid per-dispatch
                 # re-staging (CLAUDE.md dtype/jit-args discipline).
-                # feat_norm must MATCH the train step's interface.
-                fn = (self.tcfg.backbone_feat_norm
-                      if self.train_backbone else False)
+                # feat_norm must MATCH the interface the head was trained
+                # on — honored regardless of train_backbone, because
+                # standalone eval of a fine-tuned snapshot (cmd_eval
+                # adopts backbone_feat_norm from the snapshot meta) runs
+                # with train_backbone=False but still featurizes here.
+                fn = bool(getattr(self.tcfg, "backbone_feat_norm", False))
                 self._featurize = jax.jit(
                     lambda bb, imgs, _dt=feat_dt, _fn=fn: extract_features(
                         self.backbone, bb, imgs,

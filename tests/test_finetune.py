@@ -5,6 +5,7 @@ backbone is a 4th parameter group and gradients flow through the pixels).
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -493,6 +494,31 @@ def test_cli_fixture_finetune_smoke(tmp_path):
     bb = load_backbone_group(snaps[-1], "vgg16")
     assert "convs" in bb
 
+    # the sidecar records the RMS feature interface the smoke trains on
+    # (cli.py _fixture_setup enables backbone_feat_norm for the zero-asset
+    # recipe) ...
+    import json
+
+    from rau_vqa_tpu.cli import _snapshot_meta
+    meta = _snapshot_meta(snaps[-1])
+    assert meta.get("backbone_feat_norm") is True
+    assert meta.get("train_backbone") is True
+
+    # ... and standalone eval ADOPTS it from the snapshot (cmd_eval meta
+    # adoption; the Trainer featurize gate honors it with
+    # train_backbone=False) — a mismatch would evaluate on raw,
+    # off-distribution features
+    ewd = str(tmp_path / "evalrun")
+    rc = main(["eval", "--preset", "ours_ms", "--fixture",
+               "--checkpoint", snaps[-1],
+               "--image-root", os.path.join(wd, "fixture", "images"),
+               "--image-size", "64",
+               "--backbone", "vgg16", "--backbone-state", snaps[-1],
+               "--save-dir", ewd])
+    assert rc == 0
+    results = glob.glob(ewd + "/results/hop_*/*_results.json")
+    assert results, "eval wrote no result files"
+
 
 @pytest.mark.slow   # full-ResNet host tree + ~170 MB msgpack round trip
 def test_load_backbone_group_roundtrip(tmp_path):
@@ -594,3 +620,164 @@ def test_remat_excludes_fused_stages():
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     with pytest.raises(ValueError, match="exclusive"):
         resnet101_apply(bb, x, fused_stages=(2,), remat=True)
+
+
+# ---------------------------------------------------------------------------
+# RMS feature interface (TrainConfig.backbone_feat_norm) threading
+# ---------------------------------------------------------------------------
+
+
+def test_extract_feat_norm_rms_interface():
+    """feat_norm=True RMS-normalizes each [b, s] cell over D — the
+    scale-invariant backbone/head interface fine-tuned snapshots record
+    (config.py backbone_feat_norm) — and is a real change vs raw."""
+    from rau_vqa_tpu.models.backbones.vit import vit_init
+
+    vcfg = _tiny_vit()
+    bb = vit_init(jax.random.PRNGKey(1), vcfg)
+    # ViT's ln_final already leaves features near RMS 1 at init — scale it
+    # up so the drifting-backbone case (the one the interface guards) is
+    # actually represented
+    bb["ln_final"]["scale"] = bb["ln_final"]["scale"] * 3.0
+    imgs = _u8(3, 28, 28)
+    raw = np.asarray(extract_features("vit", bb, imgs, vit_cfg=vcfg))
+    normed = np.asarray(extract_features("vit", bb, imgs, vit_cfg=vcfg,
+                                         feat_norm=True))
+    assert np.mean(raw.astype(np.float32) ** 2) > 4.0   # drifted interface
+    ms = np.mean(normed.astype(np.float32) ** 2, axis=-1)
+    np.testing.assert_allclose(ms, 1.0, atol=1e-2)
+    assert not np.allclose(raw, normed)
+
+
+@pytest.mark.slow
+def test_feat_norm_threads_every_serving_path(tmp_path):
+    """Every featurize entry point honors feat_norm identically: the
+    sharded pixels program, the bench chain program, the AOT pixels
+    artifact, and precomputed shards all match predict() on
+    RMS-normalized features.  Guards the interface contract of
+    RMS-fine-tuned snapshots — a path that forgets feat_norm serves
+    off-distribution features silently."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from PIL import Image
+
+    from rau_vqa_tpu.eval.chain import make_pixels_chain
+    from rau_vqa_tpu.eval.export import export_pixels_predict, load_exported
+    from rau_vqa_tpu.eval.predict import predict
+    from rau_vqa_tpu.models.backbones.vit import vit_init
+    from rau_vqa_tpu.models.rau import init_params
+    from rau_vqa_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_pixels_predict,
+        param_pspecs,
+        shard_batch,
+    )
+    from rau_vqa_tpu.precompute import precompute_features, scan_image_dir
+
+    mcfg = _tiny_mcfg(cnn_w=2, cnn_h=2)
+    vcfg = _tiny_vit()          # 28 px, 2x2 grid, dim 32 = mcfg.cnn_dim
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    bb = vit_init(jax.random.PRNGKey(1), vcfg)
+    B = 8
+    rs = np.random.RandomState(3)
+    images = rs.randint(0, 255, (B, 28, 28, 3)).astype(np.uint8)
+    tokens = rs.randint(1, mcfg.vocab_size, (B, mcfg.seq_len)).astype(np.int32)
+    lengths = rs.randint(1, mcfg.seq_len + 1, B).astype(np.int32)
+    tokens[np.arange(mcfg.seq_len)[None] >= lengths[:, None]] = 0
+
+    feats = extract_features("vit", bb, jnp.asarray(images), vit_cfg=vcfg,
+                             feat_norm=True)
+    ref_tab, ref_att = predict(params, mcfg, jnp.asarray(tokens),
+                               jnp.asarray(lengths), feats)
+
+    # 1. the sharded from-pixels program
+    mesh = make_mesh(n_data=4, n_model=1)
+    fn = make_sharded_pixels_predict(mcfg, mesh, params, "vit",
+                                     vit_cfg=vcfg, feat_norm=True)
+    pspecs = param_pspecs(params, tp=False, mesh=mesh)
+    p_placed = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs)
+    bb_placed = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), bb)
+    tab, att = fn(p_placed, bb_placed,
+                  *shard_batch(mesh, jnp.asarray(images),
+                               jnp.asarray(tokens), jnp.asarray(lengths)))
+    np.testing.assert_allclose(np.asarray(tab), np.asarray(ref_tab),
+                               rtol=2e-4, atol=2e-5)
+
+    # 2. the bench chain program (K=1, salt0=0 leaves inputs unchanged,
+    #    so acc IS the argmax table)
+    chain = make_pixels_chain(mcfg, "vit", 1, 1, B, vit_cfg=vcfg,
+                              feat_norm=True)
+    _, acc = jax.jit(chain)(bb, params, jnp.asarray(images),
+                            jnp.asarray(tokens), jnp.asarray(lengths),
+                            jnp.int32(0))
+    np.testing.assert_array_equal(
+        np.asarray(acc), np.argmax(np.asarray(ref_tab), axis=-1))
+
+    # 3. the AOT pixels artifact (feat_norm baked in + recorded in meta)
+    art = str(tmp_path / "pix_art")
+    export_pixels_predict(params, mcfg, "vit", bb, art, image_size=28,
+                          vit_cfg=vcfg, feat_norm=True)
+    import json as _json
+    with open(os.path.join(art, "meta.json")) as f:
+        assert _json.load(f)["backbone_feat_norm"] is True
+    run = load_exported(art)
+    atab, _ = run(images, tokens, lengths)
+    np.testing.assert_allclose(np.asarray(atab), np.asarray(ref_tab),
+                               rtol=2e-4, atol=2e-5)
+
+    # 4. precomputed shards are RMS-normed rows
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(rs.randint(0, 255, (28, 28, 3)).astype(np.uint8)
+                        ).save(img_dir / f"im{i}.jpg", quality=95)
+    rel = scan_image_dir(str(img_dir))
+    store = precompute_features(str(img_dir), rel, str(tmp_path / "shard"),
+                                "vit", bb, size=28, batch_size=2,
+                                dtype="float32", backend="pil",
+                                vit_cfg=vcfg, feat_norm=True)
+    ms = np.mean(np.asarray(store.mmap, np.float32) ** 2, axis=-1)
+    np.testing.assert_allclose(ms, 1.0, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_trainer_featurize_gate_honors_feat_norm_without_training(tmp_path):
+    """The Trainer featurize gate applies backbone_feat_norm even with
+    train_backbone=False — the standalone-eval case (cmd_eval adopts the
+    bit from a fine-tuned snapshot's meta but never turns training on).
+    The original gate keyed on train_backbone and silently served RAW
+    features to an RMS-trained head."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_vqa_data
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, FixtureSpec(), images=True,
+                               image_size=64)
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0),
+        train=dc.replace(exp.train, batch_size=16, length_buckets=(),
+                         train_backbone=False, backbone_feat_norm=True),
+        data=dc.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"), size=64,
+                         backend="pil")
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"),
+                      backbone="vgg16",
+                      bb_params=vgg16_pool5_init(jax.random.PRNGKey(3)))
+    batch = data.train_data.next_batch(src)
+    out = trainer._put_batch(batch)
+    ms = np.mean(np.asarray(out["feats"], np.float32) ** 2, axis=-1)
+    np.testing.assert_allclose(ms, 1.0, atol=1e-2)
