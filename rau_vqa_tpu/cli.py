@@ -148,9 +148,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                         "recomputed FLOPs)")
     p.add_argument("--backbone-feat-norm", action="store_true",
                    help="RMS-normalize the backbone/head feature interface "
-                        "while fine-tuning (scale-invariant: no backbone "
-                        "drift can saturate the tanh head; recorded in "
-                        "snapshots and honored by eval/serve)")
+                        "(scale-invariant: no backbone drift can saturate "
+                        "the tanh head; recorded in snapshots and honored "
+                        "by eval/serve; usable with or without "
+                        "--train-backbone — adopted automatically from a "
+                        "fine-tuned --backbone-state sidecar)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="size of the 'data' (DP) mesh axis; -1 = all "
                         "available devices")
@@ -220,16 +222,18 @@ def _apply_overrides(exp, args):
             t["backbone_remat"] = False
         if getattr(args, "backbone_trust_ratio", None) is not None:
             t["backbone_trust_ratio"] = args.backbone_trust_ratio
-        if getattr(args, "backbone_feat_norm", False):
-            t["backbone_feat_norm"] = True
     elif getattr(args, "backbone_lr_scale", None) is not None:
         raise SystemExit("--backbone-lr-scale needs --train-backbone")
     elif getattr(args, "no_backbone_remat", False):
         raise SystemExit("--no-backbone-remat needs --train-backbone")
     elif getattr(args, "backbone_trust_ratio", None) is not None:
         raise SystemExit("--backbone-trust-ratio needs --train-backbone")
-    elif getattr(args, "backbone_feat_norm", False):
-        raise SystemExit("--backbone-feat-norm needs --train-backbone")
+    if getattr(args, "backbone_feat_norm", False):
+        # NOT gated on --train-backbone: the RMS feature interface is
+        # meaningful whenever a backbone featurizes — in particular the
+        # two-phase recipe's head-only pass on a FROZEN fine-tuned RMS
+        # backbone must train on the interface the backbone produced
+        t["backbone_feat_norm"] = True
     if getattr(args, "visatt", False):
         exp = exp.replace(visatt=True)
     if getattr(args, "visatt_batches", None) is not None:
@@ -340,10 +344,17 @@ def _validate_backbone_image_size(backbone, size, flag):
                 f"embeddings fix the input at {need}px — pass {flag} {need}")
 
 
-def _make_source_and_backbone(args, exp):
-    """(source, backbone, bb_params) for cmd_train/cmd_eval: precomputed
-    features by default, or raw images + on-TPU backbone with
-    --image-root."""
+def _make_source_and_backbone(args, exp, *, adopt_feat_norm=False):
+    """(source, backbone, bb_params, exp) for cmd_train/cmd_eval:
+    precomputed features by default, or raw images + on-TPU backbone with
+    --image-root.
+
+    ``adopt_feat_norm``: with a fine-tuned ``--backbone-state`` snapshot
+    whose sidecar records the RMS feature interface, adopt it into the
+    returned exp (cmd_train passes True when the user didn't set the flag
+    themselves — a fresh head must train on the interface the backbone
+    produces; cmd_eval passes False because the HEAD checkpoint's meta is
+    authoritative there and a mismatch is a real warning)."""
     if getattr(args, "image_root", None):
         if not args.backbone:
             raise SystemExit(
@@ -415,23 +426,33 @@ def _make_source_and_backbone(args, exp):
                                              args.backbone_state)
             if args.backbone_state.endswith(".msgpack"):
                 # interface sanity: a fine-tuned snapshot records whether
-                # it trained on the RMS-normalized feature interface; a
-                # mismatch with the active config means off-distribution
-                # features (warn — the head checkpoint's meta is what
-                # cmd_eval/serve adopt, so a legit override is possible)
+                # it trained on the RMS-normalized feature interface
                 sn = bool(_snapshot_meta(args.backbone_state)
                           .get("backbone_feat_norm", False))
                 if sn != bool(exp.train.backbone_feat_norm):
-                    print(f"WARNING: {args.backbone_state} was fine-tuned "
-                          f"with backbone_feat_norm={sn} but this run uses "
-                          f"{bool(exp.train.backbone_feat_norm)} — the "
-                          f"feature interface will not match the backbone's "
-                          f"training")
-        return source, args.backbone, bb_params
+                    if adopt_feat_norm:
+                        # fresh head on a fine-tuned backbone: train on
+                        # the interface the backbone produces
+                        print(f"adopting backbone_feat_norm={sn} from "
+                              f"{args.backbone_state} (pass "
+                              f"--backbone-feat-norm to override)")
+                        exp = exp.replace(train=dataclasses.replace(
+                            exp.train, backbone_feat_norm=sn))
+                    else:
+                        # mismatch vs an explicit flag or the head
+                        # checkpoint's own meta (cmd_eval) — warn: the
+                        # head's interface is what the run honors
+                        print(f"WARNING: {args.backbone_state} was "
+                              f"fine-tuned with backbone_feat_norm={sn} "
+                              f"but this run uses "
+                              f"{bool(exp.train.backbone_feat_norm)} — "
+                              f"the feature interface will not match the "
+                              f"backbone's training")
+        return source, args.backbone, bb_params, exp
     source = _make_feature_source(
         [exp.data.feat_dir], exp.model,
         ship_int8=bool(getattr(args, "ship_int8", False)))
-    return source, None, None
+    return source, None, None, exp
 
 
 def _fixture_setup(exp, workdir, images_backbone=None):
@@ -517,7 +538,11 @@ def cmd_train(args) -> int:
         test_batch_size=exp.data.resolved_test_batch_size()
         if not args.fixture else 8,
         valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
-    source, backbone, bb_params = _make_source_and_backbone(args, exp)
+    source, backbone, bb_params, exp = _make_source_and_backbone(
+        args, exp,
+        # a fresh/resumed head should train on the interface its frozen
+        # fine-tuned backbone produces unless the user pinned it
+        adopt_feat_norm=not getattr(args, "backbone_feat_norm", False))
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)
@@ -585,6 +610,30 @@ def cmd_eval(args) -> int:
         exp = exp.replace(train=dataclasses.replace(
             exp.train, backbone_feat_norm=True))
     exp = _apply_overrides(exp, args)
+    if exp.train.train_backbone:
+        # evaluate() never trains: a fine-tuning preset (ours_resnet_ft)
+        # must still evaluate from precomputed features or a frozen
+        # backbone — without this, Trainer raises its training-oriented
+        # "needs an image data source" error for a plain eval.  The
+        # preset's 'imggroup' TRAIN batch order is likewise
+        # training-only (the loader enforces uniform questions-per-image
+        # at load, which a valid_ratio re-split breaks): eval only
+        # consumes the test split, so drop it too.
+        exp = exp.replace(
+            train=dataclasses.replace(exp.train, train_backbone=False),
+            data=dataclasses.replace(
+                exp.data,
+                batch_order="shuffle" if exp.data.batch_order == "imggroup"
+                else exp.data.batch_order))
+    if getattr(args, "image_root", None) and not args.backbone_state \
+            and meta.get("train_backbone") and meta.get("backbone"):
+        # from-pixels eval of a fine-tuned snapshot: the snapshot itself
+        # carries the trained backbone group — use it (serve adopts the
+        # same way) instead of demanding a separate --backbone-state
+        args.backbone = args.backbone or meta["backbone"]
+        args.backbone_state = args.checkpoint
+        print(f"adopting the fine-tuned {args.backbone} backbone from "
+              f"{args.checkpoint}")
 
     workdir = args.save_dir or f"save_result_eval_{exp.data.split}"
     os.makedirs(workdir, exist_ok=True)
@@ -601,7 +650,7 @@ def cmd_eval(args) -> int:
         exp.data.vqa_dir, exp.train.batch_size, split=exp.data.split,
         test_batch_size=exp.data.resolved_test_batch_size(),
         valid_ratio=exp.data.valid_ratio, seed=exp.train.seed)
-    source, backbone, bb_params = _make_source_and_backbone(args, exp)
+    source, backbone, bb_params, exp = _make_source_and_backbone(args, exp)
     gt = None
     if exp.data.gt_anno and os.path.exists(exp.data.gt_anno):
         gt = load_gt_annotations(exp.data.gt_anno)
@@ -903,7 +952,14 @@ def cmd_export(args) -> int:
     buckets = _parse_buckets(args.eval_buckets) or ()
     extra = {"source_checkpoint": os.path.abspath(args.checkpoint),
              "preset": args.preset, "step": meta.get("step"),
-             "epoch": meta.get("epoch")}
+             "epoch": meta.get("epoch"),
+             # the head's feature interface rides in BOTH artifact kinds:
+             # pixels artifacts bake the RMS op into the program, but a
+             # features-only artifact served next to a separate backbone
+             # (--backbone at serve time) needs the bit so serve
+             # featurizes the way the head was trained
+             "backbone_feat_norm": bool(meta.get("backbone_feat_norm",
+                                                 False))}
     if args.backbone:
         # from-pixels artifact: preprocess + backbone + RAU in ONE program
         import numpy as np

@@ -122,12 +122,18 @@ class PackedFeatureStore(FeatureSource):
     ``QuantFeats`` when ``raw_int8=True`` (device-side dequantization)."""
 
     def __init__(self, shard_dir: str, *, raw_int8: bool = False):
+        self.shard_dir = shard_dir
         with open(os.path.join(shard_dir, "index.json")) as f:
             meta = json.load(f)
         self.index: Dict[str, int] = meta["index"]
         self.dim = int(meta["dim"])
         self.spat = int(meta["spat"])
         self._store_dtype = np.dtype(meta.get("dtype", "float32"))
+        # feature-interface marker (see PackedShardWriter): True/False for
+        # shards written since the marker existed, None for legacy shards
+        # (unknown — consumers skip the mismatch check)
+        fn = meta.get("feat_norm")
+        self.feat_norm = None if fn is None else bool(fn)
         self.mmap = np.lib.format.open_memmap(
             os.path.join(shard_dir, "features.npy"), mode="r")
         n = len(self.index)
@@ -178,9 +184,16 @@ class PackedShardWriter:
     for int8 shards) and returns the readable store."""
 
     def __init__(self, out_dir: str, n: int, spat: int, dim: int,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", feat_norm: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
+        # feature-interface marker: True when the rows were extracted
+        # through the RMS-normalized interface (TrainConfig
+        # .backbone_feat_norm).  Recorded in index.json so a consumer can
+        # refuse to feed RMS rows to a raw-trained head (or vice versa) —
+        # snapshots and export artifacts both carry this bit; without it
+        # shards were the one artifact where the mismatch was invisible.
+        self.feat_norm = bool(feat_norm)
         self.dtype = str(np.dtype(dtype))
         self.quantize = self.dtype == "int8"
         self.n, self.spat, self.dim = int(n), int(spat), int(dim)
@@ -237,8 +250,30 @@ class PackedShardWriter:
         with open(os.path.join(self.out_dir, "index.json"), "w") as f:
             json.dump({"index": {n: i for i, n in enumerate(names)},
                        "dim": self.dim, "spat": self.spat,
-                       "dtype": self.dtype}, f)
+                       "dtype": self.dtype,
+                       "feat_norm": self.feat_norm}, f)
         return PackedFeatureStore(self.out_dir)
+
+
+def check_feat_interface(source, expected: bool, where: str) -> None:
+    """Refuse an RMS-normalized feature source feeding a raw-trained head
+    (or the reverse) — the features would be off-distribution and score
+    near-garbage while passing every shape/dtype validation.
+
+    ``source.feat_norm`` is True/False for marker-carrying packed shards
+    (PackedShardWriter records it), and None/absent for legacy shards and
+    .t7 sources (raw by construction but unmarked — no check possible)."""
+    marker = getattr(source, "feat_norm", None)
+    if marker is None or bool(marker) == bool(expected):
+        return
+    loc = getattr(source, "shard_dir", source.__class__.__name__)
+    raise ValueError(
+        f"{where}: feature source {loc} records "
+        f"feat_norm={bool(marker)} but the head expects the "
+        f"{'RMS-normalized' if expected else 'raw'} feature interface "
+        f"(backbone_feat_norm={bool(expected)}) — re-run "
+        f"`rau-vqa precompute-features` with the matching backbone "
+        f"snapshot, or evaluate a head trained on this interface")
 
 
 def pack_feature_dir(src_dirs: Sequence[str], img_paths: Sequence[str],

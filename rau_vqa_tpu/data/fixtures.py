@@ -153,6 +153,17 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
 
     if images:
         from PIL import Image
+
+        # gray-level class encoding range check: class c occupies
+        # [30+40c, 30+40c+39]; uint8 wraps silently above 255, aliasing
+        # high classes onto class 0's band and capping attainable
+        # accuracy with no error (n_answers <= 5 fits exactly)
+        hi = 30 + 40 * (spec.n_answers - 1) + 39
+        if hi > 255:
+            raise ValueError(
+                f"fixture images encode the class as a gray level: "
+                f"n_answers={spec.n_answers} needs pixel values up to "
+                f"{hi} > 255 — use n_answers <= 5 with images=True")
         img_root = os.path.join(root, "images")
         for rel in train_imgs + test_imgs:
             path = os.path.join(img_root, rel)

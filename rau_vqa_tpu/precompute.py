@@ -183,7 +183,8 @@ def precompute_features(image_root: str, rel_paths: Sequence[str],
             if writer is None:
                 writer = PackedShardWriter(out_dir, len(paths),
                                            feats.shape[1], feats.shape[2],
-                                           dtype=dtype)
+                                           dtype=dtype,
+                                           feat_norm=feat_norm)
             if quant8:
                 writer.write_quantized(row, feats, scales)
             else:

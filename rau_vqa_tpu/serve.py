@@ -130,6 +130,12 @@ class RAUService:
                         "program bakes its own backbone)")
                 self.predict = lambda p, t, l, imgs: runner(imgs, t, l)
             else:
+                # features-only artifact: when image requests featurize
+                # through a separately-loaded backbone (--backbone), the
+                # artifact's meta says which interface the head was
+                # trained on (pixels artifacts bake the RMS op instead)
+                self.feat_norm = bool(
+                    runner.meta.get("backbone_feat_norm", False))
                 self.predict = lambda p, t, l, f: runner(t, l, f)
         else:
             state = init_train_state(jax.random.PRNGKey(0), self.mcfg)
@@ -174,6 +180,13 @@ class RAUService:
 
         from rau_vqa_tpu.cli import _make_feature_source
         self.source = _make_feature_source(list(feat_dirs), self.mcfg)
+        if not getattr(self, "pixels_artifact", False):
+            # a packed shard records its feature interface: refuse to
+            # serve RMS rows to a raw-trained head (or vice versa)
+            from rau_vqa_tpu.data.features import check_feat_interface
+            check_feat_interface(self.source,
+                                 bool(getattr(self, "feat_norm", False)),
+                                 "serve")
         self.lock = threading.Lock()
         # dynamic micro-batcher state (started lazily by answer())
         self._queue: "list" = []

@@ -246,6 +246,14 @@ class Trainer:
         self.exp = exp
         self.data = data
         self.source = source
+        # interface check: a packed shard records whether its rows went
+        # through the RMS-normalized interface (data/features.py) — feeding
+        # the head the other interface silently scores near-garbage
+        if source is not None:
+            from rau_vqa_tpu.data.features import check_feat_interface
+            check_feat_interface(
+                source, bool(getattr(self.tcfg, "backbone_feat_norm",
+                                     False)), "Trainer")
         self.workdir = workdir
         self.gt_anno = gt_anno
         # official VQA metric (10-rater consensus): annotations path,
@@ -965,8 +973,13 @@ class Trainer:
                    "train_backbone": self.train_backbone,
                    "backbone": self.backbone if self.train_backbone
                    else None,
-                   "backbone_feat_norm": (self.tcfg.backbone_feat_norm
-                                          if self.train_backbone else False),
+                   # the interface the head actually trained on — honored
+                   # by the featurize gate regardless of train_backbone
+                   # (head-only training on a frozen RMS backbone must
+                   # still self-describe as RMS, or standalone eval/serve
+                   # adopt False and featurize raw)
+                   "backbone_feat_norm": bool(
+                       getattr(self.tcfg, "backbone_feat_norm", False)),
                    # self-describing snapshot: standalone eval adopts this
                    # (the reference's Eval.lua adopts the snapshot's opt
                    # table, Eval.lua:116-118)

@@ -571,3 +571,18 @@ def test_serve_cli_end_to_end(trained_run):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=20)
+
+
+def test_eval_ft_preset_from_features(trained_run, tmp_path):
+    """`rau-vqa eval --preset ours_resnet_ft` on precomputed features must
+    work: evaluate() never trains, so the preset's train_backbone=True is
+    forced off instead of surfacing Trainer's training-oriented 'needs an
+    image data source' ValueError (the guard lived in cmd_train only)."""
+    ck = sorted(glob.glob(os.path.join(trained_run, "snapshot",
+                                       "*.msgpack")))[-1]
+    out = str(tmp_path / "eval_ft_out")
+    rc = main(["eval", "--checkpoint", ck, "--preset", "ours_resnet_ft",
+               "--fixture", "--save-dir", out])
+    assert rc == 0
+    assert glob.glob(os.path.join(out, "results", "hop_01",
+                                  "vqa_OpenEnded_*"))

@@ -478,3 +478,19 @@ def test_loader_loud_failure_modes(fixture_root, tmp_path):
                     "dtype": "int8"}, f)
     with pytest.raises(ValueError, match="dtype mismatch"):
         PackedFeatureStore(str(shard))
+
+
+def test_fixture_image_class_encoding_range(tmp_path):
+    """The gray-level class encoding occupies [30+40c, 30+40c+39] per
+    class: n_answers > 5 would wrap past uint8 and alias high classes
+    onto class 0's band, silently capping attainable accuracy — reject
+    it instead (images=True only; feature fixtures are unaffected)."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+
+    with pytest.raises(ValueError, match="gray level"):
+        generate_fixture(str(tmp_path / "f"),
+                         dc.replace(SPEC, n_answers=6), images=True)
+    # the feature-fixture path has no pixel encoding: same spec is fine
+    generate_fixture(str(tmp_path / "g"), dc.replace(SPEC, n_answers=6))

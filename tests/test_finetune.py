@@ -507,13 +507,14 @@ def test_cli_fixture_finetune_smoke(tmp_path):
     # ... and standalone eval ADOPTS it from the snapshot (cmd_eval meta
     # adoption; the Trainer featurize gate honors it with
     # train_backbone=False) — a mismatch would evaluate on raw,
-    # off-distribution features
+    # off-distribution features.  No --backbone/--backbone-state here:
+    # a fine-tuned snapshot carries its trained backbone group, and
+    # cmd_eval adopts it for from-pixels eval the way serve does
     ewd = str(tmp_path / "evalrun")
     rc = main(["eval", "--preset", "ours_ms", "--fixture",
                "--checkpoint", snaps[-1],
                "--image-root", os.path.join(wd, "fixture", "images"),
                "--image-size", "64",
-               "--backbone", "vgg16", "--backbone-state", snaps[-1],
                "--save-dir", ewd])
     assert rc == 0
     results = glob.glob(ewd + "/results/hop_*/*_results.json")
@@ -740,6 +741,9 @@ def test_feat_norm_threads_every_serving_path(tmp_path):
                                 vit_cfg=vcfg, feat_norm=True)
     ms = np.mean(np.asarray(store.mmap, np.float32) ** 2, axis=-1)
     np.testing.assert_allclose(ms, 1.0, atol=1e-2)
+    # ... and the shard self-describes as RMS (index.json marker) so a
+    # raw-trained head refuses it (data/features.check_feat_interface)
+    assert store.feat_norm is True
 
 
 @pytest.mark.slow
@@ -781,3 +785,122 @@ def test_trainer_featurize_gate_honors_feat_norm_without_training(tmp_path):
     out = trainer._put_batch(batch)
     ms = np.mean(np.asarray(out["feats"], np.float32) ** 2, axis=-1)
     np.testing.assert_allclose(ms, 1.0, atol=1e-2)
+
+
+def test_trainer_rejects_mismatched_shard_interface(tmp_path):
+    """A packed shard that records the RMS interface (or raw) must match
+    the head's backbone_feat_norm, or Trainer refuses at init — feeding
+    the other interface passes every shape check and silently scores
+    near-garbage (the one artifact kind where the mismatch was
+    invisible; snapshots and export artifacts both carry the bit)."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.features import PackedShardWriter
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.loader import load_vqa_data
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    spec = FixtureSpec()
+    vqa_dir = generate_fixture(str(tmp_path / "fix"), spec)
+    w = PackedShardWriter(str(tmp_path / "shard"), n=1,
+                          spat=spec.feat_w * spec.feat_h, dim=spec.feat_dim,
+                          feat_norm=True)
+    w.write(0, np.zeros((1, spec.feat_w * spec.feat_h, spec.feat_dim),
+                        np.float32))
+    store = w.finish(["a.t7"])
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=spec.feat_dim, cnn_w=spec.feat_w,
+            cnn_h=spec.feat_h, embed_dim=16, rnn_size=16, multfeat_dim=16,
+            attfeat_dim=8, att_rnn_size=16),
+        train=dc.replace(exp.train, batch_size=16, length_buckets=()),
+        data=dc.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    with pytest.raises(ValueError, match="feat_norm"):   # RMS rows, raw head
+        Trainer(exp, data, store, str(tmp_path / "run"))
+    exp_rms = exp.replace(train=dc.replace(exp.train,
+                                           backbone_feat_norm=True))
+    Trainer(exp_rms, data, store, str(tmp_path / "run2"))  # match: fine
+
+
+def test_snapshot_records_feat_norm_without_train_backbone(tmp_path):
+    """save() records the interface the head actually trained on: a
+    head-only run on a frozen RMS backbone (train_backbone=False,
+    backbone_feat_norm=True) must self-describe as RMS — the old meta
+    gated the bit on train_backbone, so standalone eval/serve adopted
+    False and featurized raw."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.cli import _snapshot_meta
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_vqa_data
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, FixtureSpec(), images=True,
+                               image_size=64)
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0),
+        train=dc.replace(exp.train, batch_size=16, length_buckets=(),
+                         train_backbone=False, backbone_feat_norm=True),
+        data=dc.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"), size=64,
+                         backend="pil")
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"),
+                      backbone="vgg16",
+                      bb_params=vgg16_pool5_init(jax.random.PRNGKey(3)))
+    path = trainer.save(background=False)
+    meta = _snapshot_meta(path)
+    assert meta["backbone_feat_norm"] is True
+    assert meta["train_backbone"] is False
+
+
+def test_train_adopts_feat_norm_from_backbone_sidecar(tmp_path, monkeypatch):
+    """cmd_train's source helper adopts the RMS interface recorded in a
+    fine-tuned --backbone-state sidecar when the user didn't pin
+    --backbone-feat-norm themselves — a fresh head must train on the
+    interface its frozen backbone produces (the old code only WARNED and
+    trained on raw features)."""
+    import argparse
+
+    from PIL import Image
+
+    import rau_vqa_tpu.cli as cli
+    from rau_vqa_tpu.config import get_preset
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+        img_root / "a.jpg", quality=92)
+    monkeypatch.setattr(cli, "_load_backbone_state",
+                        lambda b, s: {"w": np.zeros(1, np.float32)})
+    monkeypatch.setattr(cli, "_snapshot_meta",
+                        lambda p: {"backbone_feat_norm": True,
+                                   "train_backbone": True,
+                                   "backbone": "vgg16"})
+    import dataclasses as dc
+    exp = get_preset("ours_ms")
+    exp = exp.replace(model=dc.replace(exp.model, cnn_dim=512,
+                                       cnn_w=2, cnn_h=2))
+    args = argparse.Namespace(image_root=str(img_root), backbone="vgg16",
+                              backbone_state="ft.msgpack", image_size=64,
+                              fixture=False)
+    _, _, _, exp2 = cli._make_source_and_backbone(args, exp,
+                                                  adopt_feat_norm=True)
+    assert exp2.train.backbone_feat_norm is True
+    # explicit flag (adopt off): config wins, sidecar only warns
+    _, _, _, exp3 = cli._make_source_and_backbone(args, exp,
+                                                  adopt_feat_norm=False)
+    assert exp3.train.backbone_feat_norm is False

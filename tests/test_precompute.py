@@ -111,6 +111,43 @@ def test_shard_writer_validation(tmp_path):
     assert store.get_batch(["b.t7"], [1]).shape == (1, 3, 4)
 
 
+def test_shard_feat_norm_marker(tmp_path):
+    """Packed shards record their feature interface (raw vs RMS-normalized
+    backbone_feat_norm rows) so a consumer can refuse a mismatch — without
+    the marker, an RMS shard feeding a raw-trained head passed every
+    shape/dtype validation and silently scored near-garbage."""
+    import json
+
+    from rau_vqa_tpu.data.features import (
+        PackedFeatureStore,
+        PackedShardWriter,
+        check_feat_interface,
+    )
+
+    w = PackedShardWriter(str(tmp_path / "rms"), n=1, spat=2, dim=3,
+                          feat_norm=True)
+    w.write(0, np.zeros((1, 2, 3), np.float32))
+    store = w.finish(["a.t7"])
+    assert store.feat_norm is True
+    check_feat_interface(store, True, "t")            # match: fine
+    with pytest.raises(ValueError, match="feat_norm"):
+        check_feat_interface(store, False, "t")       # RMS rows, raw head
+
+    w2 = PackedShardWriter(str(tmp_path / "raw"), n=1, spat=2, dim=3)
+    w2.write(0, np.zeros((1, 2, 3), np.float32))
+    assert w2.finish(["a.t7"]).feat_norm is False     # default: raw
+
+    # legacy shard (index.json predates the marker): unknown, no check
+    idx = tmp_path / "raw" / "index.json"
+    meta = json.loads(idx.read_text())
+    meta.pop("feat_norm")
+    idx.write_text(json.dumps(meta))
+    legacy = PackedFeatureStore(str(tmp_path / "raw"))
+    assert legacy.feat_norm is None
+    check_feat_interface(legacy, True, "t")           # no raise
+    check_feat_interface(object(), True, "t")         # unmarked source types
+
+
 @pytest.mark.slow   # fast-loop budget (VERDICT r4 #5); full suite runs it
 def test_precompute_on_mesh_matches_single(tmp_path):
     """Mesh-sharded extraction (images on 'data', replicated backbone)

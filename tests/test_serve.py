@@ -315,6 +315,24 @@ def test_artifact_service_parity(served, tmp_path):
                                rtol=1e-5, atol=1e-6)
     assert out["per_hop"] == base["per_hop"]
 
+    # features-only artifacts carry the head's feature interface, and the
+    # service adopts it for image requests routed through a separate
+    # --backbone (pixels artifacts bake the RMS op instead): a raw-head
+    # artifact serves raw...
+    assert svc.feat_norm is False
+    # ...and an RMS-head artifact (meta bit set at export from the
+    # snapshot's backbone_feat_norm) makes the service featurize RMS
+    import json
+    mp = os.path.join(art, "meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["backbone_feat_norm"] = True
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    svc_rms = RAUService(None, os.path.join(fix, "vqa_prepro"),
+                         [os.path.join(fix, "feat")], artifact=art)
+    assert svc_rms.feat_norm is True
+
 
 def test_artifact_flags_warn_not_silently_ignored(served, tmp_path):
     """--fused-eval / explicit --eval-buckets cannot take effect when
