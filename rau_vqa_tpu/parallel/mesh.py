@@ -34,8 +34,11 @@ def make_mesh(n_data: int = -1, n_model: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_data < 0:
         n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
-        f"need {n_data * n_model} devices, have {len(devices)}")
+    if n_data * n_model > len(devices):
+        # a real raise, not assert: python -O strips asserts and the
+        # failure would resurface as numpy's opaque reshape error below
+        raise ValueError(
+            f"need {n_data * n_model} devices, have {len(devices)}")
     grid = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
@@ -45,7 +48,19 @@ def mesh_from_config(mc) -> Mesh:
     --mesh-model / --tp).  Multi-process runs get the process-major
     multihost layout automatically."""
     if jax.process_count() > 1:
-        return make_multihost_mesh(n_model=mc.model_axis)
+        mesh = make_multihost_mesh(n_model=mc.model_axis)
+        if mc.data_axis > 0 and mc.data_axis != mesh.shape["data"]:
+            # the multihost layout spans ALL devices (holding chips back
+            # would strand them mid-collective); silently dropping an
+            # explicit --mesh-data would change per-shard batch sizes
+            # behind the user's back — fail with the real geometry
+            raise ValueError(
+                f"--mesh-data {mc.data_axis} conflicts with the "
+                f"multihost layout: {jax.device_count()} devices / "
+                f"model_axis {mc.model_axis} gives data={mesh.shape['data']} "
+                f"(multi-process meshes always use every device; omit "
+                f"--mesh-data or set it to {mesh.shape['data']})")
+        return mesh
     return make_mesh(n_data=mc.data_axis, n_model=mc.model_axis)
 
 
@@ -62,8 +77,9 @@ def make_multihost_mesh(n_model: int = 1) -> Mesh:
     SURVEY.md §5)."""
     devices = jax.devices()          # already process-major in JAX
     local = len(devices) // jax.process_count()
-    assert local % n_model == 0, (
-        f"{local} chips/host not divisible by model axis {n_model}")
+    if local % n_model:
+        raise ValueError(
+            f"{local} chips/host not divisible by model axis {n_model}")
     return make_mesh(n_data=len(devices) // n_model, n_model=n_model,
                      devices=devices)
 
@@ -219,21 +235,33 @@ def make_sharded_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
                    donate_argnums=(0,))
 
 
-def place_state(mesh: Mesh, state: TrainState, *, tp: bool = False) -> TrainState:
-    """Place a host-initialized TrainState onto the mesh.
+def place_tree(tree, shardings):
+    """Place a host tree onto per-leaf NamedShardings.
 
-    Multi-process: every process holds the same full host state (same seed),
-    and each contributes its addressable shards via
-    ``make_array_from_callback`` — device_put cannot target a sharding that
-    spans processes."""
-    sh = state_shardings(mesh, state, tp=tp)
+    Multi-process: every process holds the same full host values, and each
+    contributes its addressable shards via ``make_array_from_callback`` —
+    device_put cannot target a sharding that spans processes."""
     if jax.process_count() > 1:
         def place(x, s):
             x = np.asarray(x)
             return jax.make_array_from_callback(
                 x.shape, s, lambda idx, x=x: x[idx])
-        return jax.tree.map(place, state, sh)
-    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+        return jax.tree.map(place, tree, shardings)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a host tree across the whole mesh (empty PartitionSpec),
+    multi-process-safe — the frozen-backbone placement in Trainer and any
+    other broadcast-everywhere weight tree share this one mechanism."""
+    rep = NamedSharding(mesh, P())
+    return place_tree(tree, jax.tree.map(lambda _: rep, tree))
+
+
+def place_state(mesh: Mesh, state: TrainState, *, tp: bool = False) -> TrainState:
+    """Place a host-initialized TrainState onto the mesh (see place_tree
+    for the multi-process contract)."""
+    return place_tree(state, state_shardings(mesh, state, tp=tp))
 
 
 # ---------------------------------------------------------------------------

@@ -189,6 +189,16 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         new_params, new_opt = {}, {}
         for i, g in enumerate(groups):
             gg = grads[g]
+            if g == "backbone":
+                # zero-signal test on the PRE-noise gradient: with
+                # backbone_grad_noise the injected noise keeps the
+                # post-noise norm > 0 every step, which would defeat the
+                # freeze entirely (Adam would integrate pure noise plus
+                # stale momentum — the exact coasting pathology the
+                # freeze exists to stop)
+                alive = (sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                             for x in jax.tree.leaves(gg))
+                         > 0).astype(jnp.float32)
             if g != "backbone" or tcfg.backbone_grad_noise:
                 # state.step counts completed steps; the noise schedule
                 # takes the 1-based iteration (the reference's `it`, :598)
@@ -210,8 +220,8 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                 # EXACTLY-zero f32 backbone gradient; without this, Adam
                 # coasts on stale momentum (measured: features kept
                 # inflating 57 -> 12M std across 60 dead steps).  No
-                # signal, no movement.
-                alive = (norm > 0).astype(jnp.float32)
+                # signal, no movement.  (`alive` was measured above on
+                # the pre-noise gradient.)
                 new_params[g] = jax.tree.map(
                     lambda n, o: o + (n - o) * alive.astype(n.dtype),
                     new_params[g], state.params[g])
@@ -231,7 +241,8 @@ class Trainer:
                  gt_anno: Optional[Dict[int, str]] = None,
                  official_anno: Optional[str] = None,
                  jit_step=None, mesh=None,
-                 backbone: Optional[str] = None, bb_params=None):
+                 backbone: Optional[str] = None, bb_params=None,
+                 vit_cfg=None):
         # model dims come from the dataset (reference reads vocab/answer size
         # from the loader, :204,:222)
         self.mcfg = dataclasses.replace(
@@ -319,13 +330,13 @@ class Trainer:
             self.train_step = make_sharded_train_step(
                 self.mcfg, self.tcfg, mesh, self.state, tp=tp,
                 backbone=backbone if self.train_backbone else None,
-                img_repeat=self.img_repeat)
+                vit_cfg=vit_cfg, img_repeat=self.img_repeat)
         else:
             self.train_step = jax.jit(
                 make_train_step(
                     self.mcfg, self.tcfg,
                     backbone=backbone if self.train_backbone else None,
-                    img_repeat=self.img_repeat),
+                    vit_cfg=vit_cfg, img_repeat=self.img_repeat),
                 donate_argnums=(0,))
         if mesh is not None:
             # sharded serving for the eval sweep: params already live on the
@@ -354,6 +365,9 @@ class Trainer:
         # next_batch_image path, vqa_prepro_loader.lua:1012-1068 — there
         # the features would be extracted on the host per batch)
         self.backbone = backbone
+        # non-default ViT configs thread through every featurize/train
+        # path (None = the stock ViT-L/14, extract_features' default)
+        self.vit_cfg = vit_cfg
         # device-resident ONCE: bb goes to _featurize as a jit ARGUMENT
         # (so fine-tuned weights stay live), and numpy leaves as jit args
         # re-stage per dispatch — ~780 ms each through the rig tunnel
@@ -361,20 +375,8 @@ class Trainer:
         # small next to the activations).
         if bb_params is not None and not self.train_backbone:
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                rep = NamedSharding(mesh, PartitionSpec())
-                if jax.process_count() > 1:
-                    # device_put can't target a sharding spanning
-                    # processes; every host holds the same full tree
-                    # (same .pth), so contribute addressable shards
-                    # like parallel.mesh.place_state does
-                    def place(x, _rep=rep):
-                        x = np.asarray(x)
-                        return jax.make_array_from_callback(
-                            x.shape, _rep, lambda idx, x=x: x[idx])
-                    bb_params = jax.tree.map(place, bb_params)
-                else:
-                    bb_params = jax.device_put(bb_params, rep)
+                from rau_vqa_tpu.parallel.mesh import replicate_tree
+                bb_params = replicate_tree(mesh, bb_params)
             else:
                 bb_params = jax.device_put(bb_params)
         self.bb_params = bb_params
@@ -382,6 +384,7 @@ class Trainer:
         self.lr = self.tcfg.learning_rate
         self.mult_lr = self.tcfg.mult_learning_rate
         self.epoch = 0                  # completed epochs
+        self._abort_streak = 0          # consecutive explosion-guard trips
         self.loss_ema: Optional[float] = None
         data.train_data.set_batch_order_option(exp.data.batch_order)
         data.train_data.reorder()
@@ -505,7 +508,7 @@ class Trainer:
                 fn = bool(getattr(self.tcfg, "backbone_feat_norm", False))
                 self._featurize = jax.jit(
                     lambda bb, imgs, _dt=feat_dt, _fn=fn: extract_features(
-                        self.backbone, bb, imgs,
+                        self.backbone, bb, imgs, vit_cfg=self.vit_cfg,
                         feat_norm=_fn).astype(_dt))
             return self._featurize(self._bb_tree(), feats_dev)
 
@@ -683,6 +686,7 @@ class Trainer:
                 self.logger.log(record, kind="train")
             return record
         self.epoch += 1
+        self._abort_streak = 0          # a completed epoch clears the guard
         out = {k: v / max(n_steps, 1) for k, v in sums.items()}
         record = {"epoch": self.epoch, "lr": self.lr, "mult_lr": self.mult_lr,
                   "steps": n_steps, "exploded": exploded, "sec": dt,
@@ -761,6 +765,32 @@ class Trainer:
                 # epoch's first step, restore-to-init again, and livelock
                 # every remaining epoch into a 2-step no-op.
                 self.loss_ema = None
+                # the fallback rewinds PARAMS to init: epoch/LR must
+                # rewind with them, or the fresh params train under a
+                # decayed LR and a mid-curriculum hop_grad_scale (hops
+                # whose stop epoch already passed would never train)
+                self.epoch = 0
+                self.lr = self.tcfg.learning_rate
+                self.mult_lr = self.tcfg.mult_learning_rate
+            # a DETERMINISTIC divergence would replay bit-identically
+            # from the restored state (same params, rng, data order) and
+            # re-explode at the same step, burning every remaining epoch
+            # as a silent abort loop.  Perturb the retry's RNG (grad
+            # noise + dropout draws change; the epoch-seeded data order
+            # is realigned by train_epoch and stays exact), and fail
+            # loudly once retries stop helping — the guard exists for
+            # TRANSIENT faults, not a genuinely divergent recipe.
+            self._abort_streak += 1
+            if self._abort_streak >= 3:
+                raise RuntimeError(
+                    f"loss exploded {self._abort_streak} consecutive "
+                    f"epochs even after checkpoint restore + RNG "
+                    f"perturbation (last loss {loss:g}, ema "
+                    f"{self.loss_ema}) — the divergence is deterministic "
+                    f"(learning rate / data), not transient; aborting "
+                    f"instead of burning the remaining epochs")
+            self.state = self.state._replace(
+                rng=jax.random.fold_in(self.state.rng, self._abort_streak))
             return False
         self.loss_ema = loss if self.loss_ema is None else (
             0.9 * self.loss_ema + 0.1 * loss)
@@ -1021,7 +1051,17 @@ class Trainer:
                 tree["step"] = template["step"]
                 tree["rng"] = template["rng"]
             else:
-                tree, meta = load_checkpoint(path, template)
+                # `raw` is already the decoded msgpack: from_state_dict
+                # here instead of load_checkpoint's second read+decode of
+                # the multi-hundred-MB 4-group file (2x peak host RAM;
+                # this path also runs on every explosion-guard restore)
+                from rau_vqa_tpu.utils.checkpoint import (
+                    checkpoint_meta,
+                    validate_tree_shapes,
+                )
+                tree = serialization.from_state_dict(template, raw)
+                validate_tree_shapes(template, tree)
+                meta = checkpoint_meta(path)
         else:
             tree, meta = load_checkpoint(path, template)
         self.state = TrainState(**tree)

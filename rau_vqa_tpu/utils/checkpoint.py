@@ -254,15 +254,19 @@ def load_backbone_group(path: str, kind: str, *, fold: bool = True):
     return bb
 
 
+def checkpoint_meta(path: str) -> Dict:
+    """The sidecar meta dict for a snapshot (empty if absent)."""
+    meta_path = path.replace(".msgpack", ".json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     """Restore a pytree saved by save_checkpoint; ``template`` provides the
     structure (e.g. a freshly initialized state)."""
     with open(path, "rb") as f:
         tree = serialization.from_bytes(template, f.read())
     validate_tree_shapes(template, tree)
-    meta_path = path.replace(".msgpack", ".json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return tree, meta
+    return tree, checkpoint_meta(path)

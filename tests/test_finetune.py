@@ -904,3 +904,77 @@ def test_train_adopts_feat_norm_from_backbone_sidecar(tmp_path, monkeypatch):
     _, _, _, exp3 = cli._make_source_and_backbone(args, exp,
                                                   adopt_feat_norm=False)
     assert exp3.train.backbone_feat_norm is False
+
+
+@pytest.mark.slow
+def test_zero_signal_freeze_ignores_injected_noise():
+    """The freeze keys on the PRE-noise backbone gradient: with
+    backbone_grad_noise=True the injected noise keeps the post-noise norm
+    > 0 every step, which previously defeated the freeze entirely (Adam
+    integrated pure noise + stale momentum — the measured 57 -> 12M std
+    coasting pathology the freeze exists to stop)."""
+    from rau_vqa_tpu.config import TrainConfig
+    from rau_vqa_tpu.train.trainer import make_train_step
+
+    mcfg, state, (tokens, lengths, images, labels) = _ft_state_and_batch()
+    tcfg = TrainConfig(train_backbone=True, backbone_grad_noise=True,
+                       noisy_eta=0.3, noisy_gamma=0.55)
+    step = jax.jit(make_train_step(mcfg, tcfg, backbone="vit",
+                                   vit_cfg=_tiny_vit()))
+    # hop_scale = 0 zeroes the differentiable loss exactly: every gradient
+    # is exactly zero, only the injected noise reaches Adam
+    hop_scale = jnp.zeros((mcfg.n_hops,), jnp.float32)
+    new_state, metrics = step(state, tokens, lengths, images, labels,
+                              hop_scale, jnp.float32(1e-3),
+                              jnp.float32(1e-4))
+    # post-noise norm is > 0 (what the old freeze keyed on)...
+    assert float(metrics["grad_norm_backbone"]) > 0
+    # ...but the backbone must NOT move (no true signal)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        new_state.params["backbone"], state.params["backbone"])
+    # the head groups DO integrate the noise (reference semantics:
+    # NoiseGrad applies to the head; the freeze is backbone-only)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(new_state.params["embed"]),
+                        jax.tree.leaves(state.params["embed"])))
+    assert moved
+
+
+def test_trainer_vit_cfg_threads_featurize(tmp_path):
+    """A non-default ViT config rides Trainer(vit_cfg=...) through the
+    featurize path — previously the kwarg existed on make_train_step but
+    the Trainer never passed it, pinning every path to ViT-L/14."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_vqa_data
+    from rau_vqa_tpu.models.backbones.vit import vit_init
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "fix")
+    vqa_dir = generate_fixture(root, FixtureSpec(), images=True,
+                               image_size=64)
+    vcfg = _tiny_vit()          # 28 px, 2x2 grid, dim 32
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=vcfg.dim, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0),
+        train=dc.replace(exp.train, batch_size=16, length_buckets=(),
+                         train_backbone=False),
+        data=dc.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=16, split="val2014",
+                         test_batch_size=8)
+    src = ImageDirSource(os.path.join(root, "images"),
+                         size=vcfg.image_size, backend="pil")
+    trainer = Trainer(exp, data, src, str(tmp_path / "run"),
+                      backbone="vit", vit_cfg=vcfg,
+                      bb_params=vit_init(jax.random.PRNGKey(3), vcfg))
+    batch = data.train_data.next_batch(src)
+    out = trainer._put_batch(batch)
+    assert tuple(out["feats"].shape) == (16, 4, vcfg.dim)

@@ -402,3 +402,48 @@ def test_sharded_pixels_predict_vit(tp):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Device-count validation is a real raise (python -O strips asserts;
+    the failure would resurface as numpy's opaque reshape error)."""
+    from rau_vqa_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=16, n_model=1)        # 8 virtual devices
+
+
+def test_mesh_from_config_rejects_conflicting_data_axis(monkeypatch):
+    """Multi-process meshes span every device; an explicitly configured
+    --mesh-data that disagrees must fail with the real geometry instead
+    of being silently dropped (per-shard batch sizes would change behind
+    the user's back)."""
+    import dataclasses as dc
+
+    import jax as _jax
+
+    from rau_vqa_tpu.config import MeshConfig
+    from rau_vqa_tpu.parallel.mesh import mesh_from_config
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="conflicts"):
+        mesh_from_config(MeshConfig(data_axis=3, model_axis=1))
+    # matching or default (-1) data_axis builds the multihost layout
+    m = mesh_from_config(MeshConfig(data_axis=8, model_axis=1))
+    assert m.shape["data"] == 8
+    m2 = mesh_from_config(MeshConfig(model_axis=2))
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_replicate_tree_fully_replicates():
+    """replicate_tree is the one shared broadcast-everywhere placement
+    (Trainer's frozen backbone + any future replicated weight tree)."""
+    from rau_vqa_tpu.parallel.mesh import make_mesh, replicate_tree
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    tree = {"a": np.arange(6, dtype=np.float32), "b": np.ones((2, 3))}
+    rep = replicate_tree(mesh, tree)
+    for leaf in jax.tree.leaves(rep):
+        assert leaf.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(rep["a"]),
+                                  np.arange(6, dtype=np.float32))

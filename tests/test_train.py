@@ -861,3 +861,32 @@ def test_checkpoint_fuzz_roundtrip(tmp_path):
         bad = jax.tree_util.tree_map_with_path(mutate, tree)
         with pytest.raises(ValueError):
             ck.load_checkpoint(path, bad)
+
+
+def test_explosion_guard_streak_raises(fixture_root, tmp_path):
+    """A DETERMINISTIC divergence must not burn every remaining epoch as
+    a silent abort loop: each guard trip perturbs the retry's RNG (the
+    restored state would otherwise replay bit-identically and re-explode
+    at the same step), the no-checkpoint fallback rewinds epoch/LR with
+    the params, and three consecutive trips fail loudly."""
+    trainer = make_trainer(fixture_root, str(tmp_path / "guard_streak"))
+    # simulate a mid-run state the fallback must rewind (fresh params
+    # training under a decayed LR + mid-curriculum hop_grad_scale would
+    # otherwise permanently skip already-stopped hops)
+    trainer.epoch = 5
+    trainer.lr = 1e-5
+    rng0 = np.asarray(trainer.state.rng).copy()
+    assert trainer._guard(float("inf")) is False
+    assert trainer.epoch == 0
+    assert trainer.lr == trainer.tcfg.learning_rate
+    assert trainer.mult_lr == trainer.tcfg.mult_learning_rate
+    # the retry is PERTURBED, not a bit-identical replay
+    assert not np.array_equal(np.asarray(trainer.state.rng), rng0)
+    assert trainer._guard(float("inf")) is False
+    with pytest.raises(RuntimeError, match="consecutive"):
+        trainer._guard(float("inf"))
+    # a completed epoch clears the streak
+    trainer2 = make_trainer(fixture_root, str(tmp_path / "guard_clear"))
+    trainer2._abort_streak = 2
+    trainer2.train_epoch()
+    assert trainer2._abort_streak == 0
