@@ -1538,6 +1538,10 @@ def main(argv=None) -> int:
     p_serve.add_argument("--feat-cache", type=int, default=256,
                          help="LRU image-feature cache entries (a ResNet "
                               "entry is ~1.6 MB); 0 effectively disables")
+    p_serve.add_argument("--request-timeout", type=float, default=2600.0,
+                         help="per-request wait bound in seconds (the "
+                              "tunnel can hang without raising; /healthz "
+                              "reports 'wedged' past this); 0 disables")
     _add_train_flags(p_serve)
     _add_common_data_flags(p_serve)
 
@@ -1623,7 +1627,8 @@ def main(argv=None) -> int:
                          backbone=args.backbone, bb_params=bb_params,
                          buckets=buckets, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms,
-                         feat_cache_size=args.feat_cache)
+                         feat_cache_size=args.feat_cache,
+                         request_timeout_s=args.request_timeout)
         serve(svc, args.port).serve_forever()
         return 0
     return {"train": cmd_train, "eval": cmd_eval,

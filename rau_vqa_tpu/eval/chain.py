@@ -55,7 +55,10 @@ def make_serve_chain(cfg, K: int, n_acc: int = 8) -> Callable:
             salt = salt + 1 + ans[0, 0].astype(jnp.int32) % 3
             return salt, acc + ans[:, :na].astype(jnp.int32)
         zero = jnp.zeros((cfg.n_hops + 2, na), jnp.int32)
-        return jax.lax.fori_loop(0, K, body, (salt0, zero))
+        # jnp.int32(salt0): a plain-int salt0 traces as a weak-typed carry
+        # whose body output is strong int32 — fori_loop rejects the
+        # mismatch (pixels_chain below has the same guard)
+        return jax.lax.fori_loop(0, K, body, (jnp.int32(salt0), zero))
 
     return serve_chain
 

@@ -209,6 +209,9 @@ def export_serve_chain(params, cfg, out_dir: str, *, batch: int,
     from rau_vqa_tpu.eval.chain import make_serve_chain
 
     os.makedirs(out_dir, exist_ok=True)
+    # mirror make_serve_chain's trace-time clamp so meta documents the
+    # program's ACTUAL acc shape (n_acc > batch happens on shrunk smokes)
+    n_acc = min(int(n_acc), int(batch))
     fn = make_serve_chain(cfg, chain, n_acc)
     exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
         _sds_tree(params),
@@ -410,8 +413,6 @@ def load_or_build_chain_artifact(art_dir: str, build, expect_meta: Dict,
     # (e.g. the round-4 vit attention fix) — pin the git revision too,
     # unless it is unknown on either side (no false rebuilds off-checkout)
     rev = _code_rev()
-    if rev != "unknown":
-        expect["code_rev"] = rev
     meta_path = os.path.join(art_dir, _META)
     why = None
     if not os.path.exists(meta_path):
@@ -419,6 +420,11 @@ def load_or_build_chain_artifact(art_dir: str, build, expect_meta: Dict,
     else:
         with open(meta_path) as f:
             meta = json.load(f)
+        if rev != "unknown" and meta.get("code_rev", "unknown") != "unknown":
+            # pin only when BOTH sides know their revision — an artifact
+            # built off-checkout (code_rev 'unknown') must not rebuild
+            # forever inside one
+            expect["code_rev"] = rev
         stale = [k for k, v in expect.items() if meta.get(k) != v]
         if stale:
             why = "protocol/model mismatch: " + ", ".join(stale)

@@ -40,7 +40,8 @@ class RAUService:
                  backbone: Optional[str] = None, bb_params=None,
                  fused: bool = False, buckets=None,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
-                 feat_cache_size: int = 256):
+                 feat_cache_size: int = 256,
+                 request_timeout_s: float = 2600.0):
         import dataclasses
         import jax
 
@@ -77,7 +78,11 @@ class RAUService:
                               "ignored (the exported program is baked)")
             from rau_vqa_tpu.eval.predict import bucket_ladder
             want = bucket_ladder(exp.model.seq_len, buckets)[:-1]
-            if buckets_explicit and want != runner.ladder[:-1]:
+            # chain artifacts have no ladder at all — they are rejected
+            # below with the real error; a '[] ladder' warning first
+            # would misdirect the operator toward re-exporting buckets
+            if buckets_explicit and not getattr(runner, "_chain", False) \
+                    and want != runner.ladder[:-1]:
                 # covers explicit () / 'none' too: asking to DISABLE
                 # buckets cannot take effect against a baked ladder
                 warnings.warn(
@@ -86,14 +91,11 @@ class RAUService:
                     f"ladder is {runner.ladder} (re-export with "
                     f"--eval-buckets to change it)")
         else:
-            meta = {}
-            meta_path = checkpoint.replace(".msgpack", ".json")
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    meta = json.load(f)
-                if "model_config" in meta:
-                    exp = exp.replace(
-                        model=ModelConfig(**meta["model_config"]))
+            from rau_vqa_tpu.utils.checkpoint import checkpoint_meta
+            meta = checkpoint_meta(checkpoint)
+            if "model_config" in meta:
+                exp = exp.replace(
+                    model=ModelConfig(**meta["model_config"]))
         self.data = load_vqa_data(vqa_dir, 1, split=exp.data.split,
                                   test_batch_size=1)
         self.mcfg = dataclasses.replace(
@@ -178,9 +180,13 @@ class RAUService:
             patch = 14 if backbone == "vit" else 32
             self.image_size = self.mcfg.cnn_w * patch
 
+        # feat_dirs may be empty: a pixels-artifact or image-only service
+        # answers image_b64 requests and never resolves feat_name
         from rau_vqa_tpu.cli import _make_feature_source
-        self.source = _make_feature_source(list(feat_dirs), self.mcfg)
-        if not getattr(self, "pixels_artifact", False):
+        self.source = (_make_feature_source(list(feat_dirs), self.mcfg)
+                       if feat_dirs else None)
+        if self.source is not None \
+                and not getattr(self, "pixels_artifact", False):
             # a packed shard records its feature interface: refuse to
             # serve RMS rows to a raw-trained head (or vice versa)
             from rau_vqa_tpu.data.features import check_feat_interface
@@ -195,6 +201,15 @@ class RAUService:
         self.max_batch = int(max_batch)
         # 0 disables lingering: a group dispatches as soon as it is drained
         self.max_wait_ms = float(max_wait_ms)
+        # the rig tunnel can HANG outright (device call never returns,
+        # never raises — CLAUDE.md, observed 2026-08-17): without a wait
+        # bound every request thread wedges forever while /healthz stays
+        # green.  Sized to the remote-compile lottery ceiling (731 s
+        # observed; benches budget 2400-2600 s).  0 disables.
+        self.request_timeout_s = float(request_timeout_s)
+        self._dispatch_started: Optional[float] = None
+        self._total_requests = 0       # lifetime (stats deque is windowed)
+        self._total_dispatches = 0
         from collections import OrderedDict, deque
         self._batch_sizes_served = deque(maxlen=1000)  # for tests/metrics
         self._stats_lock = threading.Lock()   # appender vs GET /stats
@@ -213,7 +228,8 @@ class RAUService:
         self._dev_feat_cache: "OrderedDict[tuple, object]" = OrderedDict()
         self._zero_feat = None     # device zeros for bucket padding
 
-    def _featurize_image(self, image_bytes: bytes) -> np.ndarray:
+    def _featurize_image(self, image_bytes: bytes,
+                         key: Optional[str] = None) -> np.ndarray:
         import hashlib
 
         from PIL import Image
@@ -226,7 +242,8 @@ class RAUService:
             raise ValueError("no visual backbone configured; send feat_name")
         # VQA asks ~3 questions per image: cache features by content hash
         # so repeat questions about one image pay the backbone once
-        key = hashlib.sha256(image_bytes).hexdigest()
+        # (callers that already hashed the bytes pass the digest through)
+        key = key or hashlib.sha256(image_bytes).hexdigest()
         while True:
             with self._feat_cache_lock:
                 if key in self._feat_cache:
@@ -316,6 +333,20 @@ class RAUService:
                     raise
 
     def _run_group(self, group):
+        import time
+
+        import jax.numpy as jnp
+
+        # wedge detection: health() compares this mark against
+        # request_timeout_s (a hung tunnel blocks inside the device call
+        # below without raising; only the single batcher thread writes it)
+        self._dispatch_started = time.monotonic()
+        try:
+            self._run_group_inner(group)
+        finally:
+            self._dispatch_started = None
+
+    def _run_group_inner(self, group):
         import jax.numpy as jnp
 
         n = len(group)
@@ -374,6 +405,8 @@ class RAUService:
                if any(it.get("attention") for it in group) else None)
         with self._stats_lock:
             self._batch_sizes_served.append(n)
+            self._total_requests += n
+            self._total_dispatches += 1
         for i, item in enumerate(group):
             item["tab"] = tab[:, i]
             if att is not None and item.get("attention"):
@@ -408,6 +441,11 @@ class RAUService:
         live = self.params is not None   # artifacts consume NUMPY operands
 
         if feat_name is not None:
+            if self.source is None:
+                raise ValueError(
+                    "no --feat-dir configured: this service cannot "
+                    "resolve feat_name requests — send image_b64")
+
             def load():
                 from rau_vqa_tpu.data.features import QuantFeats
                 # datatype routes multi-dir feature sources (the test2015
@@ -435,7 +473,8 @@ class RAUService:
                 # recompute — the ~1.6 MB/entry host RAM is the cheaper
                 # side of that trade
                 return self._device_feats(
-                    ("i", sha), lambda: self._featurize_image(raw)[0])
+                    ("i", sha),
+                    lambda: self._featurize_image(raw, key=sha)[0])
             return self._featurize_image(raw)[0]
         raise ValueError("need feat_name or image_b64")
 
@@ -448,21 +487,21 @@ class RAUService:
         one device dispatch)."""
         feats = self._feats_for(feat_name, image_b64, datatype)
         self._ensure_batcher()
+        # tokenize BEFORE taking the batcher condition: the collector
+        # lingers on the same lock, so tokenizing a large burst under it
+        # would stall every concurrent request's dispatch
         items = []
+        for q in questions:
+            tokens, length = self.data.question_to_tokens(q, normalize=True)
+            items.append({"tokens": tokens, "length": length, "feats": feats,
+                          "done": threading.Event(), "question": q,
+                          "attention": attention})
         with self._qcond:
-            for q in questions:
-                tokens, length = self.data.question_to_tokens(q, normalize=True)
-                item = {"tokens": tokens, "length": length, "feats": feats,
-                        "done": threading.Event(), "question": q,
-                        "attention": attention}
-                items.append(item)
-                self._queue.append(item)
+            self._queue.extend(items)
             self._qcond.notify_all()
         out = []
         for item in items:
-            item["done"].wait()
-            if "error" in item:
-                raise item["error"]
+            self._wait_done(item)
             out.append(self._format_answer(item["question"], item["tab"],
                                            topk, att=item.get("att")))
         return out
@@ -501,11 +540,35 @@ class RAUService:
         with self._qcond:
             self._queue.append(item)
             self._qcond.notify_all()
-        item["done"].wait()
-        if "error" in item:
-            raise item["error"]
+        self._wait_done(item)
         return self._format_answer(question, item["tab"], topk,
                                    att=item.get("att"))
+
+    def _wait_done(self, item) -> None:
+        """Bounded wait on a queued request (re-raising its error).  An
+        unbounded wait would wedge every request thread forever on the
+        tunnel's documented hang mode while /healthz stayed green."""
+        t = self.request_timeout_s
+        if not item["done"].wait(t if t > 0 else None):
+            raise RuntimeError(
+                f"serving dispatch timed out after {t:.0f}s — the "
+                f"device/tunnel may be hung (run `rau-vqa doctor`); "
+                f"GET /healthz now reports wedged")
+        if "error" in item:
+            raise item["error"]
+
+    def health(self) -> Dict:
+        """Liveness that actually covers the device path: 'wedged' once a
+        dispatch has been stuck past request_timeout_s (the tunnel's
+        hang mode blocks without raising, so only elapsed time sees it)."""
+        started = self._dispatch_started
+        if started is not None and self.request_timeout_s > 0:
+            import time
+            stuck = time.monotonic() - started
+            if stuck > self.request_timeout_s:
+                return {"status": "wedged",
+                        "dispatch_stuck_s": round(stuck, 1)}
+        return {"status": "ok"}
 
     def stats(self) -> Dict:
         """Operator metrics for GET /stats."""
@@ -513,12 +576,16 @@ class RAUService:
             # snapshot under the lock: the batcher thread's append (plus
             # maxlen eviction) mutates the deque mid-iteration otherwise
             sizes = list(self._batch_sizes_served)
+            total_req = self._total_requests
+            total_disp = self._total_dispatches
         with self._feat_cache_lock:
             cache_entries = len(self._feat_cache)
             dev_cache_entries = len(self._dev_feat_cache)
         return {
-            "requests_served": int(sum(sizes)),
-            "dispatches": len(sizes),
+            # lifetime monotonic counters (the deque is a sliding
+            # 1000-dispatch window — summing it would plateau under load)
+            "requests_served": int(total_req),
+            "dispatches": int(total_disp),
             "mean_batch": round(float(np.mean(sizes)), 3) if sizes else 0.0,
             "max_batch_seen": int(max(sizes)) if sizes else 0,
             "feat_cache_entries": cache_entries,
@@ -550,7 +617,8 @@ def make_handler(service: RAUService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"status": "ok"})
+                h = service.health()
+                self._send(200 if h["status"] == "ok" else 503, h)
             elif self.path == "/stats":
                 self._send(200, service.stats())
             else:

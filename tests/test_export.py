@@ -381,3 +381,77 @@ def test_sweep_programs_tpu_lowering_no_hardware():
         jax.ShapeDtypeStruct((Bv * 3, vcfg.seq_len), jnp.int32),
         jax.ShapeDtypeStruct((Bv * 3,), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.int32))
+
+
+def test_serve_chain_accepts_python_int_salt(tmp_path):
+    """A plain-int salt0 must trace: the init carry was weak-typed while
+    the body returned strong int32 — fori_loop rejected the mismatch
+    (the pixels chain always had the jnp.int32 guard; the serve chain
+    lacked it and worked only because bench.py passes jnp.int32(0))."""
+    from rau_vqa_tpu.eval.chain import make_serve_chain
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    toks, lens, feats = make_inputs(cfg, 4, seed=5)
+    salt, acc = jax.jit(make_serve_chain(cfg, 2, 2))(
+        params, toks, lens, feats, 0)          # python int, not jnp.int32
+    assert np.asarray(acc).shape == (cfg.n_hops + 2, 2)
+    assert int(salt) > 0
+
+
+def test_export_serve_chain_meta_clamps_n_acc(tmp_path):
+    """meta.json must document the program's ACTUAL acc shape: the traced
+    chain clamps n_acc to the batch (shrunk CPU smokes), so an unclamped
+    meta would shape-mismatch any consumer sizing from it."""
+    from rau_vqa_tpu.eval.export import export_serve_chain
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    art = str(tmp_path / "clamp")
+    export_serve_chain(params, cfg, art, batch=2, chain=1, n_acc=8)
+    with open(os.path.join(art, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_acc"] == 2
+    assert meta["outputs"]["acc"] == [cfg.n_hops + 2, 2]
+    toks, lens, feats = make_inputs(cfg, 2, seed=1)
+    salt, acc = load_exported(art)(params, toks, lens, feats, np.int32(0))
+    assert list(np.asarray(acc).shape) == meta["outputs"]["acc"]
+
+
+def test_chain_artifact_unknown_code_rev_not_stale(tmp_path):
+    """An artifact built off-checkout records code_rev='unknown'; loading
+    it inside a checkout must NOT rebuild forever — the rev pin applies
+    only when both sides know their revision."""
+    import dataclasses as dc
+
+    from rau_vqa_tpu.eval.export import (
+        export_serve_chain,
+        load_or_build_chain_artifact,
+    )
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    art = str(tmp_path / "rev")
+    expect = {"kind": "serve_chain", "batch": 2, "chain": 1,
+              "model_config": dc.asdict(cfg)}
+    builds = []
+
+    def build():
+        builds.append(1)
+        export_serve_chain(params, cfg, art, batch=2, chain=1, n_acc=2)
+
+    load_or_build_chain_artifact(art, build, expect, log=lambda *_: None)
+    assert len(builds) == 1
+    # simulate the off-checkout build: strip the recorded revision
+    mp = os.path.join(art, "meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["code_rev"] = "unknown"
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    load_or_build_chain_artifact(art, build, expect, log=lambda *_: None)
+    assert len(builds) == 1     # no spurious rebuild
+    # a REAL protocol change still rebuilds
+    load_or_build_chain_artifact(art, build, dict(expect, chain=2),
+                                 log=lambda *_: None)
+    assert len(builds) == 2

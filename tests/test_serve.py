@@ -520,3 +520,65 @@ def test_device_feat_cache_lru_and_eviction(served):
     st = json.loads(urllib.request.urlopen(
         f"http://127.0.0.1:{served}/stats", timeout=30).read())
     assert st["device_feat_cache_entries"] >= 1
+
+
+def test_service_without_feat_dirs(served):
+    """A feat-dir-less service (the pixels-artifact / image-only mode the
+    CLI supports via `--feat-dir`-less invocation) must start cleanly and
+    reject feat_name requests with a clear error, not crash at startup
+    with an IndexError."""
+    from rau_vqa_tpu.serve import RAUService
+    from tests import test_serve as _self
+
+    fix, ck = _self.served.fix, _self.served.ck
+    svc = RAUService(ck, os.path.join(fix, "vqa_prepro"), [])
+    assert svc.source is None
+    with pytest.raises(ValueError, match="no --feat-dir"):
+        svc.answer("w01 w02", feat_name="COCO_train2014_000000000000.t7")
+
+
+def test_request_timeout_and_wedged_health(served):
+    """A hung device dispatch (the tunnel's documented no-raise hang mode)
+    must bound request waits and flip /healthz to 'wedged' instead of
+    wedging every request thread behind a green healthcheck."""
+    import time
+
+    from rau_vqa_tpu.serve import RAUService
+    from tests import test_serve as _self
+
+    fix, ck = _self.served.fix, _self.served.ck
+    svc = RAUService(ck, os.path.join(fix, "vqa_prepro"),
+                     [os.path.join(fix, "feat")], request_timeout_s=0.3)
+    assert svc.health() == {"status": "ok"}
+    real_predict = svc.predict
+
+    def hung_predict(*a, **k):
+        time.sleep(1.2)        # longer than the timeout, then recover
+        return real_predict(*a, **k)
+
+    svc.predict = hung_predict
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="timed out"):
+        svc.answer("w01 w02", feat_name="COCO_train2014_000000000000.t7")
+    assert time.monotonic() - t0 < 1.0       # bounded, not the full hang
+    # while the dispatch is still stuck, health reports wedged
+    for _ in range(50):
+        h = svc.health()
+        if h["status"] == "wedged":
+            break
+        time.sleep(0.02)
+    assert h["status"] == "wedged" and h["dispatch_stuck_s"] >= 0.3
+    # let the hung dispatch drain (it also pays the first jit compile)
+    for _ in range(600):
+        if svc.health() == {"status": "ok"}:
+            break
+        time.sleep(0.2)
+    assert svc.health() == {"status": "ok"}
+    # the service recovers: the same request now completes normally
+    svc.predict = real_predict
+    out = svc.answer("w01 w02",
+                     feat_name="COCO_train2014_000000000000.t7")
+    assert out["answers"]
+    # stats counters are lifetime monotonic ints
+    st = svc.stats()
+    assert st["requests_served"] >= 2 and st["dispatches"] >= 2
