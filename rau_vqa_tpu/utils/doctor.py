@@ -27,10 +27,21 @@ import json, sys
 import jax
 {force_cpu}
 ds = jax.devices()
+# execution probe, not just init: a second wedge mode (observed
+# 2026-08-20, after two concurrent clients collided on the tunnel) lets
+# device init succeed while every dispatch hangs forever — a
+# jax.devices()-only probe reports 'healthy' on a rig that cannot run a
+# single op.  One tiny dispatch forced to host catches it; the
+# subprocess timeout is the detection.
+import numpy as np
+import jax.numpy as jnp
+y = np.asarray(jnp.arange(4.0) + 1.0)
+assert y[3] == 4.0
 print(json.dumps({{
     "n": len(ds),
     "platform": ds[0].platform,
     "kind": getattr(ds[0], "device_kind", "?"),
+    "exec": "ok",
 }}))
 """
 
@@ -60,7 +71,9 @@ def _probe(code: str, timeout_s: float) -> Dict[str, Any]:
         return {"status": "hung",
                 "detail": f"no response within {timeout_s:.0f}s — for the "
                           f"TPU probe this means the tunnel accepts the "
-                          f"dial but device init never returns"}
+                          f"dial but device init or a one-op dispatch "
+                          f"never returns (init-hang and exec-wedge modes "
+                          f"both land here)"}
     if proc.returncode != 0:
         return {"status": "error",
                 "detail": proc.stderr.strip().splitlines()[-1]

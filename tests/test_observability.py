@@ -297,6 +297,15 @@ def test_doctor_probe_outcomes_and_report(monkeypatch, capsys):
     err = doc._probe("raise RuntimeError('boom')", 30)
     assert err["status"] == "error" and "boom" in err["detail"]
 
+    # the device probe must RUN one op, not just list devices: the
+    # exec-wedge mode (init ok, every dispatch hangs — observed
+    # 2026-08-20) is invisible to a jax.devices()-only probe.  Exercised
+    # here on the pinned-CPU backend; on the rig the same snippet hangs
+    # in the subprocess and the timeout classifies it 'hung'.
+    dev = doc._probe(doc._DEVICE_PROBE.format(
+        force_cpu='jax.config.update("jax_platforms", "cpu")'), 120)
+    assert dev["status"] == "ok" and dev["exec"] == "ok"
+
     fake = {
         "versions": {"jax": "0.0"},
         "device": {"status": "hung", "detail": "x"},
