@@ -982,7 +982,13 @@ class Trainer:
 
             def fetch(x):
                 if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                    return np.asarray(multihost_utils.process_allgather(x))
+                    # tiled=True is REQUIRED for global arrays: it means
+                    # "assemble the global value" (TP-sharded and
+                    # replicated-across-hosts leaves both land here); the
+                    # default tiled=False stacks a new leading axis and
+                    # raises for non-fully-addressable inputs
+                    return np.asarray(
+                        multihost_utils.process_allgather(x, tiled=True))
                 return np.asarray(x)
 
             tree = jax.tree.map(fetch, tree)
