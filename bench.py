@@ -103,11 +103,21 @@ def main() -> None:
     B = _B
     K = _K           # serving steps chained per dispatch
     rs = np.random.RandomState(0)
+    t0 = time.perf_counter()
     tokens = jnp.asarray(rs.randint(1, cfg.vocab_size,
                                     (B, cfg.seq_len)).astype(np.int32))
     lengths = jnp.asarray(rs.randint(1, cfg.seq_len + 1, B).astype(np.int32))
     feats = jnp.asarray(rs.randn(B, cfg.cnn_spat,
                                  cfg.cnn_dim).astype(np.float32))
+    # BLOCK on the operand uploads (feats alone is ~2.4 GB f32 at B=6144)
+    # so compile_first_s below is program build+load+first-exec, not a
+    # mix of compile and tunnel upload — the round-5 cache work showed a
+    # fully-cache-hit run (XLA "compile" 0.33 s) still paying hundreds of
+    # seconds in the first timed call; this separates the two costs.
+    jax.block_until_ready((tokens, lengths, feats))
+    t_up = time.perf_counter() - t0
+    log(f"bench: operand upload {t_up:.1f}s "
+        f"({(tokens.nbytes + lengths.nbytes + feats.nbytes) / 1e6:.0f} MB)")
 
     if args.artifact:
         from rau_vqa_tpu.eval.export import (
@@ -195,6 +205,7 @@ def main() -> None:
         "vs_baseline": round(qps / NORTH_STAR_QPS, 3),
         "spread": round(spread, 4),
         "compile_first_s": round(t_first, 1),
+        "operand_upload_s": round(t_up, 1),
         "rig_canary_tflops": canary["tflops"],
         "rig_canary_frac_peak": canary["frac_of_peak"],
         **({"artifact": True} if args.artifact else {}),

@@ -380,3 +380,57 @@ def test_doctor_watch_polls_until_healthy(monkeypatch, capsys):
                    "--watch-timeout", "0.02"])
     assert rc == 1
     assert "giving up" in capsys.readouterr().err
+
+
+def test_compile_cache_seed_and_refresh(tmp_path, monkeypatch):
+    """The committed seed dir warms a fresh checkout's (gitignored) live
+    cache, and refresh_cache_seed curates live->seed: bench-prefix +
+    size-gated copy in, stale same-prefix entries dropped (round-5 root
+    cause: the driver benches a clean checkout where the ignored live
+    cache is always empty, re-paying the 700-930 s compile lottery)."""
+    import importlib.util
+    import jax
+
+    from rau_vqa_tpu.utils import rigcheck
+
+    live = tmp_path / "live"
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "jit_serve_chain-aaaa-cache").write_bytes(b"X" * 64)
+    (seed / "not_an_entry.txt").write_text("ignored")
+
+    # enabling with a seed copies missing entries into the live dir
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        assert rigcheck.enable_compile_cache(str(live), seed_dir=str(seed))
+        assert (live / "jit_serve_chain-aaaa-cache").read_bytes() == b"X" * 64
+        assert not (live / "not_an_entry.txt").exists()
+        # an existing live entry is never clobbered by the seed
+        (live / "jit_serve_chain-aaaa-cache").write_bytes(b"Y" * 64)
+        assert rigcheck.enable_compile_cache(str(live), seed_dir=str(seed))
+        assert (live / "jit_serve_chain-aaaa-cache").read_bytes() == b"Y" * 64
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+    spec = importlib.util.spec_from_file_location(
+        "refresh_cache_seed",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "refresh_cache_seed.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    big = b"Z" * (mod.MIN_BYTES + 1)
+    (live / "jit_serve_chain-bbbb-cache").write_bytes(big)      # new program
+    (live / "jit__lambda-cccc-cache").write_bytes(big)
+    (live / "jit__uniform-dddd-cache").write_bytes(big)         # wrong prefix
+    (live / "jit_serve_chain-tiny-cache").write_bytes(b"t")     # too small
+    n = mod.refresh(str(live), str(seed), log=lambda *a: None)
+    names = sorted(p.name for p in seed.iterdir())
+    assert "jit_serve_chain-bbbb-cache" in names
+    assert "jit__lambda-cccc-cache" in names
+    assert "jit__uniform-dddd-cache" not in names
+    assert "jit_serve_chain-tiny-cache" not in names
+    # the old seed entry's program no longer exists live -> dropped
+    assert "jit_serve_chain-aaaa-cache" not in names
+    assert n == 2
