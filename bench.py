@@ -136,6 +136,21 @@ def main() -> None:
 
     log("bench: compiling")
     t0 = time.perf_counter()
+    t_compile = None
+    if not args.artifact:
+        # split build from first-exec: with the committed cache seed the
+        # XLA compile is ~1 s (cache hit), and what remains of the old
+        # 700-930 s "compile lottery" is the axon plugin's remote program
+        # LOAD inside the first call (measured 85-167 s, phase probe
+        # 2026-08-20) — reporting both makes a BENCH json line
+        # self-diagnosing: compile_s >> 1 means the cache missed (HLO
+        # changed without refreshing the seed), first-call >> means the
+        # tunnel's load path was slow that hour
+        serve_chain = serve_chain.lower(
+            params, tokens, lengths, feats, jnp.int32(0)).compile()
+        t_compile = time.perf_counter() - t0
+        log(f"bench: trace+compile {t_compile:.1f}s "
+            f"(~1s = persistent-cache hit)")
     np.asarray(serve_chain(params, tokens, lengths, feats, jnp.int32(0))[1])
     t_first = time.perf_counter() - t0
     log(f"bench: compile+first {t_first:.1f}s")
@@ -206,6 +221,8 @@ def main() -> None:
         "spread": round(spread, 4),
         "compile_first_s": round(t_first, 1),
         "operand_upload_s": round(t_up, 1),
+        **({"compile_s": round(t_compile, 1)}
+           if t_compile is not None else {}),
         "rig_canary_tflops": canary["tflops"],
         "rig_canary_frac_peak": canary["frac_of_peak"],
         **({"artifact": True} if args.artifact else {}),
