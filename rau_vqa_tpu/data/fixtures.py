@@ -37,6 +37,18 @@ class FixtureSpec:
     feat_h: int = 3
     n_mc: int = 4              # multiple-choice candidates per question
     seed: int = 7
+    # image classes (None = n_answers, the original behavior).  At paper
+    # dims a 200-answer task with 200 image classes has a 40k-combo rule
+    # table no reasonably-sized fixture covers — test would demand
+    # compositional generalization of modular arithmetic rather than
+    # measure trainability.  A small class count keeps every
+    # (first_token, img_class) combo represented in train while the
+    # answer space stays at full width (scripts/paper_dims_run.py).
+    n_img_classes: int | None = None
+
+    @property
+    def img_classes(self) -> int:
+        return self.n_img_classes or self.n_answers
 
 
 def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
@@ -65,10 +77,15 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
     test_imgs = [f"val2014/COCO_val2014_{i:012d}.jpg"
                  for i in range(spec.n_images)]
 
-    # per-image features; image class = i % n_answers baked into the mean
+    # per-image features; image class = i % img_classes baked into the mean
+    n_cls = spec.img_classes
+    if n_cls > spec.feat_dim:
+        raise ValueError(f"img_classes {n_cls} needs feat_dim >= {n_cls} "
+                         f"(class is encoded as a channel bump)")
+
     def make_feat(i: int) -> np.ndarray:
         base = rng.normal(0, 0.15, (spec.feat_dim, spec.feat_w, spec.feat_h))
-        base[i % spec.n_answers] += 2.0
+        base[i % n_cls] += 2.0
         return base.astype(np.float32)
 
     from rau_vqa_tpu.data.features import coco_feat_name
@@ -80,7 +97,7 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
             # fixture's filenames with the same helper so they can't drift
             t7.save_t7(os.path.join(feat_dir, coco_feat_name(p)),
                        make_feat(i))
-            img_class[p] = i % spec.n_answers
+            img_class[p] = i % n_cls
 
     def make_split(n: int, imgs: List[str], qid_base: int):
         tokens = np.zeros((n, spec.seq_len), np.int32)
@@ -158,11 +175,11 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
         # [30+40c, 30+40c+39]; uint8 wraps silently above 255, aliasing
         # high classes onto class 0's band and capping attainable
         # accuracy with no error (n_answers <= 5 fits exactly)
-        hi = 30 + 40 * (spec.n_answers - 1) + 39
+        hi = 30 + 40 * (spec.img_classes - 1) + 39
         if hi > 255:
             raise ValueError(
                 f"fixture images encode the class as a gray level: "
-                f"n_answers={spec.n_answers} needs pixel values up to "
+                f"img_classes={spec.img_classes} needs pixel values up to "
                 f"{hi} > 255 — use n_answers <= 5 with images=True")
         img_root = os.path.join(root, "images")
         for rel in train_imgs + test_imgs:

@@ -1,0 +1,325 @@
+#!/usr/bin/env python
+"""Paper-dims learnability + host-pipeline-at-scale runs (VERDICT r4 #3/#4).
+
+Every learning demonstration before round 5 used the 16-dim fixture; the
+flagship dims (vocab 12,605, rnn 512, 8 hops, 14x14x512 features —
+reference Ours_SS/...lua:202-228) had only ever been *benchmarked*.  This
+script closes that gap with a synthetic dataset AT FULL DIMS whose answer
+is a deterministic function of (first question token, image class), so
+training must reach a pre-registered criterion or the full-scale numerics
+(bf16 + grad noise + clip + 3-group Adam + LR decay) are broken.
+
+Three subcommands:
+
+  generate  — build the dataset (FixtureSpec at paper dims) and pack the
+              features into an int8 mmap shard (4x less tunnel traffic;
+              the class signal survives symmetric absmax quantization by
+              construction: +2.0 bump vs 0.15 noise).
+  train     — Trainer.fit at the ours_ms recipe (bf16, guards on,
+              length buckets, eval sweep each epoch) until the
+              pre-registered criterion or --epochs; writes a result JSON
+              + the run's metrics.jsonl under benchmarks/paper_dims/.
+  timebox   — the host-pipeline-at-scale measurement: a train2014-scale
+              epoch segment through the production loop (prefetch, int8
+              shard, async checkpoints, guard) with a host-only loader
+              pass for the decomposition.
+
+The rig protocol notes (CLAUDE.md) apply: run ONE process at a time and
+time only with the device healthy (`rau-vqa doctor`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+OUT_DIR = os.path.join(_REPO, "benchmarks", "paper_dims")
+
+# pre-registered criterion (VERDICT r4 #3): >90% train, >80% held-out
+# best-hop accuracy on the 200-answer task
+CRIT_TRAIN = 0.90
+CRIT_TEST = 0.80
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _spec(args):
+    from rau_vqa_tpu.data.fixtures import FixtureSpec
+    return FixtureSpec(
+        n_train=args.n_train, n_test=args.n_test, n_images=args.n_images,
+        n_words=12604, n_answers=args.n_answers, seq_len=26,
+        feat_dim=512, feat_w=14, feat_h=14, n_mc=4, seed=11,
+        n_img_classes=args.n_img_classes)
+
+
+def cmd_generate(args) -> int:
+    import shutil
+
+    from rau_vqa_tpu.data.features import pack_feature_dir
+    from rau_vqa_tpu.data.fixtures import generate_fixture
+
+    spec = _spec(args)
+    t0 = time.time()
+    log(f"generating {spec.n_train} train / {spec.n_test} test questions, "
+        f"{spec.n_images} images x [512,14,14] t7 feats under {args.root}")
+    vqa_dir = generate_fixture(args.root, spec)
+    log(f"fixture written in {time.time() - t0:.0f}s; packing int8 shard")
+    with open(os.path.join(vqa_dir, "data_prepro.json")) as f:
+        info = json.load(f)
+    t0 = time.time()
+    shard_dir = os.path.join(args.root, "shard_int8")
+    # one shard covers both splits (datatype tags mirror the loader's
+    # train/test source split: fixture train + test dirs are the same)
+    imgs = info["unique_img_train"] + info["unique_img_test"]
+    pack_feature_dir([os.path.join(args.root, "feat")], imgs,
+                     [1] * len(imgs), shard_dir, 512, 14, 14, dtype="int8")
+    log(f"int8 shard packed in {time.time() - t0:.0f}s "
+        f"({os.path.getsize(os.path.join(shard_dir, 'features.npy')) / 1e6:.0f} MB)")
+    if not args.keep_t7:
+        shutil.rmtree(os.path.join(args.root, "feat"))
+        log("t7 dir removed (--keep-t7 to keep)")
+    with open(os.path.join(args.root, "spec.json"), "w") as f:
+        json.dump(dataclasses.asdict(spec), f)
+    return 0
+
+
+def _build_trainer(args, *, batch_size: int, max_epochs: int):
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.features import PackedFeatureStore
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    vqa_dir = os.path.join(args.root, "vqa_prepro")
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dataclasses.replace(exp.model,
+                                  compute_dtype="bfloat16"),
+        train=dataclasses.replace(
+            exp.train, batch_size=batch_size, max_epochs=max_epochs,
+            test_interval=1, checkpoint_interval=args.ckpt_interval),
+        data=dataclasses.replace(
+            exp.data, split="val2014", vqa_dir=vqa_dir,
+            test_batch_size=512,
+            gt_anno=os.path.join(vqa_dir, "gt_annotations.json")))
+    data = load_vqa_data(vqa_dir, batch_size=batch_size, split="val2014",
+                         test_batch_size=512)
+    src = PackedFeatureStore(os.path.join(args.root, "shard_int8"),
+                             raw_int8=True)
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    workdir = args.workdir or os.path.join(args.root, "run")
+    return Trainer(exp, data, src, workdir, gt_anno=gt), workdir
+
+
+def cmd_train(args) -> int:
+    from rau_vqa_tpu.utils.rigcheck import (
+        bench_preflight,
+        bench_watchdog,
+        enable_compile_cache_for_probe,
+        matmul_canary,
+    )
+
+    watchdog = bench_watchdog("paper_dims_best_testOEacc", "accuracy",
+                              timeout_s=args.budget_s)
+    probe = bench_preflight("paper_dims_best_testOEacc", "accuracy")
+    if probe.get("platform") == "cpu":
+        watchdog.cancel()
+    enable_compile_cache_for_probe(probe, _REPO)
+
+    trainer, workdir = _build_trainer(args, batch_size=args.batch_size,
+                                      max_epochs=args.epochs)
+    canary = matmul_canary()
+    log(f"rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of peak)")
+    best = {"train": 0.0, "test": 0.0, "epoch": 0}
+    t0 = time.time()
+    met = False
+    for _ in range(args.epochs):
+        rec = trainer.train_epoch()
+        if rec.get("aborted"):
+            log(f"epoch aborted by the explosion guard (restored); "
+                f"continuing")
+            continue
+        tr_acc = max((v for k, v in rec.items()
+                      if k.startswith("trainacc_")), default=0.0)
+        ev = trainer.evaluate(write_submissions=False)
+        te_acc = max(ev["testOEacc"])
+        log(f"epoch {trainer.epoch}: best-hop train {tr_acc:.4f} "
+            f"test {te_acc:.4f} loss {rec.get('loss', float('nan')):.4f} "
+            f"({rec.get('examples_per_sec', 0):.0f} ex/s)")
+        if tr_acc > best["train"]:
+            best["train"] = tr_acc
+        if te_acc > best["test"]:
+            best.update(test=te_acc, epoch=trainer.epoch)
+        if tr_acc >= args.train_acc and te_acc >= args.test_acc:
+            met = True
+            log(f"criterion met at epoch {trainer.epoch}")
+            break
+    wall = time.time() - t0
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    import shutil
+    ml = os.path.join(workdir, "training_log", "metrics.jsonl")
+    if os.path.exists(ml):
+        shutil.copy2(ml, os.path.join(OUT_DIR, "train_metrics.jsonl"))
+    result = {
+        "metric": "paper_dims_best_testOEacc",
+        "value": round(best["test"], 4),
+        "unit": "accuracy",
+        "criterion": {"train": args.train_acc, "test": args.test_acc,
+                      "met": met},
+        "best_train_acc": round(best["train"], 4),
+        "best_epoch": best["epoch"],
+        "epochs_run": trainer.epoch,
+        "wall_s": round(wall, 1),
+        "dims": {"vocab": trainer.mcfg.vocab_size,
+                 "answers": trainer.mcfg.answer_size,
+                 "rnn": trainer.mcfg.rnn_size,
+                 "hops": trainer.mcfg.n_hops,
+                 "feat": [trainer.mcfg.cnn_spat, trainer.mcfg.cnn_dim]},
+        "batch_size": args.batch_size,
+        "compute_dtype": "bfloat16",
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
+    }
+    with open(os.path.join(OUT_DIR, "learnability.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    watchdog.cancel()
+    print(json.dumps(result))
+    return 0 if met else 1
+
+
+def cmd_timebox(args) -> int:
+    """Host pipeline at scale: time the production train loop for a
+    bounded segment at train2014-like scale and decompose where the
+    wall-clock goes (host assembly vs transfer+device)."""
+    from rau_vqa_tpu.utils.rigcheck import (
+        bench_preflight,
+        bench_watchdog,
+        enable_compile_cache_for_probe,
+        matmul_canary,
+    )
+
+    watchdog = bench_watchdog("host_pipeline_examples_per_sec", "ex/s",
+                              timeout_s=args.budget_s)
+    probe = bench_preflight("host_pipeline_examples_per_sec", "ex/s")
+    if probe.get("platform") == "cpu":
+        watchdog.cancel()
+    enable_compile_cache_for_probe(probe, _REPO)
+
+    trainer, workdir = _build_trainer(args, batch_size=args.batch_size,
+                                      max_epochs=args.epochs)
+
+    # host-only decomposition pass: iterate the same loader + shard
+    # fetches with NO device work — what the host pipeline alone sustains
+    t0 = time.time()
+    n = 0
+    for batch in trainer.data.train_data.batches(trainer.source):
+        n += batch.tokens.shape[0]
+        if n >= args.host_pass_examples:
+            break
+    host_dt = time.time() - t0
+    host_eps = n / host_dt
+    log(f"host-only pass: {n} examples in {host_dt:.1f}s = "
+        f"{host_eps:.0f} ex/s (loader + int8 shard fetch, no device)")
+    # the generator was abandoned mid-epoch; rewind the order stream
+    trainer.data.train_data.reorder_count = trainer.epoch
+    trainer.data.train_data.reorder()
+
+    canary = matmul_canary()
+    log(f"rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of peak)")
+    t0 = time.time()
+    epochs = []
+    while time.time() - t0 < args.minutes * 60 and len(epochs) < args.epochs:
+        rec = trainer.train_epoch()
+        if rec.get("aborted"):
+            log("epoch aborted; continuing")
+            continue
+        epochs.append({"epoch": trainer.epoch,
+                       "examples_per_sec": rec["examples_per_sec"],
+                       "steps": rec["steps"], "sec": rec["sec"],
+                       "loss": rec.get("loss")})
+        log(f"epoch {trainer.epoch}: {rec['examples_per_sec']:.0f} ex/s "
+            f"({rec['steps']} steps in {rec['sec']:.0f}s)")
+    from rau_vqa_tpu.utils.checkpoint import flush_checkpoint_writes
+    flush_checkpoint_writes()
+    eps = (epochs[-1]["examples_per_sec"] if epochs else 0.0)
+
+    feats_mb = args.batch_size * 196 * 512 / 1e6   # int8 bytes/batch
+    result = {
+        "metric": "host_pipeline_examples_per_sec",
+        "value": round(eps, 1),
+        "unit": "ex/s",
+        "epochs": epochs,
+        "host_only_examples_per_sec": round(host_eps, 1),
+        "int8_feats_mb_per_batch": round(feats_mb, 1),
+        "implied_transfer_mb_per_sec": round(
+            eps / args.batch_size * feats_mb, 1),
+        "device_step_ms_known": 31.5,     # BASELINE.md train re-baseline
+        "batch_size": args.batch_size,
+        "n_train": int(trainer.data.train_data.num_examples),
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
+    }
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "host_pipeline.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    watchdog.cancel()
+    print(json.dumps(result))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--root", default=os.path.join(_REPO, ".scratch",
+                                                  "paper_dims"))
+    g.add_argument("--n-train", type=int, default=12800)
+    g.add_argument("--n-test", type=int, default=2048)
+    g.add_argument("--n-images", type=int, default=800)
+    g.add_argument("--n-answers", type=int, default=200)
+    g.add_argument("--n-img-classes", type=int, default=8)
+    g.add_argument("--keep-t7", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    t = sub.add_parser("train")
+    t.add_argument("--root", default=os.path.join(_REPO, ".scratch",
+                                                  "paper_dims"))
+    t.add_argument("--workdir", default=None)
+    t.add_argument("--epochs", type=int, default=20)
+    t.add_argument("--batch-size", type=int, default=512)
+    t.add_argument("--train-acc", type=float, default=CRIT_TRAIN)
+    t.add_argument("--test-acc", type=float, default=CRIT_TEST)
+    t.add_argument("--ckpt-interval", type=int, default=5)
+    t.add_argument("--budget-s", type=float, default=5400.0)
+    t.set_defaults(fn=cmd_train)
+
+    b = sub.add_parser("timebox")
+    b.add_argument("--root", default=os.path.join(_REPO, ".scratch",
+                                                  "paper_dims_full"))
+    b.add_argument("--workdir", default=None)
+    b.add_argument("--minutes", type=float, default=35.0)
+    b.add_argument("--epochs", type=int, default=3)
+    b.add_argument("--batch-size", type=int, default=512)
+    b.add_argument("--host-pass-examples", type=int, default=25600)
+    b.add_argument("--ckpt-interval", type=int, default=1)
+    b.add_argument("--budget-s", type=float, default=3600.0)
+    b.set_defaults(fn=cmd_timebox)
+
+    args = ap.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
