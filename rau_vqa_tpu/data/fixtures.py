@@ -53,7 +53,8 @@ class FixtureSpec:
 
 def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
                      images: bool = False, image_size: int = 64,
-                     uniform_img_assign: bool = False) -> str:
+                     uniform_img_assign: bool = False,
+                     image_mode: str = "gray") -> str:
     """Write the fixture bundle under ``root``; returns the vqa_dir.
 
     ``images=True`` additionally writes tiny deterministic JPEGs under
@@ -171,29 +172,57 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
     if images:
         from PIL import Image
 
-        # gray-level class encoding range check: class c occupies
-        # [30+40c, 30+40c+39]; uint8 wraps silently above 255, aliasing
-        # high classes onto class 0's band and capping attainable
-        # accuracy with no error (n_answers <= 5 fits exactly)
-        hi = 30 + 40 * (spec.img_classes - 1) + 39
-        if hi > 255:
-            raise ValueError(
-                f"fixture images encode the class as a gray level: "
-                f"img_classes={spec.img_classes} needs pixel values up to "
-                f"{hi} > 255 — use n_answers <= 5 with images=True")
+        if image_mode == "gray":
+            # gray-level class encoding range check: class c occupies
+            # [30+40c, 30+40c+39]; uint8 wraps silently above 255, aliasing
+            # high classes onto class 0's band and capping attainable
+            # accuracy with no error (n_answers <= 5 fits exactly)
+            hi = 30 + 40 * (spec.img_classes - 1) + 39
+            if hi > 255:
+                raise ValueError(
+                    f"fixture images encode the class as a gray level: "
+                    f"img_classes={spec.img_classes} needs pixel values "
+                    f"up to {hi} > 255 — use n_answers <= 5 with "
+                    f"images=True")
+        elif image_mode == "texture":
+            # stripe textures: orientation x period, FIRST-ORDER
+            # STATISTICS EQUALIZED across classes (identical pixel mean
+            # and variance; only the spatial arrangement differs).  A
+            # frozen random backbone's pooled features expose gray-level
+            # signal linearly — this mode exists for the fine-tuning
+            # accuracy A/B (VERDICT r4 #2), where the class must require
+            # learning spatial filters, not reading the image mean.
+            if spec.img_classes > 8:
+                raise ValueError("texture mode defines 8 classes "
+                                 "(4 orientations x 2 periods)")
+        else:
+            raise ValueError(f"unknown image_mode {image_mode!r}")
         img_root = os.path.join(root, "images")
+        yy, xx = np.meshgrid(np.arange(image_size), np.arange(image_size),
+                             indexing="ij")
+        # (orientation coord, stripe period) per texture class
+        tex_defs = [(yy, 8), (xx, 8), (yy + xx, 8), (yy - xx, 8),
+                    (yy, 16), (xx, 16), (yy + xx, 16), (yy - xx, 16)]
         for rel in train_imgs + test_imgs:
             path = os.path.join(img_root, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             # the image CONTENT must carry img_class (the label rule is
             # answer = (first token + img_class) mod n_answers) or the
             # from-pixels paths can only memorize train images and score
-            # chance on test: encode the class as a separated gray level
-            # (noise width 40 < class spacing 40 — overlap-free, survives
-            # JPEG q92 and any resize), the pixel analogue of the t7
-            # fixture's per-class mean bump above
-            base = 30 + 40 * img_class[rel]
-            pix = base + rng.integers(0, 40, (image_size, image_size, 3))
-            Image.fromarray(pix.astype(np.uint8)).save(path, quality=92)
+            # chance on test
+            if image_mode == "gray":
+                # separated gray level (noise width 40 < class spacing 40
+                # — overlap-free, survives JPEG q92 and any resize), the
+                # pixel analogue of the t7 fixture's per-class mean bump
+                base = 30 + 40 * img_class[rel]
+                pix = base + rng.integers(0, 40,
+                                          (image_size, image_size, 3))
+            else:
+                coord, period = tex_defs[img_class[rel]]
+                stripes = ((coord // (period // 2)) % 2)   # exact 50/50
+                pix = (80 + 96 * stripes)[:, :, None] \
+                    + rng.integers(-16, 17, (image_size, image_size, 3))
+            Image.fromarray(np.clip(pix, 0, 255).astype(np.uint8)
+                            ).save(path, quality=92)
 
     return vqa_dir

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Fine-tuning accuracy A/B: frozen vs trained backbone, same budget.
+
+VERDICT r4 #2: ``--train-backbone`` had throughput numbers and
+parity-pinned gradients but no run where fine-tuning IMPROVES held-out
+accuracy over the frozen-backbone baseline.  This is that experiment,
+engineered to be decidable zero-asset:
+
+- The image fixture's ``texture`` mode encodes the class as stripe
+  orientation x period with first-order statistics equalized (identical
+  pixel mean/variance per class — pinned by test).  A FROZEN random
+  backbone's pooled features carry the class only through accidental
+  filter selectivity, so the head-only arm plateaus near the question
+  prior; the fine-tuned arm must LEARN spatial filters to exceed it.
+- Both arms share everything else: the same down-scaled random vgg16
+  init (cli.py's x0.72, the measured anti-saturation scale), the same
+  RMS feature interface (backbone_feat_norm), head dims, LRs, data
+  order, and epoch budget.  The only difference is train_backbone.
+
+Success = the fine-tuned arm's best held-out best-hop accuracy clearly
+above the frozen arm's, with grad_norm_backbone alive through training
+(recorded per epoch in the result JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses as dc
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+OUT_DIR = os.path.join(_REPO, "benchmarks", "ft_accuracy")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _build(root: str, workdir: str, *, train_backbone: bool, args):
+    import jax
+
+    from rau_vqa_tpu.config import get_preset
+    from rau_vqa_tpu.data.images import ImageDirSource
+    from rau_vqa_tpu.data.loader import load_gt_annotations, load_vqa_data
+    from rau_vqa_tpu.models.backbones.vgg import vgg16_pool5_init
+    from rau_vqa_tpu.train.trainer import Trainer
+
+    vqa_dir = os.path.join(root, "vqa_prepro")
+    exp = get_preset("ours_ms")
+    exp = exp.replace(
+        model=dc.replace(
+            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
+            att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
+            mult_dropout=0.1,
+            compute_dtype="bfloat16" if args.bf16 else "float32"),
+        train=dc.replace(
+            exp.train, batch_size=args.batch_size,
+            learning_rate=args.lr, mult_learning_rate=args.lr,
+            lr_decay=1.0, mult_lr_decay=1.0, noisy_eta=0.0,
+            grad_clip=10.0, length_buckets=(),
+            train_backbone=train_backbone,
+            backbone_lr_scale=args.backbone_lr_scale,
+            backbone_feat_norm=True),
+        data=dc.replace(exp.data, split="val2014"))
+    data = load_vqa_data(vqa_dir, batch_size=args.batch_size,
+                         split="val2014", test_batch_size=32)
+    src = ImageDirSource(os.path.join(root, "images"), size=64)
+    gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
+    # identical init in both arms, cli.py's measured x0.72 He down-scale
+    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+    bb = jax.tree.map(lambda x: x * 0.72 if x.ndim == 4 else x, bb)
+    return Trainer(exp, data, src, workdir, gt_anno=gt,
+                   backbone="vgg16", bb_params=bb)
+
+
+def _run_arm(name: str, root: str, workdir: str, *, train_backbone: bool,
+             args):
+    trainer = _build(root, workdir, train_backbone=train_backbone,
+                     args=args)
+    hist = []
+    best = 0.0
+    t0 = time.time()
+    for _ in range(args.epochs):
+        rec = trainer.train_epoch()
+        if rec.get("aborted"):
+            log(f"[{name}] epoch aborted by guard; continuing")
+            continue
+        ev = trainer.evaluate(write_submissions=False)
+        te = max(ev["testOEacc"])
+        best = max(best, te)
+        hist.append({"epoch": trainer.epoch,
+                     "test_acc": round(te, 4),
+                     "train_acc": round(max(
+                         (v for k, v in rec.items()
+                          if k.startswith("trainacc_")), default=0.0), 4),
+                     "loss": round(float(rec.get("loss", float("nan"))), 4),
+                     "grad_norm_backbone": round(float(
+                         rec.get("grad_norm_backbone", 0.0)), 6)})
+        log(f"[{name}] epoch {trainer.epoch}: held-out {te:.4f} "
+            f"(best {best:.4f}) loss {rec.get('loss', float('nan')):.3f}"
+            + (f" gB {rec.get('grad_norm_backbone', 0):.4f}"
+               if train_backbone else ""))
+    return {"name": name, "best_test_acc": round(best, 4),
+            "wall_s": round(time.time() - t0, 1), "history": hist}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default=os.path.join(_REPO, ".scratch",
+                                                   "ft_ab"))
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--backbone-lr-scale", type=float, default=1.0)
+    ap.add_argument("--n-train", type=int, default=320)
+    ap.add_argument("--n-test", type=int, default=64)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--f32", dest="bf16", action="store_false")
+    ap.add_argument("--arms", default="frozen,finetune",
+                    help="comma list: frozen,finetune")
+    ap.add_argument("--budget-s", type=float, default=5400.0)
+    args = ap.parse_args()
+
+    from rau_vqa_tpu.utils.rigcheck import (
+        bench_preflight,
+        bench_watchdog,
+        enable_compile_cache_for_probe,
+        matmul_canary,
+    )
+
+    watchdog = bench_watchdog("ft_ab_gap", "accuracy",
+                              timeout_s=args.budget_s)
+    probe = bench_preflight("ft_ab_gap", "accuracy")
+    if probe.get("platform") == "cpu":
+        watchdog.cancel()
+    enable_compile_cache_for_probe(probe, _REPO)
+
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+
+    spec = FixtureSpec(n_train=args.n_train, n_test=args.n_test,
+                       n_images=40, n_answers=4, n_img_classes=4,
+                       seed=13)
+    if not os.path.exists(os.path.join(args.root, "vqa_prepro",
+                                       "data_prepro.json")):
+        generate_fixture(args.root, spec, images=True, image_size=64,
+                         uniform_img_assign=True, image_mode="texture")
+        log(f"texture fixture generated under {args.root}")
+
+    canary = matmul_canary()
+    log(f"rig canary {canary['tflops']} TFLOP/s "
+        f"({canary['frac_of_peak'] * 100:.1f}% of peak)")
+
+    wd = args.workdir or os.path.join(args.root, "runs")
+    arms = {}
+    for arm in args.arms.split(","):
+        arms[arm] = _run_arm(arm, args.root,
+                             os.path.join(wd, arm),
+                             train_backbone=(arm == "finetune"),
+                             args=args)
+
+    frozen = arms.get("frozen", {}).get("best_test_acc")
+    tuned = arms.get("finetune", {}).get("best_test_acc")
+    result = {
+        "metric": "ft_ab_gap",
+        "value": (round(tuned - frozen, 4)
+                  if frozen is not None and tuned is not None else None),
+        "unit": "accuracy",
+        "frozen_best_test_acc": frozen,
+        "finetune_best_test_acc": tuned,
+        "chance": 0.25,
+        "epochs": args.epochs,
+        "lr": args.lr,
+        "backbone_lr_scale": args.backbone_lr_scale,
+        "compute_dtype": "bfloat16" if args.bf16 else "float32",
+        "arms": arms,
+        "rig_canary_tflops": canary["tflops"],
+        "rig_canary_frac_peak": canary["frac_of_peak"],
+    }
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    watchdog.cancel()
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

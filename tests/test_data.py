@@ -494,3 +494,34 @@ def test_fixture_image_class_encoding_range(tmp_path):
                          dc.replace(SPEC, n_answers=6), images=True)
     # the feature-fixture path has no pixel encoding: same spec is fine
     generate_fixture(str(tmp_path / "g"), dc.replace(SPEC, n_answers=6))
+
+
+def test_fixture_texture_images_stats_equalized(tmp_path):
+    """image_mode='texture' encodes the class in stripe ORIENTATION x
+    PERIOD with first-order statistics equalized: per-class pixel means
+    and stds must be indistinguishable (a frozen random backbone cannot
+    read the class off the image mean, the point of the fine-tuning
+    accuracy A/B), while images of different classes differ pixelwise."""
+    import numpy as np
+    from PIL import Image
+
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+
+    spec = FixtureSpec(n_train=16, n_test=8, n_images=8, n_answers=4,
+                       n_img_classes=4)
+    generate_fixture(str(tmp_path), spec, images=True, image_size=64,
+                     uniform_img_assign=True, image_mode="texture")
+    per_class = {}
+    for i in range(8):
+        p = tmp_path / "images" / "train2014" / \
+            f"COCO_train2014_{i:012d}.jpg"
+        arr = np.asarray(Image.open(p), np.float32)
+        per_class.setdefault(i % 4, []).append(arr)
+    means = {c: np.mean(v) for c, v in per_class.items()}
+    stds = {c: np.mean([a.std() for a in v]) for c, v in per_class.items()}
+    assert max(means.values()) - min(means.values()) < 3.0, means
+    assert max(stds.values()) - min(stds.values()) < 5.0, stds
+    # distinct classes are pixelwise distinct (learnable at all)
+    a0 = per_class[0][0]
+    a1 = per_class[1][0]
+    assert np.abs(a0 - a1).mean() > 20.0
