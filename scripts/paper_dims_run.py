@@ -105,7 +105,13 @@ def _build_trainer(args, *, batch_size: int, max_epochs: int):
                                   compute_dtype="bfloat16"),
         train=dataclasses.replace(
             exp.train, batch_size=batch_size, max_epochs=max_epochs,
-            test_interval=1, checkpoint_interval=args.ckpt_interval),
+            test_interval=1, checkpoint_interval=args.ckpt_interval,
+            **({"learning_rate": args.lr,
+                "mult_learning_rate": args.lr / 10.0}
+               if getattr(args, "lr", None) else {}),
+            **({"lr_decay": args.lr_decay,
+                "mult_lr_decay": args.lr_decay}
+               if getattr(args, "lr_decay", None) is not None else {})),
         data=dataclasses.replace(
             exp.data, split="val2014", vqa_dir=vqa_dir,
             test_batch_size=512,
@@ -301,6 +307,12 @@ def main() -> int:
     t.add_argument("--batch-size", type=int, default=512)
     t.add_argument("--train-acc", type=float, default=CRIT_TRAIN)
     t.add_argument("--test-acc", type=float, default=CRIT_TEST)
+    t.add_argument("--lr", type=float, default=None,
+                   help="override the preset lr (mult lr follows at /10)")
+    t.add_argument("--lr-decay", type=float, default=None,
+                   help="override the preset 0.9/epoch decay (1.0 = flat "
+                        "— the synthetic task needs sustained lr, the "
+                        "0.9 decay strangles epochs past ~15)")
     t.add_argument("--ckpt-interval", type=int, default=5)
     t.add_argument("--budget-s", type=float, default=5400.0)
     t.set_defaults(fn=cmd_train)

@@ -25,9 +25,10 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # jit-name prefixes of the driver-visible bench programs:
-#   serve_chain  — bench.py's chained serving program
-#   _lambda      — bench_pixels.py's chained pixels program (jitted lambda)
-SEED_PREFIXES = ("jit_serve_chain-", "jit__lambda-")
+#   serve_chain   — bench.py's chained serving program
+#   _lambda       — bench.py's MFU cost-analysis probe (jitted lambda)
+#   pixels_chain  — bench_pixels.py's chained pixels program
+SEED_PREFIXES = ("jit_serve_chain-", "jit__lambda-", "jit_pixels_chain-")
 MIN_BYTES = 1 << 20          # ignore sub-MB entries (init/PRNG programs)
 
 
