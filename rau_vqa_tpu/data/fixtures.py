@@ -45,6 +45,17 @@ class FixtureSpec:
     # (first_token, img_class) combo represented in train while the
     # answer space stays at full width (scripts/paper_dims_run.py).
     n_img_classes: int | None = None
+    # feature-space class encoding: "channel" (one-channel +2 bump, the
+    # original) or "dense" (a fixed random +/-1 pattern over ALL
+    # channels).  The paper-dims runs showed the single-channel bump is a
+    # hard read for the stacked-tanh head at 512 dims (held-out capped
+    # ~33% while train ground past 70% on image/noise memorization);
+    # dense codes make the class a robust high-SNR linear readout so the
+    # held-out criterion measures optimizer/numerics, not channel-needle
+    # extraction.
+    class_code: str = "channel"
+    feat_noise: float = 0.15   # within-class feature noise (the per-image
+    #                            fingerprint; lower = less memorizable)
 
     @property
     def img_classes(self) -> int:
@@ -84,9 +95,22 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
         raise ValueError(f"img_classes {n_cls} needs feat_dim >= {n_cls} "
                          f"(class is encoded as a channel bump)")
 
+    if spec.class_code == "dense":
+        # fixed per-class +/-1 codes from a sign-flipped Hadamard-ish
+        # draw; amplitude 1.0 per channel vs feat_noise per-image noise
+        code_rng = np.random.default_rng(spec.seed + 1)
+        class_dirs = code_rng.choice(
+            [-1.0, 1.0], size=(n_cls, spec.feat_dim)).astype(np.float32)
+    elif spec.class_code != "channel":
+        raise ValueError(f"unknown class_code {spec.class_code!r}")
+
     def make_feat(i: int) -> np.ndarray:
-        base = rng.normal(0, 0.15, (spec.feat_dim, spec.feat_w, spec.feat_h))
-        base[i % n_cls] += 2.0
+        base = rng.normal(0, spec.feat_noise,
+                          (spec.feat_dim, spec.feat_w, spec.feat_h))
+        if spec.class_code == "dense":
+            base += class_dirs[i % n_cls][:, None, None]
+        else:
+            base[i % n_cls] += 2.0
         return base.astype(np.float32)
 
     from rau_vqa_tpu.data.features import coco_feat_name

@@ -58,7 +58,8 @@ def _spec(args):
         n_train=args.n_train, n_test=args.n_test, n_images=args.n_images,
         n_words=12604, n_answers=args.n_answers, seq_len=26,
         feat_dim=512, feat_w=14, feat_h=14, n_mc=4, seed=11,
-        n_img_classes=args.n_img_classes)
+        n_img_classes=args.n_img_classes,
+        class_code=args.class_code, feat_noise=args.feat_noise)
 
 
 def cmd_generate(args) -> int:
@@ -296,6 +297,9 @@ def main() -> int:
     g.add_argument("--n-images", type=int, default=800)
     g.add_argument("--n-answers", type=int, default=200)
     g.add_argument("--n-img-classes", type=int, default=8)
+    g.add_argument("--class-code", default="channel",
+                   choices=("channel", "dense"))
+    g.add_argument("--feat-noise", type=float, default=0.15)
     g.add_argument("--keep-t7", action="store_true")
     g.set_defaults(fn=cmd_generate)
 

@@ -525,3 +525,34 @@ def test_fixture_texture_images_stats_equalized(tmp_path):
     a0 = per_class[0][0]
     a1 = per_class[1][0]
     assert np.abs(a0 - a1).mean() > 20.0
+
+
+def test_fixture_dense_class_code(tmp_path):
+    """class_code='dense' encodes the image class as a fixed +/-1 pattern
+    over ALL feature channels: images of one class correlate strongly
+    with their class code and not with another's (the paper-dims
+    learnability datasets use this; the single-channel bump was a
+    hard read for the 512-dim head — BASELINE.md round 5)."""
+    import numpy as np
+
+    from rau_vqa_tpu.data.features import T7DirFeatureSource, coco_feat_name
+    from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
+
+    spec = FixtureSpec(n_train=16, n_test=8, n_images=8, n_answers=4,
+                       n_img_classes=4, class_code="dense",
+                       feat_noise=0.05)
+    generate_fixture(str(tmp_path), spec)
+    src = T7DirFeatureSource([str(tmp_path / "feat")], spec.feat_dim,
+                             spec.feat_w, spec.feat_h)
+    names = [coco_feat_name(f"train2014/COCO_train2014_{i:012d}.jpg")
+             for i in range(8)]
+    feats = src.get_batch(names, [1] * 8)        # [8, S, D]
+    means = feats.mean(axis=1)                   # spatial-avg [8, D]
+    # same-class images (i and i+4 share class i%4) nearly identical
+    # codes; different classes near-orthogonal
+    same = np.dot(means[0], means[4]) / (
+        np.linalg.norm(means[0]) * np.linalg.norm(means[4]))
+    diff = np.dot(means[0], means[1]) / (
+        np.linalg.norm(means[0]) * np.linalg.norm(means[1]))
+    assert same > 0.95, same
+    assert abs(diff) < 0.3, diff
