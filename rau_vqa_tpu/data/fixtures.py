@@ -219,6 +219,16 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
             if spec.img_classes > 8:
                 raise ValueError("texture mode defines 8 classes "
                                  "(4 orientations x 2 periods)")
+        elif image_mode == "mixed":
+            # texture + a WEAK overlapping gray cue.  Pure texture gives
+            # the pixel gradient no foothold through a deep random conv
+            # stack (measured: gB collapses to ~0 within 6 epochs and
+            # both A/B arms sit at chance) — the weak mean cue keeps the
+            # image pathway live (frozen arm capped by the deliberate
+            # class overlap) while the stripes carry the clean signal
+            # only trained filters can exploit.
+            if spec.img_classes > 8:
+                raise ValueError("mixed mode defines 8 classes")
         else:
             raise ValueError(f"unknown image_mode {image_mode!r}")
         img_root = os.path.join(root, "images")
@@ -241,11 +251,19 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
                 base = 30 + 40 * img_class[rel]
                 pix = base + rng.integers(0, 40,
                                           (image_size, image_size, 3))
-            else:
+            elif image_mode == "texture":
                 coord, period = tex_defs[img_class[rel]]
                 stripes = ((coord // (period // 2)) % 2)   # exact 50/50
                 pix = (80 + 96 * stripes)[:, :, None] \
                     + rng.integers(-16, 17, (image_size, image_size, 3))
+            else:  # mixed
+                coord, period = tex_defs[img_class[rel]]
+                stripes = ((coord // (period // 2)) % 2)
+                # weak mean cue: class spacing 8 << noise band 50 —
+                # heavily overlapping, the frozen readout's ceiling
+                gray = 96 + 8 * img_class[rel]
+                pix = (gray + 64 * stripes)[:, :, None] \
+                    + rng.integers(-25, 26, (image_size, image_size, 3))
             Image.fromarray(np.clip(pix, 0, 255).astype(np.uint8)
                             ).save(path, quality=92)
 

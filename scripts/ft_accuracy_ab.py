@@ -51,38 +51,68 @@ def _build(root: str, workdir: str, *, train_backbone: bool, args):
     from rau_vqa_tpu.train.trainer import Trainer
 
     vqa_dir = os.path.join(root, "vqa_prepro")
+    vit_cfg = None
+    if args.backbone == "vit":
+        # tiny ViT: a 16-DIM feature interface (the t7-proven scale the
+        # fixed-0.08 tanh head demonstrably learns — the 512-dim conv
+        # interface self-saturates, BASELINE.md) and only 2 blocks
+        # between loss and pixels, so the backbone gradient has a real
+        # foothold.  Patch-embed is linear: stripes are learnable by a
+        # TRAINED projection while a frozen random one mostly collapses
+        # them in 16 dims.
+        from rau_vqa_tpu.models.backbones.vit import ViTConfig
+        vit_cfg = ViTConfig(image_size=64, patch=16, dim=16, depth=2,
+                            heads=4)
+    cdims = (dict(cnn_dim=16, cnn_w=4, cnn_h=4) if args.backbone == "vit"
+             else dict(cnn_dim=512, cnn_w=2, cnn_h=2))
     exp = get_preset("ours_ms")
     exp = exp.replace(
         model=dc.replace(
-            exp.model, n_hops=2, cnn_dim=512, cnn_w=2, cnn_h=2,
+            exp.model, n_hops=2, **cdims,
             embed_dim=16, rnn_size=16, multfeat_dim=16, attfeat_dim=8,
             att_rnn_size=16, embed_dropout=0.0, rnn_dropout=0.0,
             mult_dropout=0.1,
             compute_dtype="bfloat16" if args.bf16 else "float32"),
         train=dc.replace(
             exp.train, batch_size=args.batch_size,
-            learning_rate=args.lr, mult_learning_rate=args.lr,
+            # mult (the head) at lr/10 — the reference's ratio; at
+            # full lr the fixed-0.08-init tanh head self-saturates
+            # over a 512-dim interface (BASELINE.md zero-asset limit)
+            learning_rate=args.lr, mult_learning_rate=args.lr / 10,
             lr_decay=1.0, mult_lr_decay=1.0, noisy_eta=0.0,
             grad_clip=10.0, length_buckets=(),
             train_backbone=train_backbone,
             backbone_lr_scale=args.backbone_lr_scale,
-            backbone_feat_norm=True),
+            backbone_feat_norm=args.feat_norm),
         data=dc.replace(exp.data, split="val2014"))
     data = load_vqa_data(vqa_dir, batch_size=args.batch_size,
                          split="val2014", test_batch_size=32)
     src = ImageDirSource(os.path.join(root, "images"), size=64)
     gt = load_gt_annotations(os.path.join(vqa_dir, "gt_annotations.json"))
-    # identical init in both arms, cli.py's measured x0.72 He down-scale
-    bb = vgg16_pool5_init(jax.random.PRNGKey(0))
-    bb = jax.tree.map(lambda x: x * 0.72 if x.ndim == 4 else x, bb)
+    if args.backbone == "vit":
+        from rau_vqa_tpu.models.backbones.vit import vit_init
+        bb = vit_init(jax.random.PRNGKey(0), vit_cfg)
+    else:
+        # identical init in both arms, cli.py's measured x0.72 down-scale
+        bb = vgg16_pool5_init(jax.random.PRNGKey(0))
+        bb = jax.tree.map(lambda x: x * 0.72 if x.ndim == 4 else x, bb)
     return Trainer(exp, data, src, workdir, gt_anno=gt,
-                   backbone="vgg16", bb_params=bb)
+                   backbone=args.backbone, bb_params=bb,
+                   vit_cfg=vit_cfg)
 
 
 def _run_arm(name: str, root: str, workdir: str, *, train_backbone: bool,
-             args):
+             args, warm_start: str | None = None,
+             save_final: bool = False):
     trainer = _build(root, workdir, train_backbone=train_backbone,
                      args=args)
+    if warm_start:
+        # the production two-phase recipe: a head-only snapshot restores
+        # the three head groups; the backbone keeps its init and (in the
+        # finetune arm) starts learning with a MEANINGFUL error signal
+        # instead of the double-random joint start whose backbone
+        # gradient collapses in ~2 epochs (first A/B, result.json)
+        trainer.restore(warm_start)
     hist = []
     best = 0.0
     t0 = time.time()
@@ -106,8 +136,11 @@ def _run_arm(name: str, root: str, workdir: str, *, train_backbone: bool,
             f"(best {best:.4f}) loss {rec.get('loss', float('nan')):.3f}"
             + (f" gB {rec.get('grad_norm_backbone', 0):.4f}"
                if train_backbone else ""))
-    return {"name": name, "best_test_acc": round(best, 4),
-            "wall_s": round(time.time() - t0, 1), "history": hist}
+    out = {"name": name, "best_test_acc": round(best, 4),
+           "wall_s": round(time.time() - t0, 1), "history": hist}
+    if save_final:
+        out["snapshot"] = trainer.save()
+    return out
 
 
 def main() -> int:
@@ -119,12 +152,25 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--backbone-lr-scale", type=float, default=1.0)
+    ap.add_argument("--n-classes", type=int, default=4)
     ap.add_argument("--n-train", type=int, default=320)
     ap.add_argument("--n-test", type=int, default=64)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--f32", dest="bf16", action="store_false")
     ap.add_argument("--arms", default="frozen,finetune",
                     help="comma list: frozen,finetune")
+    ap.add_argument("--backbone", default="vgg16",
+                    choices=("vgg16", "vit"))
+    ap.add_argument("--image-mode", default="mixed",
+                    choices=("texture", "mixed"),
+                    help="pure texture has no pixel-gradient foothold through\na deep random conv stack (both arms sit at chance); mixed adds a\nweak overlapping gray cue that keeps the image pathway live")
+    ap.add_argument("--head-warmup", type=int, default=0,
+                    help="shared phase-0 head-only epochs; both arms "
+                         "warm-start from its snapshot (the production "
+                         "two-phase recipe — joint double-random "
+                         "training collapses the backbone gradient)")
+    ap.add_argument("--feat-norm", action="store_true",
+                    help="RMS feature interface.  OFF by default: a\nbias-free random conv stack is positively homogeneous, so RMS\nnormalization deletes every intensity cue — with it on, the\nmixed-mode gray foothold is provably invisible (A/B v3)")
     ap.add_argument("--budget-s", type=float, default=5400.0)
     args = ap.parse_args()
 
@@ -145,12 +191,13 @@ def main() -> int:
     from rau_vqa_tpu.data.fixtures import FixtureSpec, generate_fixture
 
     spec = FixtureSpec(n_train=args.n_train, n_test=args.n_test,
-                       n_images=40, n_answers=4, n_img_classes=4,
-                       seed=13)
+                       n_images=40, n_answers=args.n_classes,
+                       n_img_classes=args.n_classes, seed=13)
     if not os.path.exists(os.path.join(args.root, "vqa_prepro",
                                        "data_prepro.json")):
         generate_fixture(args.root, spec, images=True, image_size=64,
-                         uniform_img_assign=True, image_mode="texture")
+                         uniform_img_assign=True,
+                         image_mode=args.image_mode)
         log(f"texture fixture generated under {args.root}")
 
     canary = matmul_canary()
@@ -159,11 +206,22 @@ def main() -> int:
 
     wd = args.workdir or os.path.join(args.root, "runs")
     arms = {}
+    warm = None
+    if args.head_warmup > 0:
+        # shared phase 0: head-only training from scratch (frozen random
+        # backbone) to a snapshot BOTH arms start from — the honest
+        # baseline state for "does unfreezing the backbone help"
+        wu_args = argparse.Namespace(**vars(args))
+        wu_args.epochs = args.head_warmup
+        arms["head_warmup"] = _run_arm(
+            "head_warmup", args.root, os.path.join(wd, "head_warmup"),
+            train_backbone=False, args=wu_args, save_final=True)
+        warm = arms["head_warmup"]["snapshot"]
     for arm in args.arms.split(","):
         arms[arm] = _run_arm(arm, args.root,
                              os.path.join(wd, arm),
                              train_backbone=(arm == "finetune"),
-                             args=args)
+                             args=args, warm_start=warm)
 
     frozen = arms.get("frozen", {}).get("best_test_acc")
     tuned = arms.get("finetune", {}).get("best_test_acc")
@@ -174,8 +232,10 @@ def main() -> int:
         "unit": "accuracy",
         "frozen_best_test_acc": frozen,
         "finetune_best_test_acc": tuned,
-        "chance": 0.25,
+        "chance": round(1.0 / args.n_classes, 4),
         "epochs": args.epochs,
+        "image_mode": args.image_mode,
+        "backbone": args.backbone,
         "lr": args.lr,
         "backbone_lr_scale": args.backbone_lr_scale,
         "compute_dtype": "bfloat16" if args.bf16 else "float32",
