@@ -126,7 +126,7 @@ def main() -> None:
     from rau_vqa_tpu.utils.rigcheck import bench_watchdog
     watchdog = bench_watchdog("pixels_questions_per_sec_per_chip",
                               "questions/sec")
-    # fast hang-proof probe: a hard-hung tunnel fails in ~2 min with the
+    # fast hang-proof probe: a hard-hung tunnel fails in ~4 min with the
     # same parseable error line instead of burning the 2400 s deadline
     from rau_vqa_tpu.utils.rigcheck import bench_preflight
     probe = bench_preflight("pixels_questions_per_sec_per_chip",

@@ -1415,7 +1415,7 @@ def main(argv=None) -> int:
     p_doc.add_argument("--canary", action="store_true",
                        help="run the chained-matmul capability canary "
                             "(device must be reachable)")
-    p_doc.add_argument("--device-timeout", type=float, default=90.0,
+    p_doc.add_argument("--device-timeout", type=float, default=180.0,
                        help="seconds before a backend probe is declared "
                             "hung (tunnel dial-retry loops never raise)")
     p_doc.add_argument("--watch", action="store_true",

@@ -91,7 +91,9 @@ def generate_fixture(root: str, spec: FixtureSpec = FixtureSpec(), *,
 
     # per-image features; image class = i % img_classes baked into the mean
     n_cls = spec.img_classes
-    if n_cls > spec.feat_dim:
+    if spec.class_code == "channel" and n_cls > spec.feat_dim:
+        # only the channel-bump encoding indexes a channel per class;
+        # dense codes span all channels and have no such limit
         raise ValueError(f"img_classes {n_cls} needs feat_dim >= {n_cls} "
                          f"(class is encoded as a channel bump)")
 

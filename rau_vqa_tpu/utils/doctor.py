@@ -86,7 +86,7 @@ def _probe(code: str, timeout_s: float) -> Dict[str, Any]:
 
 
 def run_doctor(*, vqa_dir: str | None = None, canary: bool = False,
-               device_timeout_s: float = 90.0,
+               device_timeout_s: float = 180.0,
                canary_timeout_s: float = 600.0) -> Dict[str, Any]:
     """Run all checks; returns the report dict (also used by the CLI)."""
     report: Dict[str, Any] = {}

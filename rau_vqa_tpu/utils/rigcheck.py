@@ -240,7 +240,7 @@ def enable_compile_cache(cache_dir: str,
     return True
 
 
-def bench_preflight(metric: str, unit: str, timeout_s: float = 120.0,
+def bench_preflight(metric: str, unit: str, timeout_s: float = 240.0,
                     honor_cpu_pin: bool = True) -> Dict[str, object]:
     """Fast, hang-proof device probe BEFORE the expensive bench body.
 
@@ -251,7 +251,9 @@ def bench_preflight(metric: str, unit: str, timeout_s: float = 120.0,
     FALLBACK backend (the platform list is 'axon,cpu', so a fast-failing
     plugin lands on cpu and the bench would emit a TPU-labeled number
     measured on host) -> print the same driver-parseable error JSON line
-    and exit 3 within ~2 minutes.  Returns the probe result when
+    and exit 3 within ~4 minutes (the probe dispatches one op, so its
+    timeout leaves headroom for a remote-compile tail on the tiny
+    program).  Returns the probe result when
     healthy."""
     try:
         import jax

@@ -193,12 +193,27 @@ def main() -> int:
     spec = FixtureSpec(n_train=args.n_train, n_test=args.n_test,
                        n_images=40, n_answers=args.n_classes,
                        n_img_classes=args.n_classes, seed=13)
-    if not os.path.exists(os.path.join(args.root, "vqa_prepro",
-                                       "data_prepro.json")):
+    # the fixture is a function of (spec, image_mode): an existence-only
+    # check would silently reuse a stale dataset when --image-mode or
+    # --n-classes changes while the result JSON records the NEW settings
+    # (code-review r5 finding) — pin the generating config and rebuild
+    # on any mismatch
+    want = {"spec": dc.asdict(spec), "image_mode": args.image_mode}
+    pin = os.path.join(args.root, "abspec.json")
+    have = None
+    if os.path.exists(pin):
+        with open(pin) as f:
+            have = json.load(f)
+    if have != json.loads(json.dumps(want)):
+        import shutil
+        if os.path.isdir(args.root):
+            shutil.rmtree(args.root)
         generate_fixture(args.root, spec, images=True, image_size=64,
                          uniform_img_assign=True,
                          image_mode=args.image_mode)
-        log(f"texture fixture generated under {args.root}")
+        with open(pin, "w") as f:
+            json.dump(want, f)
+        log(f"{args.image_mode} fixture generated under {args.root}")
 
     canary = matmul_canary()
     log(f"rig canary {canary['tflops']} TFLOP/s "

@@ -26,17 +26,24 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # jit-name prefixes of the driver-visible bench programs:
 #   serve_chain   — bench.py's chained serving program
-#   _lambda       — bench.py's MFU cost-analysis probe (jitted lambda)
+#   mfu_probe     — bench.py's MFU cost-analysis probe
 #   pixels_chain  — bench_pixels.py's chained pixels program
-SEED_PREFIXES = ("jit_serve_chain-", "jit__lambda-", "jit_pixels_chain-")
+# (names are deliberately unique — a 'jit__lambda-' prefix would match
+# every script's lambdas in the shared live cache)
+SEED_PREFIXES = ("jit_serve_chain-", "jit_mfu_probe-", "jit_pixels_chain-")
 MIN_BYTES = 1 << 20          # ignore sub-MB entries (init/PRNG programs)
 
 
 def refresh(cache_dir: str, seed_dir: str, *, log=print) -> int:
-    """Copy live entries matching SEED_PREFIXES into seed_dir; drop seed
-    entries of the same prefix that the live cache no longer holds (their
-    program changed — a dead key would sit in git forever).  Returns the
-    number of entries now in the seed."""
+    """Copy live entries matching SEED_PREFIXES into seed_dir.
+
+    REPLACEMENT semantics for staleness: a seed entry is dropped only
+    when a live entry with the SAME jit-name prefix but a different key
+    exists (the program changed and produced its successor).  Mere
+    absence from the live cache is NOT staleness — the live dir may have
+    been cleared, or this session may simply not have run that bench —
+    and deleting a still-valid committed seed would silently reintroduce
+    the 700-930 s compile lottery.  Returns the seed entry count."""
     if not os.path.isdir(cache_dir):
         log(f"no live cache at {cache_dir}; nothing to do")
         return 0
@@ -53,12 +60,22 @@ def refresh(cache_dir: str, seed_dir: str, *, log=print) -> int:
             shutil.copy2(src, dst)
             log(f"seeded {name} "
                 f"({os.path.getsize(src) / 1e6:.1f} MB)")
+
+    def prefix_of(name: str) -> str:
+        for p in SEED_PREFIXES:
+            if name.startswith(p):
+                return p
+        return ""
+
+    live_by_prefix = {prefix_of(n) for n in live}
     removed = 0
     for name in sorted(os.listdir(seed_dir)):
-        if (name.endswith("-cache") and name.startswith(SEED_PREFIXES)
-                and name not in live):
+        if (name.endswith("-cache") and prefix_of(name)
+                and name not in live
+                and prefix_of(name) in live_by_prefix):
             os.unlink(os.path.join(seed_dir, name))
-            log(f"dropped stale seed {name}")
+            log(f"dropped stale seed {name} (replaced by a newer "
+                f"{prefix_of(name)}* entry)")
             removed += 1
     n = len([x for x in os.listdir(seed_dir) if x.endswith("-cache")])
     log(f"seed dir holds {n} entries "

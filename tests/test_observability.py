@@ -422,15 +422,23 @@ def test_compile_cache_seed_and_refresh(tmp_path, monkeypatch):
 
     big = b"Z" * (mod.MIN_BYTES + 1)
     (live / "jit_serve_chain-bbbb-cache").write_bytes(big)      # new program
-    (live / "jit__lambda-cccc-cache").write_bytes(big)
+    (live / "jit_mfu_probe-cccc-cache").write_bytes(big)
     (live / "jit__uniform-dddd-cache").write_bytes(big)         # wrong prefix
     (live / "jit_serve_chain-tiny-cache").write_bytes(b"t")     # too small
     n = mod.refresh(str(live), str(seed), log=lambda *a: None)
     names = sorted(p.name for p in seed.iterdir())
     assert "jit_serve_chain-bbbb-cache" in names
-    assert "jit__lambda-cccc-cache" in names
+    assert "jit_mfu_probe-cccc-cache" in names
     assert "jit__uniform-dddd-cache" not in names
     assert "jit_serve_chain-tiny-cache" not in names
-    # the old seed entry's program no longer exists live -> dropped
+    # the old seed entry was REPLACED by a newer same-prefix live entry
     assert "jit_serve_chain-aaaa-cache" not in names
+    # replacement semantics: absence from live alone is NOT staleness —
+    # clearing the live dir and refreshing must keep committed seeds
+    import shutil as _sh
+    for f in live.iterdir():
+        f.unlink()
+    n2 = mod.refresh(str(live), str(seed), log=lambda *a: None)
+    assert n2 == n and "jit_serve_chain-bbbb-cache" in sorted(
+        p.name for p in seed.iterdir())
     assert n == 2
